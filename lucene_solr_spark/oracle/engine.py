@@ -1,0 +1,191 @@
+"""Single-node Lucene-faithful reference engine (the correctness oracle).
+
+Implements indexing + BM25 top-k search with exactly the reference's
+semantics (same analyzer, SmallFloat norms, float32 BM25, HitQueue
+tie-break score-desc/docID-asc per search/HitQueue.java:76-81) in plain
+Python/numpy — deliberately simple and obviously-correct, NOT fast.
+The Spark engine must be rank- and score-identical to this on any
+corpus (SURVEY.md §5 test plan, item 5).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ..analysis import StandardAnalyzer
+from ..search import bm25
+from ..search.queries import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    TopDoc,
+)
+from ..util.smallfloat import int_to_byte4
+
+
+class OracleIndex:
+    def __init__(self, analyzer: StandardAnalyzer | None = None,
+                 k1: float = 1.2, b: float = 0.75):
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.k1, self.b = k1, b
+        # postings: term -> list[(docid, tf, positions tuple)]
+        self.postings: dict[str, list[tuple[int, int, tuple[int, ...]]]] = defaultdict(list)
+        self.norms: list[int] = []  # per-doc norm byte
+        self.doc_count = 0
+        self.sum_ttf = 0  # sum of per-doc lengths (post-stop tokens)
+
+    def add(self, text: str) -> int:
+        docid = self.doc_count
+        terms, positions = self.analyzer.analyze(text)
+        by_term: dict[str, list[int]] = defaultdict(list)
+        for t, p in zip(terms, positions):
+            by_term[t].append(p)
+        for t, ps in by_term.items():
+            self.postings[t].append((docid, len(ps), tuple(ps)))
+        self.norms.append(int_to_byte4(len(terms)))
+        self.sum_ttf += len(terms)
+        self.doc_count += 1
+        return docid
+
+    def add_all(self, texts) -> None:
+        for t in texts:
+            self.add(t)
+
+    # -- stats ---------------------------------------------------------
+    def doc_freq(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def total_term_freq(self, term: str) -> int:
+        return sum(tf for _, tf, _ in self.postings.get(term, ()))
+
+    def scorer(self) -> bm25.BM25Scorer:
+        return bm25.BM25Scorer(self.doc_count, self.sum_ttf, self.k1, self.b)
+
+    # -- matching ------------------------------------------------------
+    def _match(self, q: Query, scorer: bm25.BM25Scorer, boost: float = 1.0) -> dict[int, float]:
+        """Return {docid: per-query float32 score}. Scores follow the
+        per-scorer float discipline; sums over clauses in float64 then
+        cast to float32 (see search/bm25.py)."""
+        if isinstance(q, TermQuery):
+            plist = self.postings.get(q.term, ())
+            if not plist:
+                return {}
+            w = scorer.weight(len(plist), boost * q.boost)
+            out = {}
+            for docid, tf, _ in plist:
+                s = bm25.score_terms(
+                    np.array([tf]), np.array([self.norms[docid]]), w, scorer.cache
+                )[0]
+                out[docid] = float(s)
+            return out
+
+        if isinstance(q, PhraseQuery):
+            return self._match_phrase(q, scorer, boost)
+
+        if isinstance(q, MatchAllDocsQuery):
+            return {d: float(np.float32(boost * q.boost)) for d in range(self.doc_count)}
+
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._match(q.query, scorer, 1.0)
+            c = float(np.float32(boost * q.boost))
+            return {d: c for d in inner}
+
+        if isinstance(q, BooleanQuery):
+            return self._match_boolean(q, scorer, boost)
+
+        raise TypeError(f"unsupported query {type(q)}")
+
+    def _match_phrase(self, q: PhraseQuery, scorer, boost) -> dict[int, float]:
+        """ExactPhraseMatcher (slop=0) / SloppyPhraseMatcher-lite semantics:
+        phrase freq = number of positional alignments; idf = sum of member
+        idfs (BM25Similarity.java:172-181), one sim call on phrase freq."""
+        if not q.terms:
+            return {}
+        plists = [self.postings.get(t) for t in q.terms]
+        if any(p is None for p in plists):
+            return {}
+        offs = q.effective_positions()
+        # intersect docids
+        doc_maps = [{d: pos for d, _, pos in pl} for pl in plists]
+        common = set(doc_maps[0])
+        for m in doc_maps[1:]:
+            common &= set(m)
+        # idf sum in float32 over member terms, weight from summed idf
+        idfs = [bm25.idf(len(pl), scorer.doc_count) for pl in plists]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = bm25.term_weight(idf_sum, boost * q.boost, scorer.k1)
+        out = {}
+        for d in common:
+            first = np.asarray(doc_maps[0][d], dtype=np.int64) - offs[0]
+            cand = first
+            for m, off in zip(doc_maps[1:], offs[1:]):
+                nxt = np.asarray(m[d], dtype=np.int64) - off
+                if q.slop == 0:
+                    cand = np.intersect1d(cand, nxt)
+                else:
+                    keep = np.abs(cand[:, None] - nxt[None, :]).min(axis=1) <= q.slop
+                    cand = cand[keep]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                s = bm25.score_terms(
+                    np.array([cand.size]), np.array([self.norms[d]]), w, scorer.cache
+                )[0]
+                out[d] = float(s)
+        return out
+
+    def _match_boolean(self, q: BooleanQuery, scorer, boost) -> dict[int, float]:
+        must = [c.query for c in q.clauses if c.occur == "MUST"]
+        should = [c.query for c in q.clauses if c.occur == "SHOULD"]
+        filt = [c.query for c in q.clauses if c.occur == "FILTER"]
+        must_not = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
+        msm = q.minimum_should_match
+
+        scoring = [self._match(sq, scorer, boost * q.boost) for sq in must + should]
+        n_must = len(must)
+
+        # candidate doc set
+        if must or filt:
+            sets = [set(m) for m in scoring[:n_must]]
+            sets += [set(self._match(fq, scorer, 1.0)) for fq in filt]
+            docs = set.intersection(*sets) if sets else set()
+            if should and msm > 0:
+                docs = {
+                    d for d in docs
+                    if sum(1 for m in scoring[n_must:] if d in m) >= msm
+                }
+        else:
+            counts: dict[int, int] = defaultdict(int)
+            for m in scoring:
+                for d in m:
+                    counts[d] += 1
+            need = max(msm, 1)
+            docs = {d for d, c in counts.items() if c >= need}
+
+        for mq in must_not:
+            excl = set(self._match(mq, scorer, 1.0))
+            docs -= excl
+
+        out = {}
+        for d in docs:
+            clause_scores = [m[d] for m in scoring if d in m]
+            out[d] = float(bm25.sum_scores_f32(np.array(clause_scores, dtype=np.float32)))
+        return out
+
+    # -- search --------------------------------------------------------
+    def search(self, q: Query, k: int = 10) -> list[TopDoc]:
+        """Top-k by (score desc, docID asc) — HitQueue.java:76-81."""
+        scorer = self.scorer()
+        matches = self._match(q, scorer)
+        hits = sorted(
+            (TopDoc(d, s) for d, s in matches.items()), key=TopDoc.key
+        )
+        return hits[:k]
+
+    def count(self, q: Query) -> int:
+        return len(self._match(q, self.scorer()))
