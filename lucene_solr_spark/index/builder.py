@@ -1,0 +1,314 @@
+"""Distributed inverted-index build (the write path).
+
+Spark-first reimplementation of Lucene's indexing chain
+(index/DefaultIndexingChain.java:385-441, DWPT model
+index/DocumentsWriterPerThread.java:230): each input partition plays
+the role of a DocumentsWriterPerThread — it tokenizes its documents
+and emits fully-aggregated per-(doc,term) posting rows *locally*
+(a document lives in exactly one partition, so posting aggregation
+needs NO shuffle). Tokenization runs exactly once per document; the
+same pass emits one per-doc summary row (dl, norm, sha256) so the
+docs table costs no second tokenize.
+
+Shuffle inventory — the whole point at 100 TB:
+  1. repartitionByRange by primary key for deterministic global docID
+     assignment (Lucene: per-segment sequential IDs; here: global rank
+     over (repo,path,commit) — NOT monotonically_increasing_id, which
+     is partition-layout dependent, and NOT a global Window, which
+     collapses to one partition);
+  2. the "segment merge" — one exchange of posting rows into the
+     term-bucket layout (SegmentMerger.java:96-177 played by a single
+     repartition), salted by docID block so one hot term spreads over
+     many tasks/files (skew handling);
+  3. a slim docid-keyed join (ndocs rows) assembling the docs table;
+  4. tiny aggregations: term dictionary (term → df, ttf — the
+     BlockTreeTermsWriter stats role, BlockTreeTermsWriter.java:223-239)
+     with map-side partial agg, and one-row collection stats.
+
+Output layout (Parquet here; Iceberg in production — partition columns
+become the partition spec, manifest.json becomes snapshot metadata):
+
+  docs/      (docid, repo, path, commit, lang, dl, norm, content_sha256)
+  postings/  bucket=NN/ (term, docid, tf, positions, norm) sorted by (term, docid)
+  dict/      (term, df, ttf, bucket)
+  stats/     single row (doc_count, sum_ttf)
+  manifest.json  build config + invariants
+
+Norm bytes are denormalized into posting rows: BM25 scoring needs
+(tf, norm) per hit (BM25Similarity.java:223-226), and colocating them
+removes a docs-join from every query — 1 logical byte per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis import ENGLISH_STOP_WORDS
+from ..analysis.tokenizer import StandardAnalyzer
+
+PK = ["repo", "path", "commit"]
+
+# kind=0: posting row. kind=1: per-doc summary (term carries sha256 hex,
+# tf carries dl, positions null).
+SEGMENT_SCHEMA = (
+    "term string, docid long, tf int, positions array<int>, norm int, kind int"
+)
+
+
+def num_term_buckets(default: int = 32) -> int:
+    return int(os.environ.get("LSS_TERM_BUCKETS", default))
+
+
+def term_bucket_expr(col, n_buckets: int):
+    """Deterministic term → bucket; crc32 here == zlib.crc32 on the
+    query side (verified in tests)."""
+    return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def assign_docids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global docIDs: rank of (repo,path,commit) in total
+    key order.
+
+    Scale path: range-partition by key, sort within partitions, collect
+    only the per-partition COUNTS (P longs) to the driver, assign
+    docid = cumulative_offset[pid] + local_index via mapInPandas. The
+    rank is independent of the sampled range boundaries, so the
+    assignment is deterministic for a given input set. Caller is
+    responsible for persisting the result if reused.
+    """
+    spark = corpus.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    sorted_df = (
+        corpus.repartitionByRange(num_partitions, *PK)
+        .sortWithinPartitions(*PK)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r["_pid"]: r["cnt"] for r in
+              sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in corpus.schema.fields) + ", docid long"
+
+    def attach(batches):
+        emitted = 0
+        base = None
+        for pdf in batches:
+            if base is None and len(pdf):
+                base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out["docid"] = base + emitted + np.arange(n, dtype=np.int64)
+            emitted += n
+            yield out
+
+    result = sorted_df.mapInPandas(attach, schema=out_schema)
+    # note: sorted_df stays persisted until result is consumed; caller
+    # unpersists via IndexTables lifecycle (build_index handles it).
+    result._lss_persisted_parent = sorted_df  # type: ignore[attr-defined]
+    return result
+
+
+def _make_segment_fn(stop_words: frozenset[str], max_token_length: int):
+    """Per-partition DWPT: docs batch → aggregated posting rows plus one
+    summary row per doc.
+
+    The per-(doc,term) aggregation uses factorize + argsort (C-speed),
+    not Python dict loops; the tokenizer regex is C-speed finditer.
+    """
+
+    def build_segment(batches):
+        analyzer = StandardAnalyzer(stop_words=stop_words,
+                                    max_token_length=max_token_length)
+        for pdf in batches:
+            docids = pdf["docid"].to_numpy()
+            contents = pdf["content"].tolist()
+            out_term: list[str] = []
+            out_docid: list[int] = []
+            out_tf: list[int] = []
+            out_pos: list[list[int] | None] = []
+            out_norm: list[int] = []
+            out_kind: list[int] = []
+            # local import keeps the hot loop free of attribute lookups
+            from ..util.smallfloat import int_to_byte4
+
+            for did, content in zip(docids, contents):
+                terms, positions = analyzer.analyze(content)
+                dl = len(terms)
+                norm = int_to_byte4(dl)
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                if dl:
+                    codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
+                    pos_arr = np.asarray(positions, dtype=np.int64)
+                    order = np.argsort(codes, kind="stable")
+                    sorted_codes = codes[order]
+                    sorted_pos = pos_arr[order]
+                    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+                    starts = np.concatenate(([0], bounds))
+                    ends = np.concatenate((bounds, [len(sorted_codes)]))
+                    for s, e in zip(starts, ends):
+                        out_term.append(uniq[sorted_codes[s]])
+                        out_docid.append(int(did))
+                        out_tf.append(int(e - s))
+                        out_pos.append(sorted_pos[s:e].tolist())
+                        out_norm.append(norm)
+                        out_kind.append(0)
+                # summary row
+                out_term.append(sha)
+                out_docid.append(int(did))
+                out_tf.append(dl)
+                out_pos.append(None)
+                out_norm.append(norm)
+                out_kind.append(1)
+            yield pd.DataFrame(
+                {"term": out_term, "docid": out_docid, "tf": out_tf,
+                 "positions": out_pos, "norm": out_norm, "kind": out_kind}
+            )
+
+    return build_segment
+
+
+@dataclass
+class IndexTables:
+    root: str
+    spark: SparkSession
+
+    @property
+    def postings_path(self):
+        return os.path.join(self.root, "postings")
+
+    @property
+    def docs_path(self):
+        return os.path.join(self.root, "docs")
+
+    @property
+    def dict_path(self):
+        return os.path.join(self.root, "dict")
+
+    @property
+    def stats_path(self):
+        return os.path.join(self.root, "stats")
+
+    @property
+    def manifest_path(self):
+        return os.path.join(self.root, "manifest.json")
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.postings_path)
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_path)
+
+    def dict(self) -> DataFrame:
+        return self.spark.read.parquet(self.dict_path)
+
+    def stats(self) -> dict:
+        row = self.spark.read.parquet(self.stats_path).collect()[0]
+        return row.asDict()
+
+    def manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+
+def build_index(
+    corpus: DataFrame,
+    out_root: str,
+    stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
+    max_token_length: int = 255,
+    n_buckets: int | None = None,
+    build_partitions: int | None = None,
+) -> IndexTables:
+    """Full index build. See module docstring for the plan & shuffles."""
+    spark = corpus.sparkSession
+    t0 = time.time()
+    if n_buckets is None:
+        n_buckets = num_term_buckets()
+    stop_words = stop_words or frozenset()
+    os.makedirs(out_root, exist_ok=True)
+
+    with_ids = assign_docids(corpus, build_partitions)
+    with_ids.persist(StorageLevel.MEMORY_AND_DISK)
+
+    segments = with_ids.mapInPandas(
+        _make_segment_fn(stop_words, max_token_length), schema=SEGMENT_SCHEMA
+    )
+    segments.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- postings: merge to term-bucket layout --------------------------
+    merged = (
+        segments.where(F.col("kind") == 0)
+        .drop("kind")
+        .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
+        .withColumn("_salt", F.pmod(F.col("docid"), F.lit(8)).cast("int"))
+        .repartition(F.col("bucket"), F.col("_salt"))
+        .drop("_salt")
+        .sortWithinPartitions("term", "docid")
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_root, "postings")
+    )
+
+    # --- docs table: summary rows ⋈ slim metadata ------------------------
+    summaries = (
+        segments.where(F.col("kind") == 1)
+        .select(F.col("docid"), F.col("tf").alias("dl"), F.col("norm"),
+                F.col("term").alias("content_sha256"))
+    )
+    meta = with_ids.select("docid", *PK, "lang")
+    docs = meta.join(summaries, "docid").select(
+        "docid", *PK, "lang", "dl", "norm", "content_sha256"
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out_root, "docs"))
+
+    tables = IndexTables(out_root, spark)
+
+    # --- dictionary + collection stats ----------------------------------
+    postings = tables.postings()
+    dict_df = postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("ttf"),
+        F.first("bucket").alias("bucket"),
+    )
+    dict_df.write.mode("overwrite").parquet(os.path.join(out_root, "dict"))
+
+    tables.docs().agg(
+        F.count("*").alias("doc_count"), F.sum("dl").alias("sum_ttf")
+    ).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
+
+    st = tables.stats()
+    manifest = {
+        "format_version": 1,
+        "doc_count": st["doc_count"],
+        "sum_ttf": int(st["sum_ttf"] or 0),
+        "n_buckets": n_buckets,
+        "stop_words": sorted(stop_words),
+        "max_token_length": max_token_length,
+        "build_wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_root, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    segments.unpersist()
+    with_ids.unpersist()
+    parent = getattr(with_ids, "_lss_persisted_parent", None)
+    if parent is not None:
+        parent.unpersist()
+    return tables

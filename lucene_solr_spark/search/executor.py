@@ -1,0 +1,302 @@
+"""Distributed BM25 query execution (the read path).
+
+Spark-first rendering of IndexSearcher.search(Query, n) → TopDocs
+(search/IndexSearcher.java:391-430, lifecycle in SURVEY.md §3.1):
+
+  rewrite/plan (driver)   — resolve per-term df/ttf from the dict table
+                            (TermStates resolution, IndexSearcher.java:764-780)
+                            and precompute float32 weights in numpy;
+  per-leaf scoring        — postings scan pruned to term buckets
+                            (partition pruning ≙ the term dictionary
+                            seek) + one Arrow-vectorized pandas UDF
+                            computing exact-float32 per-(term,doc)
+                            scores (BM25Similarity.java:223-226);
+  boolean algebra         — MUST/SHOULD: one groupBy(docid) summing
+                            clause scores in float64 and casting to
+                            float32 once (BooleanScorer Bucket is
+                            double; WANDScorer.java:445-453); FILTER:
+                            left_semi join; MUST_NOT: left_anti join
+                            (BooleanQuery.java:78-222 semantics);
+  top-k                   — orderBy(score desc, docid asc).limit(k)
+                            → Catalyst TakeOrderedAndProject, the
+                            distributed equivalent of per-leaf heaps +
+                            TopDocs.merge with the HitQueue tie-break
+                            (HitQueue.java:76-81, TopDocs.java:188-230).
+
+Everything between the scoring UDF and the result stays JVM-side
+(whole-stage codegen); the UDF is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import zlib
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import FloatType
+
+from ..index.builder import IndexTables
+from . import bm25
+from .queries import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    TopDoc,
+)
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python twin of builder.term_bucket_expr (crc32 == F.crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _collect_terms(q: Query) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= _collect_terms(c.query)
+        return out
+    if isinstance(q, ConstantScoreQuery):
+        return _collect_terms(q.query)
+    return set()
+
+
+class IndexSearcher:
+    """Searcher bound to one index (IndexTables). Caches the postings/
+    dict DataFrames (≙ Lucene's SegmentReader pooling; at cluster scale
+    these are just lazy plans — persist() them for closed-loop QPS)."""
+
+    def __init__(self, tables: IndexTables, cache: bool = False):
+        self.tables = tables
+        m = tables.manifest()
+        self.doc_count = int(m["doc_count"])
+        self.sum_ttf = int(m["sum_ttf"])
+        self.n_buckets = int(m["n_buckets"])
+        self.scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
+        self.postings = tables.postings()
+        self.dict = tables.dict()
+        self.docs = tables.docs()
+        if cache:
+            self.postings.persist()
+            self.dict.persist()
+
+    # -- planning -------------------------------------------------------
+    def term_stats(self, terms: set[str]) -> dict[str, int]:
+        """df per term — the TermStates resolution. Bucket-pruned scan
+        of the dict table; tiny collect (|terms| rows)."""
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (
+            self.dict
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _weights(self, q: Query, stats: dict[str, int]) -> dict[str, float]:
+        """Per-term float32 weight = (k1+1) * boost * idf. Boost folded
+        in per-leaf during compilation, so here boost=1 weights."""
+        out = {}
+        for t in _collect_terms(q):
+            df = stats.get(t, 0)
+            if df:
+                out[t] = float(self.scorer.weight(df, 1.0))
+        return out
+
+    # -- leaf scoring ---------------------------------------------------
+    def _postings_for(self, terms: list[str]) -> DataFrame:
+        present = [t for t in terms]
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in present})
+        return self.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(present)
+        )
+
+    def _score_udf(self, weights: dict[str, float]):
+        cache = self.scorer.cache
+
+        @F.pandas_udf(FloatType())
+        def score(term: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
+            w = term.map(weights).to_numpy(dtype=np.float32)
+            s = bm25.score_terms(tf.to_numpy(), norm.to_numpy(), w, cache)
+            return pd.Series(s)
+
+        return score
+
+    def _term_leaf(self, q: TermQuery, stats, boost: float) -> DataFrame:
+        """(docid, score float32) for one term."""
+        df = stats.get(q.term, 0)
+        if df == 0:
+            return self._empty_scored()
+        w = float(self.scorer.weight(df, boost * q.boost))
+        udf = self._score_udf({q.term: w})
+        return (
+            self._postings_for([q.term])
+            .select("docid", udf(F.col("term"), F.col("tf"), F.col("norm")).alias("score"))
+        )
+
+    def _phrase_leaf(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
+        """Two-phase phrase (TwoPhaseIterator / ExactPhraseMatcher
+        semantics): conjunction join on docid approximates; position
+        alignment verified vectorized; freq = #alignments; weight from
+        summed idf (BM25Similarity.java:172-181)."""
+        if not q.terms or any(stats.get(t, 0) == 0 for t in q.terms):
+            return self._empty_scored()
+        offs = q.effective_positions()
+        idfs = [bm25.idf(stats[t], self.doc_count) for t in q.terms]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = float(bm25.term_weight(idf_sum, boost * q.boost, self.scorer.k1))
+        slop = q.slop
+        cache = self.scorer.cache
+
+        # per-term position arrays joined on docid (sort-merge on docid)
+        parts = []
+        for i, t in enumerate(q.terms):
+            p = (
+                self._postings_for([t])
+                .select("docid", F.col("positions").alias(f"pos{i}"),
+                        *( [F.col("norm")] if i == 0 else [] ))
+            )
+            parts.append(p)
+        joined = reduce(lambda a, b: a.join(b, "docid"), parts)
+
+        pos_cols = [f"pos{i}" for i in range(len(q.terms))]
+
+        def verify(batches):
+            for pdf in batches:
+                out_docid, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    d = getattr(row, "docid")
+                    cand = np.asarray(getattr(row, "pos0"), dtype=np.int64) - offs[0]
+                    ok = True
+                    for i in range(1, len(pos_cols)):
+                        nxt = np.asarray(getattr(row, f"pos{i}"), dtype=np.int64) - offs[i]
+                        if slop == 0:
+                            cand = np.intersect1d(cand, nxt)
+                        else:
+                            keep = np.abs(cand[:, None] - nxt[None, :]).min(axis=1) <= slop
+                            cand = cand[keep]
+                        if cand.size == 0:
+                            ok = False
+                            break
+                    if ok and cand.size:
+                        s = bm25.score_terms(
+                            np.array([cand.size]),
+                            np.array([getattr(row, "norm")]),
+                            np.float32(w), cache,
+                        )[0]
+                        out_docid.append(d)
+                        out_score.append(float(s))
+                yield pd.DataFrame({"docid": out_docid, "score": out_score})
+
+        return joined.mapInPandas(verify, schema="docid long, score float")
+
+    def _empty_scored(self) -> DataFrame:
+        return self.tables.spark.createDataFrame([], "docid long, score float")
+
+    # -- compilation ----------------------------------------------------
+    def _compile(self, q: Query, stats: dict[str, int], boost: float = 1.0) -> DataFrame:
+        """query → DataFrame(docid, score:float32). Each level's score
+        is cast to float32 (each Lucene Scorer.score() returns float)."""
+        if isinstance(q, TermQuery):
+            return self._term_leaf(q, stats, boost)
+        if isinstance(q, PhraseQuery):
+            return self._phrase_leaf(q, stats, boost)
+        if isinstance(q, MatchAllDocsQuery):
+            return self.docs.select(
+                "docid", F.lit(float(np.float32(boost * q.boost))).cast("float").alias("score")
+            )
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._compile(q.query, stats, 1.0).select("docid")
+            c = float(np.float32(boost * q.boost))
+            return inner.select("docid", F.lit(c).cast("float").alias("score"))
+        if isinstance(q, BooleanQuery):
+            return self._compile_boolean(q, stats, boost)
+        raise TypeError(f"unsupported query {type(q)}")
+
+    def _compile_boolean(self, q: BooleanQuery, stats, boost: float) -> DataFrame:
+        must = [c.query for c in q.clauses if c.occur == "MUST"]
+        should = [c.query for c in q.clauses if c.occur == "SHOULD"]
+        filt = [c.query for c in q.clauses if c.occur == "FILTER"]
+        must_not = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
+        msm = q.minimum_should_match
+        b = boost * q.boost
+
+        scoring: list[DataFrame] = []
+        for sq in must:
+            scoring.append(self._compile(sq, stats, b).withColumn("is_must", F.lit(1)))
+        for sq in should:
+            scoring.append(self._compile(sq, stats, b).withColumn("is_must", F.lit(0)))
+
+        if not scoring:
+            # filter-only query: constant score 0 over the filter set
+            base = None
+            for fq in filt:
+                d = self._compile(fq, stats, 1.0).select("docid")
+                base = d if base is None else base.join(d, "docid", "left_semi")
+            if base is None:
+                return self._empty_scored()
+            out = base.select("docid", F.lit(0.0).cast("float").alias("score"))
+        else:
+            unioned = reduce(DataFrame.unionByName, scoring)
+            agg = unioned.groupBy("docid").agg(
+                F.sum(F.col("score").cast("double")).alias("_s"),
+                F.sum("is_must").alias("_nmust"),
+                F.sum(F.lit(1) - F.col("is_must")).alias("_nshould"),
+            )
+            cond = F.col("_nmust") == len(must)
+            if should:
+                need = msm if must else max(msm, 1)
+                if need > 0:
+                    cond = cond & (F.col("_nshould") >= need)
+            out = agg.where(cond).select(
+                "docid", F.col("_s").cast("float").alias("score")
+            )
+            for fq in filt:
+                d = self._compile(fq, stats, 1.0).select("docid")
+                out = out.join(d, "docid", "left_semi")
+
+        for mq in must_not:
+            d = self._compile(mq, stats, 1.0).select("docid")
+            out = out.join(d, "docid", "left_anti")
+        return out
+
+    # -- public API -----------------------------------------------------
+    def search_df(self, q: Query, k: int | None = 10) -> DataFrame:
+        """Scored result as a DataFrame(docid, score), top-k ordered.
+        k=None → all matches, unordered (for counting / set ops)."""
+        stats = self.term_stats(_collect_terms(q))
+        scored = self._compile(q, stats)
+        if k is None:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def search(self, q: Query, k: int = 10) -> list[TopDoc]:
+        rows = self.search_df(q, k).collect()
+        return [TopDoc(r["docid"], r["score"]) for r in rows]
+
+    def count(self, q: Query) -> int:
+        return self.search_df(q, None).count()
+
+    def search_after(self, q: Query, after: TopDoc, k: int = 10) -> list[TopDoc]:
+        """Keyset pagination (IndexSearcher.searchAfter semantics):
+        (score < s) OR (score == s AND docid > d)."""
+        stats = self.term_stats(_collect_terms(q))
+        scored = self._compile(q, stats)
+        s = float(np.float32(after.score))
+        pred = (F.col("score") < s) | ((F.col("score") == s) & (F.col("docid") > after.docid))
+        rows = (
+            scored.where(pred)
+            .orderBy(F.desc("score"), F.asc("docid")).limit(k).collect()
+        )
+        return [TopDoc(r["docid"], r["score"]) for r in rows]
