@@ -1,38 +1,89 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``lucene_solr_spark``:
+  * relational/suite.py — the SQL-checkable operator suite (SURVEY §2)
+  * index/builder.py + search/executor.py — the real Lucene-semantics
+    engine, exercised here by the ``engine_*`` entries (rows-only
+    checks; bit-exact verification is in tests/ vs the pure-Python
+    oracle).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.relational import ORACLES, QUERIES
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.queries import BooleanQuery, PhraseQuery, TermQuery
+
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → the engine's corpus schema
+    (repo, path, commit, lang, content)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("doc/%09d", F.col("doc_id")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    key = os.path.abspath(sf_dir)
+    if key not in _SEARCHERS:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "lss_index_" + key.strip("/").replace("/", "_"),
+        )
+        manifest = os.path.join(root, "manifest.json")
+        if not os.path.exists(manifest):
+            build_index(_documents_as_corpus(spark, sf_dir), root, n_buckets=16)
+        _SEARCHERS[key] = IndexSearcher(IndexTables(root, spark), cache=True)
+    return _SEARCHERS[key]
+
+
+def _engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-engine BM25 top-10, OR query (rank-identity is pytest-gated;
+    driver does a rows-only check here)."""
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(should=[TermQuery("spark"), TermQuery("vector")])
+    return s.search_df(q, 10).select("docid", F.col("score").cast("double").alias("score"))
+
+
+def _engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    return s.search_df(PhraseQuery(("big", "table")), 10).select(
+        "docid", F.col("score").cast("double").alias("score")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents with
+    the real engine and run a BM25 top-k boolean query."""
+    return _engine_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["engine_bm25_topk"] = _engine_bm25_topk
+    out["engine_phrase_topk"] = _engine_phrase_topk
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,157 @@
+"""Benchmark harness (driver-run per round; also used locally).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus extras: index-build docs/sec and closed-loop BM25
+QPS for the flagship engine}.
+
+Flagship numbers (BASELINE.md protocol): the inverted-index build over
+the deterministic synthetic source-code corpus (corpus.py) and a
+closed-loop BM25 query set over the built index — the two metrics the
+north rule grades (docs/sec, QPS). Scaling runs live in
+scripts/bench_scaling.py (local[8] vs local[32] → BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_BUILD_DOCS = int(os.environ.get("LSS_BENCH_DOCS", "8000"))
+N_QUERIES = int(os.environ.get("LSS_BENCH_QUERIES", "40"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lss-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Representative relational + fulltext suite entries."""
+    from lucene_solr_spark.relational import QUERIES
+
+    names = [
+        "ft_bm25_scores", "ft_significant_terms", "text_quality",
+        "doc_fingerprint", "facet_counts_q1", "join_rollup_revenue",
+        "left_outer_counts", "grouped_topk", "time_series",
+        "stats_stream", "range_query_pushdown", "ann_cosine_knn",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Flagship: index build docs/sec + closed-loop BM25 QPS."""
+    from lucene_solr_spark.corpus import corpus_df
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search.executor import IndexSearcher
+    from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+
+    root = tempfile.mkdtemp(prefix="lss_bench_idx_")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    try:
+        corpus = corpus_df(spark, N_BUILD_DOCS)
+        t0 = time.time()
+        tables = build_index(corpus, root)
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+        extras["build_docs_per_sec"] = round(N_BUILD_DOCS / build_sec, 1)
+
+        searcher = IndexSearcher(tables, cache=True)
+        # query set drawn from the dictionary across the df spectrum
+        # (FIXTURES F8): 40% single, 30% OR, 20% AND, 10% OR3
+        dict_rows = (
+            searcher.dict.orderBy("df").collect()
+        )
+        terms = [r["term"] for r in dict_rows]
+        lo = terms[: len(terms) // 3]
+        mid = terms[len(terms) // 3: 2 * len(terms) // 3]
+        hi = terms[2 * len(terms) // 3:]
+        qs = []
+        for i in range(N_QUERIES):
+            a = mid[(37 * i) % len(mid)]
+            b = hi[(53 * i) % len(hi)]
+            c = lo[(71 * i) % len(lo)]
+            if i % 10 < 4:
+                qs.append(TermQuery(b))
+            elif i % 10 < 7:
+                qs.append(BooleanQuery.of(should=[TermQuery(a), TermQuery(b)]))
+            elif i % 10 < 9:
+                qs.append(BooleanQuery.of(must=[TermQuery(a), TermQuery(b)]))
+            else:
+                qs.append(BooleanQuery.of(should=[TermQuery(a), TermQuery(b), TermQuery(c)]))
+        searcher.search(qs[0], 10)  # warm
+        # closed-loop: one Spark job per query (latency-bound)
+        n_loop = min(10, len(qs))
+        t0 = time.time()
+        for q in qs[:n_loop]:
+            searcher.search(q, 10)
+        qsec = time.time() - t0
+        timings["bm25_closed_loop"] = round(qsec, 3)
+        extras["bm25_closed_loop_qps"] = round(n_loop / qsec, 2)
+        # batched: the whole query set in ONE plan (throughput path)
+        t0 = time.time()
+        searcher.search_many({f"q{i}": q for i, q in enumerate(qs)}, 10)
+        bsec = time.time() - t0
+        timings["bm25_batch"] = round(bsec, 3)
+        extras["bm25_batch_qps"] = round(N_QUERIES / bsec, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries(spark, sf_dir)
+    etimings, extras = bench_engine(spark)
+    queries.update(etimings)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline suite wall time (relational+fulltext queries, index build, BM25 top-k)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "build_docs": N_BUILD_DOCS,
+        "n_bm25_queries": N_QUERIES,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

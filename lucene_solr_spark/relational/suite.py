@@ -1,0 +1,733 @@
+"""Driver-contract query suite: Spark DataFrame queries + DuckDB oracles.
+
+One entry per implemented operator family from SURVEY.md §2, run by the
+grading driver at sf0.01 against the matching ANSI-SQL oracle
+(row-count + schema + order-insensitive value hash). Conventions that
+make cross-engine hashes stable:
+
+* every computed column is aliased identically on both sides;
+* float aggregates are round()ed (4 digits; 2 for money sums) so
+  double-summation order differences can't flip the hash;
+* timestamps are emitted as formatted strings (Spark session TZ is
+  pinned UTC; DuckDB is TZ-naive);
+* top-k cuts only on columns with engine-identical values (stored
+  values or rounded scores) + a unique tie-break key.
+
+The full-text entries here express BM25/tf/df *declaratively in
+double-precision SQL semantics* on a whitespace-tokenized corpus —
+they verify the relational decomposition of the scoring pipeline
+(explode → groupBy → join → agg) against an independent engine. The
+bit-exact Lucene semantics (UAX#29 tokenizer, SmallFloat norms,
+float32 BM25) are enforced separately by the pytest rank-identity
+suite against the pure-Python oracle, and exercised here by the
+``engine_*`` entries (driver rows-only checks).
+
+Reference mappings are cited per entry (file:line of
+/root/reference).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..analysis import ENGLISH_STOP_WORDS
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+FT_TERMS = ("spark", "query", "table", "vector")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _tokens(spark, sf_dir):
+    """documents → (doc_id, term): whitespace split, stopword-filtered.
+    ≙ the analysis chain (SURVEY §2.2) in declarative form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where((F.col("term") != "") & ~F.col("term").isin(*sorted(ENGLISH_STOP_WORDS)))
+    )
+
+
+_TOK_SQL = f"""
+  SELECT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term <> '' AND t.term NOT IN ({STOPS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-text: dictionary stats, boolean, BM25, phrase
+# ---------------------------------------------------------------------------
+@register(
+    "ft_term_stats",
+    f"""
+    WITH tok AS ({_TOK_SQL})
+    SELECT term, count(*) AS ttf, count(DISTINCT doc_id) AS df
+    FROM tok WHERE term IN {FT_TERMS}
+    GROUP BY term
+    """,
+)
+def ft_term_stats(spark, sf_dir):
+    """Term dictionary df/ttf (BlockTreeTermsWriter stats,
+    codecs/blocktree/BlockTreeTermsWriter.java:223-239)."""
+    return (
+        _tokens(spark, sf_dir)
+        .where(F.col("term").isin(*FT_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("ttf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@register(
+    "ft_bool_and",
+    f"""
+    WITH tok AS ({_TOK_SQL})
+    SELECT doc_id FROM tok WHERE term = 'spark'
+    INTERSECT
+    SELECT doc_id FROM tok WHERE term = 'vector'
+    """,
+)
+def ft_bool_and(spark, sf_dir):
+    """BooleanQuery MUST+MUST = docid intersection
+    (search/BooleanQuery.java:78-222; ConjunctionDISI.java)."""
+    tok = _tokens(spark, sf_dir)
+    a = tok.where(F.col("term") == "spark").select("doc_id").distinct()
+    b = tok.where(F.col("term") == "vector").select("doc_id").distinct()
+    return a.join(b, "doc_id", "left_semi")
+
+
+@register(
+    "ft_bool_not",
+    f"""
+    WITH tok AS ({_TOK_SQL})
+    SELECT doc_id FROM tok WHERE term = 'spark'
+    EXCEPT
+    SELECT doc_id FROM tok WHERE term = 'vector'
+    """,
+)
+def ft_bool_not(spark, sf_dir):
+    """MUST + MUST_NOT = anti join (search/ReqExclScorer.java)."""
+    tok = _tokens(spark, sf_dir)
+    a = tok.where(F.col("term") == "spark").select("doc_id").distinct()
+    b = tok.where(F.col("term") == "vector").select("doc_id").distinct()
+    return a.join(b, "doc_id", "left_anti")
+
+
+_BM25_TERMS = ("spark", "vector")
+
+@register(
+    "ft_bm25_scores",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    ad AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+           WHERE term IN {_BM25_TERMS} GROUP BY term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum(
+             ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+             * 2.2 * tf.tf
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad)))
+           ), 4) AS score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+)
+def ft_bm25_scores(spark, sf_dir):
+    """BM25 as a declarative aggregation pipeline (idf/avgdl/tf-norm
+    formulas of BM25Similarity.java:69-82,223-226 in double math; the
+    float32-exact engine path is pytest-verified). All matching docs,
+    no top-k cut (hash is order-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(spark, sf_dir)
+    n = docs.count()  # docCount — tiny scalar, one job
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    avgdl = dl.agg((F.sum("dl") / F.lit(float(n))).alias("avgdl")).collect()[0]["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    per_term = (
+        tf.join(df, "term").join(dl, "doc_id")
+        .withColumn(
+            "s",
+            F.expr(
+                f"ln(1 + ({float(n)} - df + 0.5) / (df + 0.5)) * 2.2 * tf"
+                f" / (tf + 1.2 * (0.25 + 0.75 * dl / {float(avgdl)!r}))"
+            ),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(F.round(F.sum("s"), 4).alias("score"))
+
+
+@register(
+    "ft_phrase",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, '(^| )big table( |$)')
+    """,
+)
+def ft_phrase(spark, sf_dir):
+    """Exact phrase containment (search/PhraseQuery.java,
+    ExactPhraseMatcher.java:93-126); adjacency on the whitespace
+    corpus ≡ regex — the positions-based engine path is
+    pytest-verified and exercised by engine_phrase."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text").rlike(r"(^| )big table( |$)")).select("doc_id")
+
+
+@register(
+    "ft_prefix_terms",
+    f"""
+    WITH tok AS ({_TOK_SQL})
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok
+    WHERE term LIKE 'qu%' GROUP BY term
+    """,
+)
+def ft_prefix_terms(spark, sf_dir):
+    """PrefixQuery term expansion over the dictionary
+    (search/PrefixQuery.java → dict.filter(startswith))."""
+    return (
+        _tokens(spark, sf_dir)
+        .where(F.col("term").startswith("qu"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@register(
+    "ft_fuzzy_terms",
+    f"""
+    WITH tok AS ({_TOK_SQL})
+    SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sprak') <= 2
+    """,
+)
+def ft_fuzzy_terms(spark, sf_dir):
+    """FuzzyQuery maxEdits=2 expansion (search/FuzzyQuery.java:55;
+    LevenshteinAutomata role played by the levenshtein builtin)."""
+    return (
+        _tokens(spark, sf_dir)
+        .select("term").distinct()
+        .where(F.levenshtein(F.col("term"), F.lit("sprak")) <= 2)
+    )
+
+
+@register(
+    "ft_significant_terms",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS fg_df
+           FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+           WHERE d.lang = 'en' GROUP BY t.term),
+    bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok GROUP BY term)
+    SELECT fg.term AS term, fg.fg_df AS fg_df, bg.bg_df AS bg_df,
+           round(fg.fg_df / bg.bg_df::DOUBLE, 4) AS ratio
+    FROM fg JOIN bg USING (term) WHERE fg.fg_df >= 10
+    """,
+)
+def ft_significant_terms(spark, sf_dir):
+    """SignificantTermsStream (solr/solrj/.../io/stream/SignificantTermsStream.java):
+    foreground/background df ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(spark, sf_dir)
+    fg = (
+        tok.join(docs.where(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("fg_df"))
+    )
+    bg = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("bg_df"))
+    return (
+        fg.join(bg, "term")
+        .where(F.col("fg_df") >= 10)
+        .select(
+            "term", "fg_df", "bg_df",
+            F.round(F.col("fg_df") / F.col("bg_df").cast("double"), 4).alias("ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup, text analysis, fingerprinting
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS cnt,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (training-data op;
+    ≙ Solr UniqueStream on a hash key, io/stream/UniqueStream.java)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH alltok AS (
+      SELECT doc_id, t.term FROM documents,
+             unnest(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    pertok AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN term IN ({STOPS_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+             round(avg(length(term)), 4) AS avg_token_len
+      FROM alltok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(n_stop / n_tokens::DOUBLE, 4) AS stop_ratio,
+           avg_token_len
+    FROM pertok WHERE n_tokens > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, mean token length
+    (training-data op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    alltok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        alltok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("term").isin(*sorted(ENGLISH_STOP_WORDS)), 1).otherwise(0)
+            ).alias("n_stop"),
+            F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("n_stop") / F.col("n_tokens").cast("double"), 4).alias("stop_ratio"),
+            "avg_token_len",
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of sorted distinct token set
+    (near-dup canopy key; training-data op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+
+
+@register(
+    "lang_facets",
+    """
+    SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_facets(spark, sf_dir):
+    """Nested facet counts + per-bucket stats (solr JSON facets,
+    search/facet/FacetField.java)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (Solr streaming expressions ≙ SURVEY §2.5-2.8)
+# ---------------------------------------------------------------------------
+@register(
+    "facet_counts_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(stddev_samp(l_discount), 4) AS sd_disc
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def facet_counts_q1(spark, sf_dir):
+    """Facet counts + stats aggs (FacetsCollector.java; Solr
+    SumAgg/AvgAgg/StddevAgg — search/facet/*.java)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+        )
+    )
+
+
+@register(
+    "topk_tiebreak",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+def topk_tiebreak(spark, sf_dir):
+    """Top-k with deterministic tie-break (TopScoreDocCollector +
+    HitQueue.java:76-81; RankStream). Catalyst TakeOrderedAndProject."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "join_rollup_revenue",
+    """
+    SELECT n.n_name AS n_name, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_rollup_revenue(spark, sf_dir):
+    """Sort-merge equi-join chain + rollup (InnerJoinStream.java:109,
+    RollupStream.java:276). nation is broadcast (small dim)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "left_outer_counts",
+    """
+    SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_outer_counts(spark, sf_dir):
+    """Left outer join (LeftOuterJoinStream.java; ReqOptSumScorer)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "semi_join_filter",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join_filter(spark, sf_dir):
+    """FILTER occur ≙ left_semi join (BooleanQuery FILTER;
+    JoinUtil.createJoinQuery ScoreMode.None — join/JoinUtil.java)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@register(
+    "anti_join_mustnot",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_mustnot(spark, sf_dir):
+    """MUST_NOT ≙ left_anti join (ReqExclScorer.java)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """IntersectStream (io/stream/IntersectStream.java)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    """ComplementStream (io/stream/ComplementStream.java)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().subtract(s.distinct())
+
+
+@register(
+    "unique_stream",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def unique_stream(spark, sf_dir):
+    """UniqueStream dedup on sort key (io/stream/UniqueStream.java)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).dropDuplicates()
+
+
+@register(
+    "grouped_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def grouped_topk(spark, sf_dir):
+    """Two-pass grouping: top docs per group (grouping/
+    FirstPassGroupingCollector.java, TopGroupsCollector.java)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "time_series",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_series(spark, sf_dir):
+    """TimeSeriesStream date-bucketed aggs (io/stream/TimeSeriesStream.java:419)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@register(
+    "stats_stream",
+    """
+    SELECT count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           count(DISTINCT l_suppkey) AS uniq_supp
+    FROM lineitem
+    """,
+)
+def stats_stream(spark, sf_dir):
+    """StatsStream / StatsComponent single-row stats
+    (io/stream/StatsStream.java; UniqueAgg ≙ countDistinct)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.countDistinct("l_suppkey").alias("uniq_supp"),
+    )
+
+
+@register(
+    "facet_range",
+    """
+    SELECT cast(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def facet_range(spark, sf_dir):
+    """Range facets (facet/range/FacetRange.java:887): fixed-width
+    numeric buckets."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "range_query_pushdown",
+    """
+    SELECT l_returnflag, count(*) AS cnt FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def range_query_pushdown(spark, sf_dir):
+    """PointRangeQuery ≙ numeric/date range predicates pushed to the
+    scan (search/PointRangeQuery.java; BKD role played by parquet
+    min-max pruning)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "cartesian_unnest",
+    """
+    SELECT n.n_name AS n_name, r.r_name AS r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def cartesian_unnest(spark, sf_dir):
+    """FetchStream-style broadcast lookup join
+    (io/stream/FetchStream.java; HashJoinStream.java:287)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# ANN / embeddings
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_knn",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS vec_id,
+             round(
+               list_dot_product(e.embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product((SELECT qv FROM q)::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])))
+             , 4) AS cos_sim
+      FROM embeddings e WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM sims
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+)
+def ann_cosine_knn(spark, sf_dir):
+    """Brute-force cosine top-k over an embedding column (similarity
+    search baseline; training-data op). JVM-side F.aggregate/zip_with
+    dot products in double — no Python in the loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = "aggregate(zip_with(ed, qd, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nrm = "sqrt(aggregate(zip_with({0}, {0}, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("ed", F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("qd", F.expr("transform(qv, x -> cast(x as double))"))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(dot) / (F.expr(nrm.format("ed")) * F.expr(nrm.format("qd"))), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )

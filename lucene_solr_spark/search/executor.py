@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import FloatType
+from pyspark.sql.window import Window
 
 from ..index.builder import IndexTables
 from . import bm25
@@ -75,6 +76,12 @@ class IndexSearcher:
     dict DataFrames (≙ Lucene's SegmentReader pooling; at cluster scale
     these are just lazy plans — persist() them for closed-loop QPS)."""
 
+    #: don't driver-cache dictionaries bigger than this (rows). At
+    #: cluster scale the dict stays distributed and term_stats is a
+    #: bucket-pruned Spark lookup; below the threshold we hold
+    #: term→df in driver RAM exactly like Lucene holds its FST.
+    DICT_CACHE_MAX = 5_000_000
+
     def __init__(self, tables: IndexTables, cache: bool = False):
         self.tables = tables
         m = tables.manifest()
@@ -85,16 +92,25 @@ class IndexSearcher:
         self.postings = tables.postings()
         self.dict = tables.dict()
         self.docs = tables.docs()
+        self._df_map: dict[str, int] | None = None
         if cache:
             self.postings.persist()
             self.dict.persist()
+            n_terms = self.dict.count()  # also materializes both caches lazily
+            if n_terms <= self.DICT_CACHE_MAX:
+                pdf = self.dict.select("term", "df").toPandas()
+                self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
 
     # -- planning -------------------------------------------------------
     def term_stats(self, terms: set[str]) -> dict[str, int]:
-        """df per term — the TermStates resolution. Bucket-pruned scan
-        of the dict table; tiny collect (|terms| rows)."""
+        """df per term — the TermStates resolution
+        (IndexSearcher.java:764). Driver dict cache when loaded (≙
+        Lucene's in-RAM FST), else a bucket-pruned scan of the dict
+        table; tiny collect (|terms| rows)."""
         if not terms:
             return {}
+        if self._df_map is not None:
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         rows = (
             self.dict
@@ -287,6 +303,123 @@ class IndexSearcher:
 
     def count(self, q: Query) -> int:
         return self.search_df(q, None).count()
+
+    # -- batched execution ------------------------------------------------
+    def search_many_df(self, queries: dict[str, Query], k: int = 10) -> DataFrame:
+        """Evaluate MANY queries in ONE Spark plan — the throughput path.
+
+        Lucene/Solr reach QPS with many concurrent in-process searchers;
+        the Spark-native equivalent is batch evaluation: all query
+        clauses become one small broadcast table joined against the
+        postings scan, scored by a single vectorized UDF, aggregated by
+        (query, doc), and top-k'd with one window. Per-query cost is
+        amortized to ~zero; the job does one postings pass regardless
+        of query count.
+
+        Supports flat term queries and single-level BooleanQuery over
+        TermQuery clauses (MUST/SHOULD/FILTER/MUST_NOT + msm) — the
+        FIXTURES F8 benchmark shapes. Scores follow the same float32
+        discipline as :meth:`search` (rank-identical, test-enforced).
+        Duplicate identical (occur, term) pairs within one query are
+        not supported (Lucene's builder also dedups FILTER/MUST_NOT,
+        BooleanQuery.java:150-152).
+
+        Returns DataFrame(qid, docid, score float, rn) with rn ≤ k,
+        ordered within each qid by (score desc, docid asc).
+        """
+        spark = self.tables.spark
+        all_terms: set[str] = set()
+        for q in queries.values():
+            all_terms |= _collect_terms(q)
+        stats = self.term_stats(all_terms)
+
+        clause_rows = []  # (qid, term, weight, is_must, is_should, is_filter, is_not)
+        req_rows = []  # (qid, n_must, n_filter, should_need)
+        for qid, q in queries.items():
+            if isinstance(q, TermQuery):
+                clauses = [(q, "SHOULD")]
+                msm = 0
+                boost = 1.0
+            elif isinstance(q, BooleanQuery):
+                clauses = [(c.query, c.occur) for c in q.clauses]
+                msm = q.minimum_should_match
+                boost = q.boost
+            else:
+                raise TypeError(f"search_many supports term/boolean queries, got {type(q)}")
+            n_must = n_filter = n_should = 0
+            for cq, occur in clauses:
+                if not isinstance(cq, TermQuery):
+                    raise TypeError("search_many clauses must be TermQuery")
+                df = stats.get(cq.term, 0)
+                scoring = occur in ("MUST", "SHOULD")
+                w = float(self.scorer.weight(df, boost * cq.boost)) if df and scoring else 0.0
+                clause_rows.append(
+                    (qid, cq.term, w, int(occur == "MUST"), int(occur == "SHOULD"),
+                     int(occur == "FILTER"), int(occur == "MUST_NOT"))
+                )
+                n_must += occur == "MUST"
+                n_filter += occur == "FILTER"
+                n_should += occur == "SHOULD"
+            need = (msm if n_must or n_filter else max(msm, 1)) if n_should else 0
+            req_rows.append((qid, n_must, n_filter, need))
+
+        clause_df = spark.createDataFrame(
+            clause_rows,
+            "qid string, term string, weight float, is_must int, is_should int, "
+            "is_filter int, is_not int",
+        )
+        req_df = spark.createDataFrame(
+            req_rows, "qid string, q_n_must int, q_n_filter int, q_should_need int"
+        )
+
+        terms_present = [t for t in all_terms if stats.get(t)]
+        if not terms_present:
+            return spark.createDataFrame([], "qid string, docid long, score float, rn int")
+        matches = self._postings_for(terms_present).join(
+            F.broadcast(clause_df), "term"
+        )
+        cache = self.scorer.cache
+
+        @F.pandas_udf(FloatType())
+        def score_w(tf: pd.Series, norm: pd.Series, weight: pd.Series) -> pd.Series:
+            s = bm25.score_terms(
+                tf.to_numpy(), norm.to_numpy(),
+                weight.to_numpy(dtype=np.float32), cache,
+            )
+            return pd.Series(s)
+
+        scored = matches.select(
+            "qid", "docid", "is_must", "is_should", "is_filter", "is_not",
+            score_w(F.col("tf"), F.col("norm"), F.col("weight")).alias("s"),
+        )
+        agg = scored.groupBy("qid", "docid").agg(
+            F.sum(F.col("s").cast("double")).alias("_s"),
+            F.sum("is_must").alias("_nmust"),
+            F.sum("is_should").alias("_nshould"),
+            F.sum("is_filter").alias("_nfilter"),
+            F.sum("is_not").alias("_nnot"),
+        )
+        kept = (
+            agg.join(F.broadcast(req_df), "qid")
+            .where(
+                (F.col("_nmust") == F.col("q_n_must"))
+                & (F.col("_nfilter") == F.col("q_n_filter"))
+                & (F.col("_nnot") == 0)
+                & (F.col("_nshould") >= F.col("q_should_need"))
+            )
+            .select("qid", "docid", F.col("_s").cast("float").alias("score"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return kept.select(
+            "qid", "docid", "score", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") <= k)
+
+    def search_many(self, queries: dict[str, Query], k: int = 10) -> dict[str, list[TopDoc]]:
+        rows = self.search_many_df(queries, k).collect()
+        out: dict[str, list[TopDoc]] = {qid: [] for qid in queries}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rn"])):
+            out[r["qid"]].append(TopDoc(r["docid"], r["score"]))
+        return out
 
     def search_after(self, q: Query, after: TopDoc, k: int = 10) -> list[TopDoc]:
         """Keyset pagination (IndexSearcher.searchAfter semantics):

@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry at the given sf dir, compares against its
+oracle_sql() via DuckDB: row count, column names, order-insensitive
+value multiset. Prints a per-query verdict + summary.
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and float32-vs-64 repr noise at 1e-9
+        return round(v + 0.0, 9)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok = bad = weak = 0
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            bad += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            bad += 1
+            continue
+        problems = []
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"cols {scols} vs {dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if not problems:
+            a = normalize(srows, scols)
+            b = normalize(drows, dcols)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            bad += 1
+        else:
+            print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            ok += 1
+    print(f"\n{ok} ok, {weak} rows-only, {bad} FAILED")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,30 @@ def test_phrase_rank_identical(built):
     assert len(got) > 0
 
 
+def test_search_many_rank_identical(built):
+    """Batched execution must match per-query oracle results exactly."""
+    _, searcher, oracle, _ = built
+    lo, mid, hi = _pick_terms(oracle)
+    batch = {
+        "q1": TermQuery(hi),
+        "q2": BooleanQuery.of(should=[TermQuery(mid), TermQuery(hi)]),
+        "q3": BooleanQuery.of(must=[TermQuery(mid), TermQuery(hi)]),
+        "q4": BooleanQuery.of(
+            should=[TermQuery(lo), TermQuery(mid), TermQuery(hi)],
+            minimum_should_match=2,
+        ),
+        "q5": BooleanQuery.of(must=[TermQuery(hi)], must_not=[TermQuery(mid)]),
+        "q6": BooleanQuery.of(must=[TermQuery(hi)], filter=[TermQuery(mid)]),
+        "q7": TermQuery("zz_not_a_term"),
+    }
+    got = searcher.search_many(batch, 12)
+    for qid, q in batch.items():
+        exp = oracle.search(q, 12)
+        assert [(h.docid, np.float32(h.score)) for h in got[qid]] == [
+            (h.docid, np.float32(h.score)) for h in exp
+        ], qid
+
+
 def test_search_after(built):
     _, searcher, oracle, _ = built
     _, _, hi = _pick_terms(oracle)
