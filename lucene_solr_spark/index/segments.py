@@ -1,0 +1,335 @@
+"""Segment-based compressed index build (codec v2) — resumable, with
+per-chunk checkpoints, lineage and metrics tables.
+
+Layout model = Lucene's segment model (index/SegmentInfos.java): a
+*segment* owns a contiguous docID range and holds ALL terms' postings
+for its docs, sorted by (term, docid) — the shape block-max WAND top-k
+needs (each Spark task scores one leaf, SURVEY §3.1). This complements
+the v1 term-bucketed `postings/` layout (builder.py), which serves
+dictionary-side access (prefix/fuzzy expansion, analytics joins);
+Lucene similarly keeps postings + docvalues as different orderings of
+the same data.
+
+Build plan (shuffle inventory):
+  stage 0  docmap/   corpus + deterministic docid (rank of PK); ONE
+           range-exchange (assign_docids). Persisted to Parquet so
+           every later stage and any resume reads the exact same
+           assignment — this table IS the docid lineage.
+  stage 1  blocks/   per chunk of segments: filter docmap by docid
+           range (Parquet min/max pruning), groupBy(segment)
+           .applyInPandas → tokenize, aggregate, delta+varbyte/FOR
+           encode 128-doc posting blocks with competitive impacts
+           (codec.py). One shuffle per chunk, keyed by segment.
+           Each chunk commit appends a checkpoint row; a killed build
+           resumes by skipping completed chunks (partial segment dirs
+           of an uncheckpointed chunk are removed first).
+  stage 2  docs/ dict/ stats/ — derived: docs = summary rows ⋈ docmap
+           (slim join); dict = blocks.groupBy(term).agg (map-side
+           partial agg; hot terms reduce to one row per segment before
+           the exchange, so no salting needed here); stats = one row.
+
+At 10^12-file scale: docs_per_segment is the DWPT RAM-budget knob
+(IndexWriterConfig.java:93 — 16 MB buffer ≙ segment sized to executor
+memory); chunks bound the blast radius of a failure (the
+TieredMergePolicy "tier" analogue); docmap gives exactly-once docids
+across retries because ranks are input-determined, not layout-
+determined.
+
+Reference: write path index/DefaultIndexingChain.java:385-441, flush
+FreqProxTermsWriter.java, codec Lucene50PostingsWriter.java:223-241,
+merge SegmentMerger.java:96-177, commit SegmentInfos/IndexCommit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis import ENGLISH_STOP_WORDS
+from ..analysis.tokenizer import StandardAnalyzer
+from . import codec
+from .builder import PK, assign_docids
+
+BLOCKS_SCHEMA = (
+    "segment int, kind int, term string, block_ord int, n int, "
+    "first_docid long, last_docid long, sum_tf long, "
+    "docids binary, tfs binary, norms binary, positions binary, "
+    "imp_tfs binary, imp_norms binary"
+)
+
+CHECKPOINT_SCHEMA = (
+    "stage string, chunk int, segment_lo int, segment_hi int, "
+    "docid_lo long, docid_hi long, n_docs long, n_blocks long, "
+    "wall_sec double, docs_per_sec double"
+)
+
+
+def _segment_builder(stop_words: frozenset[str], max_token_length: int,
+                     docs_per_segment: int):
+    """applyInPandas fn: all docs of ONE segment → encoded block rows
+    (kind=0) + one summary row per doc (kind=1: term=sha256, n=dl,
+    norms=[normbyte])."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        analyzer = StandardAnalyzer(stop_words=stop_words,
+                                    max_token_length=max_token_length)
+        from ..util.smallfloat import int_to_byte4
+
+        pdf = pdf.sort_values("docid")
+        seg = int(pdf["segment"].iloc[0])
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        contents = pdf["content"].tolist()
+
+        # --- invert: per-doc token streams → flat posting arrays -------
+        t_terms: list[str] = []      # term per (doc,term) row
+        t_docid: list[int] = []
+        t_tf: list[int] = []
+        t_norm: list[int] = []
+        t_pos: list[np.ndarray] = []
+        rows: list[dict] = []
+        for did, content in zip(docids, contents):
+            terms, positions = analyzer.analyze(content)
+            dl = len(terms)
+            norm = int_to_byte4(dl)
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            if dl:
+                codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
+                pos_arr = np.asarray(positions, dtype=np.int64)
+                order = np.argsort(codes, kind="stable")
+                sc, sp = codes[order], pos_arr[order]
+                bounds = np.flatnonzero(np.diff(sc)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(sc)]))
+                for s, e in zip(starts, ends):
+                    t_terms.append(uniq[sc[s]])
+                    t_docid.append(int(did))
+                    t_tf.append(int(e - s))
+                    t_norm.append(norm)
+                    t_pos.append(sp[s:e])
+            rows.append({
+                "segment": seg, "kind": 1, "term": sha, "block_ord": 0,
+                "n": dl, "first_docid": int(did), "last_docid": int(did),
+                "sum_tf": dl, "docids": b"", "tfs": b"",
+                "norms": bytes([norm]), "positions": b"",
+                "imp_tfs": b"", "imp_norms": b"",
+            })
+
+        # --- per-term 128-doc blocks ----------------------------------
+        if t_terms:
+            term_arr = np.asarray(t_terms, dtype=object)
+            codes, uniq = pd.factorize(term_arr, sort=True)
+            # docids appended in increasing order → stable sort by term
+            # yields (term, docid) order
+            order = np.argsort(codes, kind="stable")
+            codes_s = codes[order]
+            docid_s = np.asarray(t_docid, dtype=np.int64)[order]
+            tf_s = np.asarray(t_tf, dtype=np.int64)[order]
+            norm_s = np.asarray(t_norm, dtype=np.int64)[order]
+            pos_s = [t_pos[i] for i in order]
+            bounds = np.flatnonzero(np.diff(codes_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(codes_s)]))
+            B = codec.BLOCK_SIZE
+            for s, e in zip(starts, ends):
+                term = uniq[codes_s[s]]
+                for bo, off in enumerate(range(s, e, B)):
+                    hi = min(off + B, e)
+                    d = docid_s[off:hi]
+                    tf = tf_s[off:hi]
+                    nb = norm_s[off:hi]
+                    first, last, dbuf = codec.encode_docids(d)
+                    imp = codec.competitive_impacts(tf, nb)
+                    rows.append({
+                        "segment": seg, "kind": 0, "term": term,
+                        "block_ord": bo, "n": int(hi - off),
+                        "first_docid": first, "last_docid": last,
+                        "sum_tf": int(tf.sum()),
+                        "docids": dbuf,
+                        "tfs": codec.encode_seq(tf.astype(np.uint64)),
+                        "norms": nb.astype(np.uint8).tobytes(),
+                        "positions": codec.encode_positions(pos_s[off:hi]),
+                        "imp_tfs": codec.varbyte_encode(
+                            np.array([i[0] for i in imp], dtype=np.uint64)),
+                        "imp_norms": codec.varbyte_encode(
+                            np.array([i[1] for i in imp], dtype=np.uint64)),
+                    })
+        return pd.DataFrame(rows)
+
+    return build
+
+
+@dataclass
+class SegmentIndex:
+    root: str
+    spark: SparkSession
+
+    @property
+    def blocks_path(self):
+        return os.path.join(self.root, "blocks")
+
+    @property
+    def docmap_path(self):
+        return os.path.join(self.root, "docmap")
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(self.blocks_path).where(F.col("kind") == 0)
+
+    def summaries(self) -> DataFrame:
+        return self.spark.read.parquet(self.blocks_path).where(F.col("kind") == 1)
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.docmap_path)
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "docs"))
+
+    def dict(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "dict"))
+
+    def stats(self) -> dict:
+        return self.spark.read.parquet(os.path.join(self.root, "stats")).collect()[0].asDict()
+
+    def checkpoints(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "checkpoints"))
+
+    def manifest(self) -> dict:
+        with open(os.path.join(self.root, "manifest.json")) as f:
+            return json.load(f)
+
+
+def _append_checkpoint(spark: SparkSession, root: str, row: tuple):
+    spark.createDataFrame([row], CHECKPOINT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(root, "checkpoints"))
+
+
+def _done_chunks(spark: SparkSession, root: str) -> set[int]:
+    path = os.path.join(root, "checkpoints")
+    if not os.path.exists(path):
+        return set()
+    rows = spark.read.parquet(path).where(F.col("stage") == "blocks").collect()
+    return {int(r["chunk"]) for r in rows}
+
+
+def build_segment_index(
+    corpus: DataFrame,
+    out_root: str,
+    stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
+    max_token_length: int = 255,
+    docs_per_segment: int = 4096,
+    segments_per_chunk: int = 8,
+    resume: bool = False,
+    fail_after_chunk: int | None = None,
+) -> SegmentIndex:
+    """Build (or resume) the compressed segment index.
+
+    ``fail_after_chunk`` injects a crash after N chunk commits — used by
+    the kill-and-resume test (BASELINE.md resumability row).
+    """
+    spark = corpus.sparkSession
+    t0 = time.time()
+    stop_words = stop_words or frozenset()
+    os.makedirs(out_root, exist_ok=True)
+    idx = SegmentIndex(out_root, spark)
+
+    # ---- stage 0: docmap (docid lineage) ------------------------------
+    if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
+        with_ids = assign_docids(corpus)
+        with_ids.withColumn(
+            "segment", (F.col("docid") / docs_per_segment).cast("int")
+        ).write.mode("overwrite").parquet(idx.docmap_path)
+        parent = getattr(with_ids, "_lss_persisted_parent", None)
+        if parent is not None:
+            parent.unpersist()
+        _append_checkpoint(spark, out_root,
+                           ("docmap", -1, 0, 0, 0, 0, 0, 0,
+                            round(time.time() - t0, 3), 0.0))
+
+    docmap = idx.docmap()
+    n_docs_total = docmap.count()
+    n_segments = int(np.ceil(n_docs_total / docs_per_segment)) or 1
+    n_chunks = int(np.ceil(n_segments / segments_per_chunk))
+
+    # ---- stage 1: per-chunk block build (resumable) -------------------
+    done = _done_chunks(spark, out_root) if resume else set()
+    if not resume and os.path.exists(idx.blocks_path):
+        shutil.rmtree(idx.blocks_path)
+    builder = _segment_builder(stop_words, max_token_length, docs_per_segment)
+    built = 0
+    for chunk in range(n_chunks):
+        seg_lo = chunk * segments_per_chunk
+        seg_hi = min(seg_lo + segments_per_chunk, n_segments)
+        if chunk in done:
+            continue
+        # clean partial output of an uncheckpointed chunk (resume safety)
+        for seg in range(seg_lo, seg_hi):
+            part = os.path.join(idx.blocks_path, f"segment={seg}")
+            if os.path.exists(part):
+                shutil.rmtree(part)
+        lo_doc = seg_lo * docs_per_segment
+        hi_doc = seg_hi * docs_per_segment
+        tc = time.time()
+        part_df = docmap.where(
+            (F.col("docid") >= lo_doc) & (F.col("docid") < hi_doc)
+        )
+        out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+        out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
+        wall = time.time() - tc
+        chunk_docs = min(hi_doc, n_docs_total) - lo_doc
+        _append_checkpoint(
+            spark, out_root,
+            ("blocks", chunk, seg_lo, seg_hi, lo_doc, hi_doc,
+             int(chunk_docs), 0, round(wall, 3),
+             round(chunk_docs / wall, 1) if wall > 0 else 0.0),
+        )
+        built += 1
+        if fail_after_chunk is not None and built >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {chunk}")
+
+    # touch a blocks _SUCCESS marker equivalent via manifest below
+
+    # ---- stage 2: derived tables --------------------------------------
+    summaries = idx.summaries().select(
+        F.col("first_docid").alias("docid"),
+        F.col("n").alias("dl"),
+        F.conv(F.hex(F.col("norms")), 16, 10).cast("int").alias("norm"),
+        F.col("term").alias("content_sha256"),
+    )
+    docmap_slim = docmap.select("docid", *PK, "lang", "segment")
+    docmap_slim.join(summaries, "docid").write.mode("overwrite").parquet(
+        os.path.join(out_root, "docs")
+    )
+
+    blocks = idx.blocks()
+    blocks.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+    ).write.mode("overwrite").parquet(os.path.join(out_root, "dict"))
+
+    idx.docs().agg(
+        F.count("*").alias("doc_count"), F.sum("dl").alias("sum_ttf")
+    ).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
+
+    st = idx.stats()
+    manifest = {
+        "format_version": 2,
+        "doc_count": st["doc_count"],
+        "sum_ttf": int(st["sum_ttf"] or 0),
+        "docs_per_segment": docs_per_segment,
+        "n_segments": n_segments,
+        "n_chunks": n_chunks,
+        "block_size": codec.BLOCK_SIZE,
+        "stop_words": sorted(stop_words),
+        "max_token_length": max_token_length,
+        "build_wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(out_root, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return idx

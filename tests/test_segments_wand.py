@@ -1,0 +1,128 @@
+"""Codec-v2 segment index + block-max WAND: rank/score identity vs the
+pure-Python oracle, WAND on/off A/B identity (SURVEY §4.2 oracle), and
+kill-and-resume resumability (BASELINE.md resumability row)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index.segments import build_segment_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+from lucene_solr_spark.search.wand import SegmentSearcher
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segidx"))
+    corpus = corpus_df(spark, N_DOCS, partitions=5)
+    idx = build_segment_index(
+        corpus, root, stop_words=ENGLISH_STOP_WORDS,
+        docs_per_segment=48, segments_per_chunk=2,
+    )
+    searcher = SegmentSearcher(idx, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    return idx, searcher, oracle, pdf
+
+
+def _terms_by_df(oracle, n=6):
+    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    step = max(len(by_df) // n, 1)
+    return [by_df[i] for i in range(0, len(by_df), step)][:n] + [by_df[-1]]
+
+
+def test_stats_and_sha(built):
+    idx, searcher, oracle, pdf = built
+    assert searcher.doc_count == oracle.doc_count == len(pdf)
+    assert searcher.sum_ttf == oracle.sum_ttf
+    # per-row content sha256 invariant
+    import hashlib
+
+    docs = idx.docs().orderBy("docid").collect()
+    for row, (_, src) in zip(docs, pdf.iterrows()):
+        assert row["content_sha256"] == hashlib.sha256(
+            src["content"].encode()).hexdigest()
+        assert (row["repo"], row["path"], row["commit"]) == (
+            src["repo"], src["path"], src["commit"])
+
+
+def test_dict_matches_oracle(built):
+    idx, _, oracle, _ = built
+    rows = {r["term"]: (r["df"], r["ttf"]) for r in idx.dict().collect()}
+    assert set(rows) == set(oracle.postings)
+    for t, (df, ttf) in rows.items():
+        assert df == oracle.doc_freq(t), t
+        assert ttf == oracle.total_term_freq(t), t
+
+
+def test_term_topk_identical_to_oracle(built):
+    _, searcher, oracle, _ = built
+    for t in _terms_by_df(oracle):
+        exp = oracle.search(TermQuery(t), 10)
+        got = searcher.search(TermQuery(t), 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], t
+
+
+def test_disjunction_topk_identical_to_oracle(built):
+    _, searcher, oracle, _ = built
+    terms = _terms_by_df(oracle, 4)
+    q = BooleanQuery.of(should=[TermQuery(t) for t in terms[:4]])
+    exp = oracle.search(q, 15)
+    got = searcher.search(q, 15)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
+
+
+def test_wand_ab_identical(built):
+    _, searcher, oracle, _ = built
+    terms = _terms_by_df(oracle, 5)
+    q = BooleanQuery.of(should=[TermQuery(t) for t in terms[:5]])
+    for k in (1, 3, 10, 50):
+        a = searcher.search(q, k, use_wand=True)
+        b = searcher.search(q, k, use_wand=False)
+        assert [(d.docid, np.float32(d.score)) for d in a] == [
+            (d.docid, np.float32(d.score)) for d in b], k
+
+
+def test_msm_disjunction(built):
+    _, searcher, oracle, _ = built
+    terms = _terms_by_df(oracle, 4)
+    q = BooleanQuery.of(should=[TermQuery(t) for t in terms[:4]],
+                        minimum_should_match=2)
+    exp = oracle.search(q, 10)
+    got = searcher.search(q, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
+
+
+def test_kill_and_resume_identical(spark, tmp_path_factory, built):
+    idx_full, _, _, _ = built
+    root = str(tmp_path_factory.mktemp("segidx_resume"))
+    corpus = corpus_df(spark, N_DOCS, partitions=5)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_segment_index(
+            corpus, root, stop_words=ENGLISH_STOP_WORDS,
+            docs_per_segment=48, segments_per_chunk=2, fail_after_chunk=1,
+        )
+    idx2 = build_segment_index(
+        corpus, root, stop_words=ENGLISH_STOP_WORDS,
+        docs_per_segment=48, segments_per_chunk=2, resume=True,
+    )
+    cols = ["segment", "kind", "term", "block_ord", "n", "first_docid",
+            "last_docid", "sum_tf", "docids", "tfs", "norms", "positions",
+            "imp_tfs", "imp_norms"]
+    a = sorted(map(tuple, idx_full.spark.read.parquet(idx_full.blocks_path)
+                   .select(cols).collect()))
+    b = sorted(map(tuple, idx2.spark.read.parquet(idx2.blocks_path)
+                   .select(cols).collect()))
+    assert a == b
+    # checkpoints recorded lineage + metrics for every chunk exactly once
+    cps = idx2.checkpoints().where("stage = 'blocks'").collect()
+    assert sorted(r["chunk"] for r in cps) == list(range(len(cps)))
+    assert all(r["docs_per_sec"] > 0 for r in cps)
