@@ -23,11 +23,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_solr_spark.index import build_index
 from lucene_solr_spark.index.builder import IndexTables
+from lucene_solr_spark.index.segments import SegmentIndex, build_segment_index
 from lucene_solr_spark.relational import ORACLES, QUERIES
 from lucene_solr_spark.search.executor import IndexSearcher
-from lucene_solr_spark.search.queries import BooleanQuery, PhraseQuery, TermQuery
+from lucene_solr_spark.search.parser import QueryParser
+from lucene_solr_spark.search.queries import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+from lucene_solr_spark.search.wand import SegmentSearcher
 
 _SEARCHERS: dict[str, IndexSearcher] = {}
+_SEG_SEARCHERS: dict[str, SegmentSearcher] = {}
 
 
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +82,53 @@ def _engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seg_searcher(spark: SparkSession, sf_dir: str) -> SegmentSearcher:
+    key = os.path.abspath(sf_dir)
+    if key not in _SEG_SEARCHERS:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "lss_segidx_" + key.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            build_segment_index(_documents_as_corpus(spark, sf_dir), root,
+                                docs_per_segment=2048)
+        _SEG_SEARCHERS[key] = SegmentSearcher(SegmentIndex(root, spark), cache=True)
+    return _SEG_SEARCHERS[key]
+
+
+def _engine_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed segment index; A/B-identical
+    to exhaustive scoring (pytest-gated); rows-only check here."""
+    s = _seg_searcher(spark, sf_dir)
+    q = BooleanQuery.of(should=[TermQuery("spark"), TermQuery("vector"),
+                                TermQuery("table")])
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
+def _engine_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    q = DisjunctionMaxQuery(
+        (TermQuery("spark"), TermQuery("query"), PhraseQuery(("big", "table"))),
+        tie_breaker=0.3)
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
+def _engine_parsed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic query-parser front end driving the full pipeline."""
+    s = _searcher(spark, sf_dir)
+    q = QueryParser().parse('spark AND quer* OR "big table"~1 -zzzz')
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
+def _engine_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    return s.search_df(PrefixQuery("quer", rewrite="scoring_boolean"), 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the inverted index over sf0.001 documents with
     the real engine and run a BM25 top-k boolean query."""
@@ -82,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["engine_bm25_topk"] = _engine_bm25_topk
     out["engine_phrase_topk"] = _engine_phrase_topk
+    out["engine_wand_topk"] = _engine_wand_topk
+    out["engine_dismax_topk"] = _engine_dismax_topk
+    out["engine_parsed_query"] = _engine_parsed_query
+    out["engine_prefix_topk"] = _engine_prefix_topk
     return out
 
 

@@ -16,12 +16,17 @@ import numpy as np
 
 from ..analysis import StandardAnalyzer
 from ..search import bm25
+from ..search.multiterm import expand_terms
 from ..search.queries import (
+    BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllDocsQuery,
+    MultiTermQuery,
     PhraseQuery,
     Query,
+    SynonymQuery,
     TermQuery,
     TopDoc,
 )
@@ -98,7 +103,62 @@ class OracleIndex:
         if isinstance(q, BooleanQuery):
             return self._match_boolean(q, scorer, boost)
 
+        if isinstance(q, MultiTermQuery):
+            terms = expand_terms(self.postings.keys(), q)
+            rewritten = self._rewrite_multiterm(q, terms)
+            return self._match(rewritten, scorer, boost)
+
+        if isinstance(q, SynonymQuery):
+            return self._match_synonym(q, scorer, boost)
+
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._match_dismax(q, scorer, boost)
+
         raise TypeError(f"unsupported query {type(q)}")
+
+    @staticmethod
+    def _rewrite_multiterm(q: MultiTermQuery, terms: list[str]) -> Query:
+        """CONSTANT_SCORE_REWRITE / SCORING_BOOLEAN_REWRITE
+        (MultiTermQuery.java:94-126)."""
+        inner = BooleanQuery(
+            tuple(BooleanClause(TermQuery(t), "SHOULD") for t in terms))
+        if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
+            return BooleanQuery(inner.clauses, boost=q.boost)
+        return ConstantScoreQuery(inner, boost=q.boost)
+
+    def _match_synonym(self, q: SynonymQuery, scorer, boost) -> dict[int, float]:
+        """Pseudo-term stats: df = max member df, freq = per-doc sum of
+        member freqs; ONE similarity call (SynonymQuery.java:144-158,
+        freq sum :446-455)."""
+        plists = [self.postings.get(t, ()) for t in q.terms]
+        df = max((len(p) for p in plists), default=0)
+        if df == 0:
+            return {}
+        w = scorer.weight(df, boost * q.boost)
+        freqs: dict[int, int] = defaultdict(int)
+        for pl in plists:
+            for docid, tf, _ in pl:
+                freqs[docid] += tf
+        out = {}
+        for d, f in freqs.items():
+            s = bm25.score_terms(
+                np.array([f]), np.array([self.norms[d]]), w, scorer.cache)[0]
+            out[d] = float(s)
+        return out
+
+    def _match_dismax(self, q: DisjunctionMaxQuery, scorer, boost) -> dict[int, float]:
+        """(float)(scoreMax + otherScoreSum * tieBreaker), otherScoreSum
+        accumulated in double (DisjunctionMaxScorer.java:58-71)."""
+        subs = [self._match(d, scorer, boost * q.boost) for d in q.disjuncts]
+        docs = set().union(*(set(m) for m in subs)) if subs else set()
+        tb = np.float64(np.float32(q.tie_breaker))
+        out = {}
+        for d in docs:
+            ss = np.array([m[d] for m in subs if d in m], dtype=np.float64)
+            mx = ss.max()
+            other = ss.sum() - mx
+            out[d] = float(np.float32(mx + other * tb))
+        return out
 
     def _match_phrase(self, q: PhraseQuery, scorer, boost) -> dict[int, float]:
         """ExactPhraseMatcher (slop=0) / SloppyPhraseMatcher-lite semantics:

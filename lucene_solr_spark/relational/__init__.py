@@ -1,1 +1,2 @@
 from .suite import ORACLES, QUERIES, load_table  # noqa: F401
+from . import pipeline  # noqa: F401  (registers training-data ops)

@@ -1,0 +1,335 @@
+"""Training-data pipeline operators (dedup / similarity / text
+analysis) — oracle-checked suite entries over the `documents` and
+`embeddings` tables.
+
+These are the large-scale corpus-preparation ops a 100 TB training
+pipeline needs, built as first-class relational plans (no per-row
+Python): MinHash+LSH near-dup candidates, SimHash fingerprints, n-gram
+Jaccard verification, embedding-cosine near-dup pairs, language ID,
+and tokenizer-style counting. Each entry has a DuckDB oracle with
+identical hash/arithmetic (md5 hex on both engines) so the driver's
+value-hash check is bit-stable.
+
+Scale notes (designed for 1000 executors, tested at sf):
+* shingle/minhash: explode-groupBy with map-side partial min — the
+  shuffle carries |seeds| longs per doc, not the shingles;
+* LSH banding turns all-pairs O(n²) into an equi-join on band keys —
+  a plain shuffle join Spark executes as SMJ/AQE-skew-handled;
+* Jaccard verification joins only the shingles of candidate pairs;
+* embedding near-dup: block by a coarse quantization of the first
+  principal component? here brute self-join at sf with the LSH-style
+  ann variant covered in ann_cosine_knn; cosine math is JVM-side
+  zip_with/aggregate in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .suite import load_table, register
+
+N_SEEDS = 8
+BAND_SIZE = 2
+N_BANDS = N_SEEDS // BAND_SIZE
+
+# --- shared shingle front end (token 3-grams) ---------------------------
+
+_SPARK_TOKS = "filter(split(text, ' '), x -> x <> '')"
+_SPARK_SHINGLES = (
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(1, size(t)-2), i -> array_join(slice(t, i, 3), ' ')) "
+    "ELSE array() END"
+)
+
+_DUCK_SHINGLE_CTE = """
+  toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t)-1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+"""
+
+
+def _spark_shingles(spark, sf_dir):
+    """(doc_id, shingle) distinct token-3-gram shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- MinHash signatures + LSH banding -----------------------------------
+
+_MINHASH_COLS_SQL = ", ".join(
+    f"min(md5('s{i}' || shingle)) AS h{i}" for i in range(N_SEEDS)
+)
+_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(h{BAND_SIZE*b} || h{BAND_SIZE*b+1}) AS band_hash FROM sig"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id, {_MINHASH_COLS_SQL} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_BAND_UNION_SQL})
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidates: shingle → 8 md5-seeded
+    minhashes → 4 bands of 2 → bucket equi-join (training-data op;
+    banding replaces the all-pairs cross join with a shuffle join on
+    band keys)."""
+    sh = _spark_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"s{i}"), F.col("shingle")))).alias(f"h{i}")
+          for i in range(N_SEEDS)]
+    )
+    band_rows = " , ".join(
+        f"{b}, md5(concat(h{BAND_SIZE*b}, h{BAND_SIZE*b+1}))" for b in range(N_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {band_rows}) as (band_id, band_hash)"),
+    ).select("doc_id", "band_id", "band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           round(i / (s1.n + s2.n - i)::DOUBLE, 4) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+    WHERE i / (s1.n + s2.n - i)::DOUBLE >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity: exact verification of near-dup pairs
+    over distinct shingle sets (the verify stage after LSH candidates;
+    joins only shingle-sharing pairs, never all pairs)."""
+    sh = _spark_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = F.col("i") / (F.col("s1.n") + F.col("s2.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .where(j >= 0.2)
+        .select("d1", "d2", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+
+# 16-bit simhash over md5(term) first 4 hex digits; bit b of the hash =
+# bit (b % 4) of hex digit (b // 4). Identical integer arithmetic on
+# both engines via ascii().
+
+_DUCK_HEXVAL = (
+    "ascii(substr(md5(term), {d}+1, 1)) - "
+    "CASE WHEN ascii(substr(md5(term), {d}+1, 1)) >= 97 THEN 87 ELSE 48 END"
+)
+_SPARK_HEXVAL = (
+    "ascii(substr(md5(term), {d}+1, 1)) - "
+    "CASE WHEN ascii(substr(md5(term), {d}+1, 1)) >= 97 THEN 87 ELSE 48 END"
+)
+
+
+def _simhash_bit_sql(hexval_tpl: str) -> str:
+    """sum over tokens of (+tf if bit set else -tf), one column per bit."""
+    cols = []
+    for bit in range(16):
+        d, bi = bit // 4, bit % 4
+        hv = hexval_tpl.format(d=d)
+        cols.append(
+            f"CASE WHEN sum(CASE WHEN CAST(floor(({hv}) / {2 ** bi}) AS BIGINT) % 2 = 1 "
+            f"THEN tf ELSE -tf END) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(cols)
+
+
+# `||` concat, CASE, floor, ascii, substr, md5 parse identically in
+# Spark SQL and DuckDB — one expression serves both engines.
+_DUCK_SIMHASH_BITS = _simhash_bit_sql(_DUCK_HEXVAL)
+_SPARK_SIMHASH_BITS = _simhash_bit_sql(_SPARK_HEXVAL)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.term AS term, count(*) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> '' GROUP BY doc_id, t.term
+    ),
+    fp AS (
+      SELECT doc_id, {_DUCK_SIMHASH_BITS} AS simhash
+      FROM tok GROUP BY doc_id
+    )
+    SELECT simhash, count(*) AS cnt, min(doc_id) AS keep_doc_id
+    FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup fingerprint: tf-weighted sign-sum of term-hash
+    bits (16-bit test variant; the 64-bit engine variant is
+    functions/text.py::simhash64). Groups sharing a fingerprint are
+    near-dup clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    fp = tok.groupBy("doc_id").agg(F.expr(_SPARK_SIMHASH_BITS).alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+# --- embedding near-dup -------------------------------------------------
+
+_DOT = "aggregate(zip_with({0}, {1}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the synthetic corpus's cosine range) — brute self-join
+    at sf; the LSH-bucketed scale path reuses dedup_minhash_lsh banding
+    over sign-random-projection sketches. Dot products are JVM-side
+    zip_with/aggregate in double."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    ).withColumn("nrm", F.sqrt(F.expr(_DOT.format("e", "e"))))
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.expr(_DOT.format("a.e", "b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"),
+                F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+# --- language ID + token counting ---------------------------------------
+
+_EN_MARKERS = ("the", "of", "and", "to", "in", "is", "that", "it", "for", "with")
+_MARKERS_SQL = ", ".join(f"'{w}'" for w in _EN_MARKERS)
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t.term) AS term FROM documents,
+             unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''
+    ),
+    score AS (
+      SELECT doc_id, count(*) AS n,
+             sum(CASE WHEN term IN ({_MARKERS_SQL}) THEN 1 ELSE 0 END) AS hits
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN hits / n::DOUBLE >= 0.03 THEN 'en' ELSE 'other' END AS pred_lang,
+           round(hits / n::DOUBLE, 4) AS en_score
+    FROM score WHERE n > 0
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language ID by marker-word ratio (n-gram-heuristic family;
+    training-data op). One explode + groupBy; marker set broadcast as a
+    literal IN list."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("raw"))
+        .select("doc_id", F.lower(F.col("raw")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    score = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("term").isin(*_EN_MARKERS), 1).otherwise(0)).alias("hits"),
+    )
+    ratio = F.col("hits") / F.col("n").cast("double")
+    return score.where(F.col("n") > 0).select(
+        "doc_id",
+        F.when(ratio >= 0.03, "en").otherwise("other").alias("pred_lang"),
+        F.round(ratio, 4).alias("en_score"),
+    )
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces
+    (word / single punctuation) — the cost accounting op for training
+    pipelines. Pure JVM regex, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_TOKS)).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
+            "bpe_ish_tokens"),
+        "n_chars",
+    )

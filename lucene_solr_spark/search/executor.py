@@ -40,14 +40,25 @@ from pyspark.sql.window import Window
 
 from ..index.builder import IndexTables
 from . import bm25
+from .multiterm import expand_terms, wildcard_to_regex
 from .queries import (
+    BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
+    MultiTermQuery,
     PhraseQuery,
+    PrefixQuery,
     Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
     TopDoc,
+    WildcardQuery,
 )
 
 
@@ -59,7 +70,7 @@ def term_bucket(term: str, n_buckets: int) -> int:
 def _collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
@@ -68,6 +79,11 @@ def _collect_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, ConstantScoreQuery):
         return _collect_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= _collect_terms(d)
+        return out
     return set()
 
 
@@ -100,6 +116,65 @@ class IndexSearcher:
             if n_terms <= self.DICT_CACHE_MAX:
                 pdf = self.dict.select("term", "df").toPandas()
                 self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
+
+    # -- rewrite (logical optimization) ---------------------------------
+    def rewrite(self, q: Query) -> Query:
+        """Fixpoint rewrite (IndexSearcher.java:667-669): expand
+        multi-term queries against the dictionary into primitive
+        term/boolean queries (MultiTermQuery.java:94-126 rewrite
+        methods), recursing through compound queries."""
+        if isinstance(q, MultiTermQuery):
+            terms = self._expand(q)
+            inner = BooleanQuery(
+                tuple(BooleanClause(TermQuery(t), "SHOULD") for t in terms))
+            if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
+                return BooleanQuery(inner.clauses, boost=q.boost)
+            return ConstantScoreQuery(inner, boost=q.boost)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(BooleanClause(self.rewrite(c.query), c.occur)
+                      for c in q.clauses),
+                q.minimum_should_match, q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self.rewrite(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.rewrite(d) for d in q.disjuncts),
+                q.tie_breaker, q.boost)
+        return q
+
+    def _expand(self, q: MultiTermQuery) -> list[str]:
+        """Dictionary walk (the TermsEnum/automaton role): a cheap
+        Spark-side predicate prunes the dict scan, then the candidate
+        set is refined exactly in Python (shared with the oracle via
+        expand_terms, so both engines expand identically)."""
+        if self._df_map is not None:
+            return expand_terms(self._df_map.keys(), q)
+        col = F.col("term")
+        if isinstance(q, PrefixQuery):
+            pred = col.startswith(q.prefix)
+        elif isinstance(q, WildcardQuery):
+            pred = col.rlike("^(?s)" + wildcard_to_regex(q.pattern) + "$")
+        elif isinstance(q, RegexpQuery):
+            pred = col.rlike("^(?s)(?:" + q.pattern + ")$")
+        elif isinstance(q, FuzzyQuery):
+            # classic levenshtein >= OSA; one transposition <= 2 classic
+            # edits, so this prefilter admits every OSA match
+            pred = F.levenshtein(col, F.lit(q.term)) <= 2 * q.max_edits
+            if q.prefix_length:
+                pred = pred & col.startswith(q.term[: q.prefix_length])
+        elif isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (col >= q.lower if q.include_lower else col > q.lower)
+            if q.upper is not None:
+                pred = pred & (col <= q.upper if q.include_upper else col < q.upper)
+        elif isinstance(q, TermInSetQuery):
+            pred = col.isin(list(q.terms))
+        else:
+            raise TypeError(f"unknown multi-term query {type(q)}")
+        cands = [r["term"] for r in self.dict.where(pred).select("term").collect()]
+        return expand_terms(cands, q)
 
     # -- planning -------------------------------------------------------
     def term_stats(self, terms: set[str]) -> dict[str, int]:
@@ -238,7 +313,85 @@ class IndexSearcher:
             return inner.select("docid", F.lit(c).cast("float").alias("score"))
         if isinstance(q, BooleanQuery):
             return self._compile_boolean(q, stats, boost)
+        if isinstance(q, SynonymQuery):
+            return self._synonym_leaf(q, stats, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._compile_dismax(q, stats, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _synonym_leaf(self, q: SynonymQuery, stats, boost: float) -> DataFrame:
+        """Pseudo-term scoring: per-doc freq = sum of member tfs, df =
+        max member df, ONE similarity call (SynonymQuery.java:144-158,
+        freq sum :446-455). groupBy(docid) sums tfs (ints — no float
+        ordering concern), then the scoring UDF runs once per doc."""
+        present = [t for t in q.terms if stats.get(t, 0)]
+        if not present:
+            return self._empty_scored()
+        df_pseudo = max(stats[t] for t in present)
+        w = float(self.scorer.weight(df_pseudo, boost * q.boost))
+        cache = self.scorer.cache
+
+        @F.pandas_udf(FloatType())
+        def score(freq: pd.Series, norm: pd.Series) -> pd.Series:
+            s = bm25.score_terms(freq.to_numpy(), norm.to_numpy(),
+                                 np.float32(w), cache)
+            return pd.Series(s)
+
+        agg = (
+            self._postings_for(present)
+            .groupBy("docid")
+            .agg(F.sum("tf").alias("freq"), F.max("norm").alias("norm"))
+        )
+        return agg.select("docid", score(F.col("freq"), F.col("norm")).alias("score"))
+
+    def _compile_dismax(self, q: DisjunctionMaxQuery, stats, boost: float) -> DataFrame:
+        """(float)(max + (sum - max) * tieBreaker), sums in double
+        (DisjunctionMaxScorer.java:58-71)."""
+        subs = [self._compile(d, stats, boost * q.boost) for d in q.disjuncts]
+        if not subs:
+            return self._empty_scored()
+        unioned = reduce(DataFrame.unionByName, subs)
+        tb = float(np.float32(q.tie_breaker))
+        agg = unioned.groupBy("docid").agg(
+            F.max("score").alias("_mx"),
+            F.sum(F.col("score").cast("double")).alias("_sum"),
+        )
+        return agg.select(
+            "docid",
+            (F.col("_mx").cast("double")
+             + (F.col("_sum") - F.col("_mx").cast("double")) * F.lit(tb)
+             ).cast("float").alias("score"),
+        )
+
+    def _term_batch_leaf(self, term_clauses: list[tuple[TermQuery, int]],
+                         stats, boost: float) -> DataFrame | None:
+        """Score MANY term clauses with ONE postings scan: per-term
+        weights ride in the scoring UDF's dict, so an expanded
+        multi-term disjunction (prefix/range/fuzzy rewrite) costs one
+        scan + one aggregate regardless of how many terms it expanded
+        to — the plan shape that survives a 100× scale-up (a per-term
+        union would be N scans). Emits (docid, score, is_must) rows,
+        one per (term, doc) hit."""
+        weights = {}
+        is_must_map = {}
+        for tq, is_must in term_clauses:
+            df = stats.get(tq.term, 0)
+            if df:
+                weights[tq.term] = float(self.scorer.weight(df, boost * tq.boost))
+                is_must_map[tq.term] = is_must
+        if not weights:
+            return None
+        udf = self._score_udf(weights)
+        must_terms = [t for t, m in is_must_map.items() if m]
+        return (
+            self._postings_for(list(weights))
+            .select(
+                "docid",
+                udf(F.col("term"), F.col("tf"), F.col("norm")).alias("score"),
+                (F.col("term").isin(must_terms) if must_terms else F.lit(False))
+                .cast("int").alias("is_must"),
+            )
+        )
 
     def _compile_boolean(self, q: BooleanQuery, stats, boost: float) -> DataFrame:
         must = [c.query for c in q.clauses if c.occur == "MUST"]
@@ -248,7 +401,23 @@ class IndexSearcher:
         msm = q.minimum_should_match
         b = boost * q.boost
 
+        n_must_total = len(must)
+
+        # batch all term clauses into ONE postings scan (unique terms
+        # only — Lucene's builder likewise dedups, BooleanQuery.java:150);
+        # compound clauses compile recursively and union in
+        term_clauses = [(sq, 1) for sq in must if isinstance(sq, TermQuery)]
+        term_clauses += [(sq, 0) for sq in should if isinstance(sq, TermQuery)]
+        seen_terms = [tq.term for tq, _ in term_clauses]
+        batchable = len(set(seen_terms)) == len(seen_terms)
+
         scoring: list[DataFrame] = []
+        if term_clauses and batchable:
+            batched = self._term_batch_leaf(term_clauses, stats, b)
+            if batched is not None:
+                scoring.append(batched)
+            must = [sq for sq in must if not isinstance(sq, TermQuery)]
+            should = [sq for sq in should if not isinstance(sq, TermQuery)]
         for sq in must:
             scoring.append(self._compile(sq, stats, b).withColumn("is_must", F.lit(1)))
         for sq in should:
@@ -270,17 +439,29 @@ class IndexSearcher:
                 F.sum("is_must").alias("_nmust"),
                 F.sum(F.lit(1) - F.col("is_must")).alias("_nshould"),
             )
-            cond = F.col("_nmust") == len(must)
-            if should:
-                need = msm if must else max(msm, 1)
-                if need > 0:
-                    cond = cond & (F.col("_nshould") >= need)
+            cond = F.col("_nmust") == n_must_total
+            # SHOULD is required only when nothing else is
+            # (BooleanQuery semantics: MUST/FILTER make SHOULD optional)
+            need = msm if (n_must_total or filt) else max(msm, 1)
+            if need > 0:
+                cond = cond & (F.col("_nshould") >= need)
             out = agg.where(cond).select(
                 "docid", F.col("_s").cast("float").alias("score")
             )
-            for fq in filt:
-                d = self._compile(fq, stats, 1.0).select("docid")
-                out = out.join(d, "docid", "left_semi")
+            if n_must_total == 0 and filt and need == 0:
+                # FILTER+SHOULD: filter-only docs match with score 0
+                base = None
+                for fq in filt:
+                    d = self._compile(fq, stats, 1.0).select("docid")
+                    base = d if base is None else base.join(d, "docid", "left_semi")
+                out = base.join(out, "docid", "left_outer").select(
+                    "docid",
+                    F.coalesce(F.col("score"), F.lit(0.0)).cast("float").alias("score"),
+                )
+            else:
+                for fq in filt:
+                    d = self._compile(fq, stats, 1.0).select("docid")
+                    out = out.join(d, "docid", "left_semi")
 
         for mq in must_not:
             d = self._compile(mq, stats, 1.0).select("docid")
@@ -291,6 +472,7 @@ class IndexSearcher:
     def search_df(self, q: Query, k: int | None = 10) -> DataFrame:
         """Scored result as a DataFrame(docid, score), top-k ordered.
         k=None → all matches, unordered (for counting / set ops)."""
+        q = self.rewrite(q)
         stats = self.term_stats(_collect_terms(q))
         scored = self._compile(q, stats)
         if k is None:
@@ -424,6 +606,7 @@ class IndexSearcher:
     def search_after(self, q: Query, after: TopDoc, k: int = 10) -> list[TopDoc]:
         """Keyset pagination (IndexSearcher.searchAfter semantics):
         (score < s) OR (score == s AND docid > d)."""
+        q = self.rewrite(q)
         stats = self.term_stats(_collect_terms(q))
         scored = self._compile(q, stats)
         s = float(np.float32(after.score))

@@ -65,6 +65,96 @@ class BooleanQuery(Query):
         return BooleanQuery(tuple(cl), minimum_should_match)
 
 
+class MultiTermQuery(Query):
+    """Base for term-set-expansion queries. ``rewrite`` mirrors
+    MultiTermQuery.RewriteMethod (MultiTermQuery.java:68,94-126):
+    "constant_score" (default) or "scoring_boolean"."""
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    prefix: str
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    """`*` any sequence, `?` one char, `\\` escapes
+    (search/WildcardQuery.java:35-43)."""
+
+    pattern: str
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """Full-term-anchored regex (search/RegexpQuery.java); we accept the
+    Python `re` dialect subset shared with Lucene's automaton syntax."""
+
+    pattern: str
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """Defaults per FuzzyQuery.java:55,60-78: maxEdits=2, prefixLength=0,
+    transpositions=true (OSA distance)."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    transpositions: bool = True
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    """Lexicographic term range (search/TermRangeQuery.java); None bound
+    = open end."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(MultiTermQuery):
+    """Docs containing any of a term set (search/TermInSetQuery.java);
+    always constant-score in Lucene."""
+
+    terms: tuple[str, ...]
+    rewrite: str = "constant_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Scores member terms as one pseudo-term: freq = sum of member
+    freqs per doc, df = max of member dfs, ttf = sum — one similarity
+    call (SynonymQuery.java:144-158, freq sum at :446-455)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """Per-doc max of sub-scores + tieBreaker × sum of the others,
+    accumulated in double, cast to float once
+    (DisjunctionMaxScorer.java:58-71)."""
+
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0

@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency benchmark: same job, same input, local[N] vs
+local[4N] — the sandbox rendering of the north rule's "N vs 4N
+executors, throughput scaling efficiency >= 0.8" (BASELINE.json;
+two-cluster-size protocol per driver instruction).
+
+Each parallelism level runs in its OWN subprocess (fresh JVM — Spark
+can't change master in-process), measuring:
+  * index-build throughput (docs/sec), codec v2 segment build
+  * batched BM25 query throughput (queries/sec), one plan per batch
+
+Prints one JSON object and appends a row to BENCH_SCALING.json.
+
+Usage:  python scripts/bench_scaling.py [--docs 60000] [--queries 64]
+        [--low 8] [--high 32] [--runs 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, docs: int, queries: int) -> None:
+    """Runs in a subprocess: build + query at one parallelism level."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"lss-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucene_solr_spark.corpus import corpus_df
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.segments import build_segment_index
+    from lucene_solr_spark.search.executor import IndexSearcher
+    from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+
+    out = {"cpus": cpus, "docs": docs}
+    corpus = corpus_df(spark, docs, partitions=cpus * 2)
+    corpus.persist().count()  # materialize input OUTSIDE the timed region
+
+    root = tempfile.mkdtemp(prefix=f"lss_scale_{cpus}_")
+    t0 = time.time()
+    build_segment_index(corpus, root, docs_per_segment=max(docs // (cpus * 2), 512),
+                        segments_per_chunk=10**9)  # one chunk: pure throughput
+    build_sec = time.time() - t0
+    out["build_sec"] = round(build_sec, 2)
+    out["build_docs_per_sec"] = round(docs / build_sec, 1)
+
+    # v1 term-bucketed index for the batched query path
+    root1 = tempfile.mkdtemp(prefix=f"lss_scale1_{cpus}_")
+    t0 = time.time()
+    tables = build_index(corpus, root1)
+    out["build_v1_sec"] = round(time.time() - t0, 2)
+
+    searcher = IndexSearcher(tables, cache=True)
+    terms = [r["term"] for r in searcher.dict.orderBy("df").collect()]
+    mid = terms[len(terms) // 3: 2 * len(terms) // 3]
+    hi = terms[2 * len(terms) // 3:]
+    qs = {}
+    for i in range(queries):
+        a, b = mid[(37 * i) % len(mid)], hi[(53 * i) % len(hi)]
+        qs[f"q{i}"] = (TermQuery(b) if i % 3 == 0
+                       else BooleanQuery.of(should=[TermQuery(a), TermQuery(b)]))
+    searcher.search_many({"w": qs["q0"]}, 10)  # warm the plan path
+    t0 = time.time()
+    searcher.search_many(qs, 10)
+    qsec = time.time() - t0
+    out["query_sec"] = round(qsec, 2)
+    out["query_qps"] = round(queries / qsec, 2)
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root1, ignore_errors=True)
+    print("CHILD_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def run_level(cpus: int, docs: int, queries: int, runs: int) -> dict:
+    results = []
+    for _ in range(runs):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--cpus", str(cpus), "--docs", str(docs), "--queries", str(queries)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
+        if not line:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise RuntimeError(f"child at local[{cpus}] produced no result")
+        results.append(json.loads(line[-1][len("CHILD_RESULT "):]))
+    med = {k: (statistics.median(r[k] for r in results)
+               if isinstance(results[0][k], (int, float)) else results[0][k])
+           for k in results[0]}
+    return med
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("LSS_SCALE_DOCS", "60000")))
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.cpus, args.docs, args.queries)
+        return 0
+
+    lo = run_level(args.low, args.docs, args.queries, args.runs)
+    hi = run_level(args.high, args.docs, args.queries, args.runs)
+    ratio = args.high / args.low
+    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
+    eff_query = (hi["query_qps"] / lo["query_qps"]) / ratio
+    result = {
+        "protocol": f"local[{args.low}] vs local[{args.high}], same input "
+                    f"({args.docs} docs), fresh JVM per level, median of "
+                    f"{args.runs} run(s)",
+        "low": lo, "high": hi,
+        "core_ratio": ratio,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query": round(eff_query, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(result, indent=1))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

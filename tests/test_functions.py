@@ -1,0 +1,112 @@
+"""Engine-grade text functions + multimodal plumbing (training-data
+pipeline ops): determinism, dedup behavior, schema/batch contracts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import corpus_df
+from lucene_solr_spark.functions import (
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+)
+from lucene_solr_spark.functions.multimodal import (
+    FEATURE_DIM,
+    attach_fake_media,
+    decode_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        corpus_df(spark, 60, partitions=3)
+        .select(F.crc32("path").cast("long").alias("doc_id"),
+                F.col("content").alias("text"))
+        .cache()
+    )
+
+
+def test_simhash64_deterministic_and_near_dup(spark, docs):
+    a = {r["doc_id"]: r["h"] for r in
+         docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    b = {r["doc_id"]: r["h"] for r in
+         docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert a == b
+    # identical text → identical hash; near-identical → small hamming
+    row = docs.orderBy("doc_id").first()
+    txt = row["text"]
+    near = txt + " extratoken"
+    far = " ".join(reversed(sorted(set(txt.split()))))[:200] + " zz qq xx yy"
+    pdf = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, near), (4, far)], "id long, text string"
+    ).select("id", simhash64("text").alias("h")).collect()
+    h = {r["id"]: r["h"] for r in pdf}
+    assert h[1] == h[2]
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")
+    assert ham(h[1], h[3]) < ham(h[1], h[4])
+
+
+def test_minhash_signature_shape_and_jaccard_monotone(spark, docs):
+    udf = minhash_signature(n_hashes=16)
+    rows = docs.select("doc_id", udf("text").alias("sig")).collect()
+    assert all(len(r["sig"]) == 16 for r in rows)
+    row = docs.orderBy("doc_id").first()
+    txt = row["text"]
+    toks = txt.split()
+    half = " ".join(toks[: len(toks) // 2])
+    other = " ".join(f"u{i}" for i in range(100))
+    got = {r["id"]: r["sig"] for r in spark.createDataFrame(
+        [(1, txt), (2, half), (3, other)], "id long, text string"
+    ).select("id", udf("text").alias("sig")).collect()}
+    overlap_near = sum(x == y for x, y in zip(got[1], got[2]))
+    overlap_far = sum(x == y for x, y in zip(got[1], got[3]))
+    assert overlap_near > overlap_far
+
+
+def test_rolling_fingerprint_detects_shared_passage(spark):
+    shared = "the quick brown fox jumps over the lazy dog " * 3
+    a = "PREFIXA " + shared + " SUFFIXA"
+    b = "PREFIXB " + shared + " SUFFIXB"
+    c = " ".join(f"tok{i}" for i in range(60))
+    udf = rolling_fingerprint()
+    got = {r["id"]: set(r["fp"]) for r in spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "id long, text string"
+    ).select("id", udf("text").alias("fp")).collect()}
+    assert len(got[1] & got[2]) > 0          # shared passage found
+    assert len(got[1] & got[3]) <= len(got[1] & got[2])
+
+
+def test_media_schema_and_decode(spark, docs):
+    media = attach_fake_media(docs)
+    assert set(media.columns) == {"media_id", "kind", "meta", "payload"}
+    feats = decode_image_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    s = np.array(rows[0]["features"], dtype=np.float64).sum()
+    assert abs(s - 1.0) < 1e-3  # L1-normalized histogram
+    # deterministic across runs
+    a = sorted(map(tuple, decode_image_features(media).collect()))
+    b = sorted(map(tuple, decode_image_features(media).collect()))
+    assert a == b
+
+
+def test_real_decoder_is_gated(spark, docs):
+    media = attach_fake_media(docs).limit(1)
+    with pytest.raises(Exception) as ei:
+        decode_image_features(media, use_real=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_sample_frames(spark, docs):
+    media = attach_fake_media(docs, kind="video")
+    frames = sample_frames(media, every=2)
+    pdf = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    metas = {r["media_id"]: r["meta"]["n_frames"] for r in
+             media.select("media_id", "meta").collect()}
+    for r in pdf:
+        expected = (metas[r["media_id"]] + 1) // 2
+        assert r["n"] == expected
