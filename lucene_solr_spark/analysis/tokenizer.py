@@ -224,3 +224,27 @@ class StandardAnalyzer:
 
     def terms(self, text: str) -> list[str]:
         return self.analyze(text)[0]
+
+    def token_spans(self, text: str) -> list[tuple[str, int, int]]:
+        """(lowered_term, start_offset, end_offset) per surviving token
+        — the OffsetAttribute view (highlighting needs char offsets;
+        lucene/highlighter UnifiedHighlighter re-analyzes exactly like
+        this). Stopwords are dropped; >max-length tokens chop into
+        offset-accurate pieces like the indexing path."""
+        if text.isascii():
+            it = _ASCII_TOKEN_RE.finditer(text)
+        else:
+            master, *_ = _unicode_patterns()
+            it = master.finditer(text)
+        out: list[tuple[str, int, int]] = []
+        stops = self.stop_words
+        ml = self.max_token_length
+        for m in it:
+            base = m.start()
+            for k, piece in enumerate(_chop(m.group(), ml)):
+                t = piece.lower()
+                if t in stops:
+                    continue
+                lo = base + k * ml
+                out.append((t, lo, lo + len(piece)))
+        return out

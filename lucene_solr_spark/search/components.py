@@ -1,0 +1,205 @@
+"""Search components layered over the core searcher — the Solr
+SearchComponent / Lucene-module surface (SURVEY §2.7/§2.13):
+
+  collapse_topk     Solr CollapsingQParserPlugin / grouping module
+                    (grouping/FirstPassGroupingCollector.java): best hit
+                    per group, groups ranked by their best hit.
+  facet_on_results  FacetsCollector over the match set
+                    (facet/FacetsCollector.java): counts per field value.
+  more_like_this    queries/mlt/MoreLikeThis.java: top tf-idf terms of a
+                    document → SHOULD disjunction.
+  rescore           search/QueryRescorer.java / Solr ReRankQParserPlugin:
+                    second-pass scoring of the top-N, combined score.
+  suggest           suggest/analyzing/AnalyzingSuggester.java role:
+                    prefix completion from the term dictionary weighted
+                    by doc frequency.
+  spellcheck        solr/.../SpellCheckComponent + DirectSpellChecker:
+                    nearest dictionary terms by (edit distance, -df).
+  highlight         highlighter/uhighlight/UnifiedHighlighter.java role:
+                    re-analyze the stored content of the top hits, wrap
+                    query-term occurrences, pick the densest window.
+
+All components compose DataFrames; per-row Python appears only in the
+highlighter's snippet UDF, which runs on k rows, not the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from ..analysis.tokenizer import StandardAnalyzer
+from .executor import IndexSearcher
+from .multiterm import osa_distance
+from .queries import BooleanQuery, Query, TermQuery
+
+
+def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,
+                  k_groups: int = 10, docs_per_group: int = 1) -> DataFrame:
+    """Top groups by best-hit score; within each group the top
+    `docs_per_group` hits. Two-pass grouping collapsed into one
+    shuffle: Window.partitionBy(group) ranks within groups, then
+    groups rank by their best (score, docid)."""
+    scored = searcher.search_df(q, None)
+    docs = searcher.docs.select("docid", group_col)
+    joined = scored.join(docs, "docid")
+    w_in = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docid"))
+    ranked = joined.withColumn("rank_in_group", F.row_number().over(w_in)).where(
+        F.col("rank_in_group") <= docs_per_group)
+    w_grp = Window.orderBy(F.desc("best_score"), F.asc("best_docid"))
+    best = (ranked.where(F.col("rank_in_group") == 1)
+            .select(F.col(group_col), F.col("score").alias("best_score"),
+                    F.col("docid").alias("best_docid")))
+    top_groups = best.withColumn("group_rank", F.row_number().over(w_grp)).where(
+        F.col("group_rank") <= k_groups)
+    return (ranked.join(top_groups.select(group_col, "group_rank"), group_col)
+            .orderBy("group_rank", "rank_in_group")
+            .select(group_col, "group_rank", "docid", "score", "rank_in_group"))
+
+
+def facet_on_results(searcher: IndexSearcher, q: Query, facet_col: str) -> DataFrame:
+    """Field-value counts over the full match set (not just top-k) —
+    FacetsCollector semantics. One semi-join + groupBy."""
+    match = searcher.search_df(q, None).select("docid")
+    docs = searcher.docs.select("docid", facet_col)
+    return (docs.join(match, "docid", "left_semi")
+            .groupBy(facet_col).agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(facet_col)))
+
+
+def more_like_this(searcher: IndexSearcher, docid: int,
+                   max_query_terms: int = 25,
+                   min_term_freq: int = 1, min_doc_freq: int = 2) -> Query:
+    """Build the MLT disjunction: rank the document's terms by
+    tf·idf (MoreLikeThis.java createQueue semantics: idf =
+    log((N+1)/(df+1)) + 1 there; we use the engine's BM25 idf — the
+    ranking, which is all that matters, is identical in N, df), take
+    the top `max_query_terms` as SHOULD clauses."""
+    rows = (searcher.postings.where(F.col("docid") == docid)
+            .select("term", "tf").collect())
+    if not rows:
+        return BooleanQuery.of(should=[])
+    terms = [r["term"] for r in rows]
+    stats = searcher.term_stats(set(terms))
+    n = searcher.doc_count
+    scored = []
+    for r in rows:
+        t, tf = r["term"], int(r["tf"])
+        df = stats.get(t, 0)
+        if tf < min_term_freq or df < min_doc_freq:
+            continue
+        idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        scored.append((tf * idf, t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    picked = [t for _, t in scored[:max_query_terms]]
+    return BooleanQuery.of(should=[TermQuery(t) for t in picked])
+
+
+def rescore(searcher: IndexSearcher, first_pass: Query, second_pass: Query,
+            rescore_n: int = 100, k: int = 10,
+            first_weight: float = 1.0, second_weight: float = 1.0) -> DataFrame:
+    """QueryRescorer.combine semantics: new = w1*first + w2*second for
+    the top-N of the first pass (second term only where the rescore
+    query matches); docs outside the top-N keep rank below all
+    rescored docs (we simply re-rank within the N, as ReRank does)."""
+    top_n = searcher.search_df(first_pass, rescore_n).select(
+        "docid", F.col("score").alias("first_score"))
+    second = searcher.search_df(second_pass, None).select(
+        "docid", F.col("score").alias("second_score"))
+    combined = (top_n.join(second, "docid", "left_outer")
+                .select("docid",
+                        (F.col("first_score") * F.lit(float(first_weight))
+                         + F.coalesce(F.col("second_score"), F.lit(0.0))
+                         * F.lit(float(second_weight))).cast("float").alias("score")))
+    return combined.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
+    """Prefix completion from the dictionary, weighted by df (the FST
+    suggester's weight role). Dict scan is bucket/row-group pruned by
+    the startswith predicate."""
+    return (searcher.dict.where(F.col("term").startswith(prefix))
+            .select("term", F.col("df").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(n))
+
+
+def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
+               max_edits: int = 2) -> list[tuple[str, int, int]]:
+    """DirectSpellChecker role: candidate corrections =  dictionary
+    terms within `max_edits` (OSA, like FuzzyQuery), ranked by
+    (distance asc, df desc, term asc). Spark prefilter with builtin
+    levenshtein, exact OSA refinement driver-side on the candidates."""
+    cands = (searcher.dict
+             .where(F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+             .select("term", "df").collect())
+    out = []
+    for r in cands:
+        t = r["term"]
+        if t == word:
+            continue
+        d = osa_distance(t, word, cap=max_edits)
+        if d <= max_edits:
+            out.append((t, int(d), int(r["df"])))
+    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return out[:n]
+
+
+def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
+              window_tokens: int = 16, pre: str = "<b>", post: str = "</b>",
+              corpus: DataFrame | None = None) -> DataFrame:
+    """Snippets for the top-k hits: join hits back to the stored
+    content (two-phase: slim top-k first, content fetch after — the
+    Solr two-phase distributed search shape, QueryComponent.java:585),
+    then a UDF re-analyzes ONLY those k rows and returns the densest
+    window with query terms wrapped."""
+    q = searcher.rewrite(q)
+    from .executor import _collect_terms
+
+    qterms = _collect_terms(q)
+    hits = searcher.search_df(q, k)
+    if corpus is None:
+        raise ValueError("pass the corpus DataFrame holding (repo,path,commit,content)")
+    keyed = searcher.docs.select("docid", "repo", "path", "commit")
+    content = corpus.select("repo", "path", "commit", "content")
+    with_text = (hits.join(keyed, "docid")
+                 .join(content, ["repo", "path", "commit"]))
+
+    stop = frozenset(searcher.tables.manifest().get("stop_words", ()))
+    maxlen = int(searcher.tables.manifest().get("max_token_length", 255))
+
+    @F.pandas_udf(StringType())
+    def snip(content_s: pd.Series) -> pd.Series:
+        analyzer = StandardAnalyzer(stop_words=stop, max_token_length=maxlen)
+        out = []
+        for text in content_s.fillna(""):
+            spans = analyzer.token_spans(text)
+            flags = np.array([t in qterms for t, _, _ in spans], dtype=np.int64)
+            if not flags.any() or not spans:
+                out.append(text[:120])
+                continue
+            # densest window of `window_tokens` tokens
+            csum = np.concatenate(([0], np.cumsum(flags)))
+            w = min(window_tokens, len(flags))
+            dens = csum[w:] - csum[:-w]
+            start = int(dens.argmax()) if dens.size else 0
+            end = min(start + w, len(spans)) - 1
+            lo = spans[start][1]
+            hi = spans[end][2]
+            piece = text[lo:hi]
+            # wrap matches (longest-first to avoid nested wraps)
+            rendered = []
+            cursor = lo
+            for t, a, b in spans[start:end + 1]:
+                if t in qterms:
+                    rendered.append(text[cursor:a])
+                    rendered.append(pre + text[a:b] + post)
+                    cursor = b
+            rendered.append(text[cursor:hi])
+            out.append("".join(rendered))
+        return pd.Series(out)
+
+    return with_text.select("docid", "score", snip(F.col("content")).alias("snippet")) \
+        .orderBy(F.desc("score"), F.asc("docid"))

@@ -1,0 +1,146 @@
+"""Search components: collapse/grouping, facet-on-results, MLT,
+rescore, suggest, spellcheck, highlight (SURVEY §2.7/§2.13)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search import components as C
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index_comp"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4).cache()
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS, n_buckets=8)
+    searcher = IndexSearcher(tables, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    return searcher, oracle, corpus, pdf
+
+
+def _common_terms(oracle, n=2):
+    v = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    return v[:n]
+
+
+def test_collapse_topk(built):
+    searcher, oracle, _, _ = built
+    t1, t2 = _common_terms(oracle)
+    q = BooleanQuery.of(should=[TermQuery(t1), TermQuery(t2)])
+    rows = C.collapse_topk(searcher, q, "repo", k_groups=5, docs_per_group=2).collect()
+    assert rows
+    # one best row per group; ranks contiguous; within-group ranks valid
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["group_rank"], []).append(r)
+        assert 1 <= r["rank_in_group"] <= 2
+    assert sorted(seen) == list(range(1, len(seen) + 1))
+    # group order == order of each group's best score (desc)
+    best = [max(np.float32(r["score"]) for r in grp) for _, grp in sorted(seen.items())]
+    assert best == sorted(best, reverse=True)
+    # every hit's group collapse is correct vs a direct computation
+    full = searcher.search_df(q, None)
+    top1 = (full.join(searcher.docs.select("docid", "repo"), "docid")
+            .groupBy("repo").agg(F.max("score").alias("s")).collect())
+    exp_best = sorted((np.float32(r["s"]) for r in top1), reverse=True)[:len(seen)]
+    assert [np.float32(b) for b in best] == [np.float32(x) for x in exp_best]
+
+
+def test_facet_on_results(built):
+    searcher, oracle, _, pdf = built
+    t1, _ = _common_terms(oracle)
+    q = TermQuery(t1)
+    got = {r["lang"]: r["count"] for r in
+           C.facet_on_results(searcher, q, "lang").collect()}
+    # oracle: docids → langs via pdf order (docid = PK-sorted row index)
+    match = set(d for d, _ in oracle._match(q, oracle.scorer()).items())
+    exp = {}
+    for d in match:
+        exp[pdf.iloc[d]["lang"]] = exp.get(pdf.iloc[d]["lang"], 0) + 1
+    assert got == exp
+
+
+def test_more_like_this(built):
+    searcher, oracle, _, _ = built
+    q = C.more_like_this(searcher, docid=3, max_query_terms=10)
+    assert 1 <= len(q.clauses) <= 10
+    hits = searcher.search(q, 5)
+    assert hits
+    # the source doc scores in its own MLT neighborhood (almost surely #1)
+    assert any(h.docid == 3 for h in hits)
+
+
+def test_rescore(built):
+    searcher, oracle, _, _ = built
+    t1, t2 = _common_terms(oracle)
+    first, second = TermQuery(t1), TermQuery(t2)
+    got = C.rescore(searcher, first, second, rescore_n=30, k=10,
+                    first_weight=1.0, second_weight=2.0).collect()
+    assert len(got) == 10
+    # recompute expected combination from the two score maps
+    scorer = oracle.scorer()
+    m1 = oracle._match(first, scorer)
+    m2 = oracle._match(second, scorer)
+    top30 = sorted(m1.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))[:30]
+    comb = sorted(
+        ((d, np.float32(np.float32(s) * np.float32(1.0)
+                        + np.float32(m2.get(d, 0.0)) * np.float32(2.0)))
+         for d, s in top30),
+        key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["docid"], np.float32(r["score"])) for r in got] == [
+        (d, np.float32(s)) for d, s in comb]
+
+
+def test_suggest(built):
+    searcher, oracle, _, _ = built
+    pref = sorted(oracle.postings)[len(oracle.postings) // 2][:2]
+    got = C.suggest(searcher, pref, 10).collect()
+    assert got
+    exp = sorted(
+        ((t, len(oracle.postings[t])) for t in oracle.postings if t.startswith(pref)),
+        key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r["term"], r["weight"]) for r in got] == exp
+
+
+def test_spellcheck(built):
+    searcher, oracle, _, _ = built
+    word = max(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    typo = word[:-1] + ("x" if word[-1] != "x" else "y")
+    out = C.spellcheck(searcher, typo, n=5)
+    assert out and out[0][0] == word  # distance-1 high-df correction first
+    assert all(d <= 2 for _, d, _ in out)
+
+
+def test_highlight(built):
+    searcher, oracle, corpus, _ = built
+    t1, t2 = _common_terms(oracle)
+    q = BooleanQuery.of(should=[TermQuery(t1), TermQuery(t2)])
+    rows = C.highlight(searcher, q, k=5, corpus=corpus).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert "<b>" in r["snippet"]
+        inner = [s.split("</b>")[0].lower()
+                 for s in r["snippet"].split("<b>")[1:]]
+        assert all(tok in (t1, t2) for tok in inner)
+    # top-k order preserved
+    hits = searcher.search(q, 5)
+    assert [r["docid"] for r in rows] == [h.docid for h in hits]
+
+
+def test_token_spans_offsets(built):
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    text = "The Quick foo.bar BAZ-code 3.14"
+    spans = an.token_spans(text)
+    assert [t for t, _, _ in spans] == ["quick", "foo.bar", "baz", "code", "3.14"]
+    for t, a, b in spans:
+        assert text[a:b].lower() == t
