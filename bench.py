@@ -54,6 +54,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_fingerprint", "facet_counts_q1", "join_rollup_revenue",
         "left_outer_counts", "grouped_topk", "time_series",
         "stats_stream", "range_query_pushdown", "ann_cosine_knn",
+        "dedup_minhash_lsh", "dedup_simhash", "lang_id_heuristic",
+        "token_counts",
     ]
     out = {}
     for name in names:
@@ -68,19 +70,40 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
     """Flagship: index build docs/sec + closed-loop BM25 QPS."""
     from lucene_solr_spark.corpus import corpus_df
     from lucene_solr_spark.index import build_index
-    from lucene_solr_spark.search.executor import IndexSearcher
+    from lucene_solr_spark.index.segments import build_segment_index
     from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+    from lucene_solr_spark.search.executor import IndexSearcher
+    from lucene_solr_spark.search.wand import SegmentSearcher
 
     root = tempfile.mkdtemp(prefix="lss_bench_idx_")
+    root2 = tempfile.mkdtemp(prefix="lss_bench_idx2_")
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     try:
         corpus = corpus_df(spark, N_BUILD_DOCS)
+        corpus.persist().count()  # corpus generation outside timed region
         t0 = time.time()
         tables = build_index(corpus, root)
         build_sec = time.time() - t0
         timings["index_build"] = round(build_sec, 3)
         extras["build_docs_per_sec"] = round(N_BUILD_DOCS / build_sec, 1)
+
+        # codec v2: compressed segment build (the flagship write path)
+        t0 = time.time()
+        segidx = build_segment_index(corpus, root2,
+                                     docs_per_segment=max(N_BUILD_DOCS // 64, 512),
+                                     segments_per_chunk=10**9)
+        v2_sec = time.time() - t0
+        timings["index_build_v2"] = round(v2_sec, 3)
+        extras["build_v2_docs_per_sec"] = round(N_BUILD_DOCS / v2_sec, 1)
+
+        wand = SegmentSearcher(segidx, cache=True)
+        wq = BooleanQuery.of(should=[TermQuery("int"), TermQuery("return"),
+                                     TermQuery("class")])
+        wand.search(wq, 10)  # warm
+        t0 = time.time()
+        wand.search(wq, 10)
+        timings["wand_topk"] = round(time.time() - t0, 3)
 
         searcher = IndexSearcher(tables, cache=True)
         # query set drawn from the dictionary across the df spectrum
@@ -122,6 +145,7 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
         extras["bm25_batch_qps"] = round(N_QUERIES / bsec, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
     return timings, extras
 
 

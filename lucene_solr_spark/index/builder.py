@@ -130,57 +130,68 @@ def _make_segment_fn(stop_words: frozenset[str], max_token_length: int):
     """Per-partition DWPT: docs batch → aggregated posting rows plus one
     summary row per doc.
 
-    The per-(doc,term) aggregation uses factorize + argsort (C-speed),
-    not Python dict loops; the tokenizer regex is C-speed finditer.
-    """
+    Vectorized across the whole Arrow batch: ONE global factorize +
+    stable sort yields the (term, doc) posting runs; tfs and position
+    slices come from numpy boundary math (no per-doc factorize loop —
+    tokenization is the only per-row Python)."""
 
     def build_segment(batches):
         analyzer = StandardAnalyzer(stop_words=stop_words,
                                     max_token_length=max_token_length)
-        for pdf in batches:
-            docids = pdf["docid"].to_numpy()
-            contents = pdf["content"].tolist()
-            out_term: list[str] = []
-            out_docid: list[int] = []
-            out_tf: list[int] = []
-            out_pos: list[list[int] | None] = []
-            out_norm: list[int] = []
-            out_kind: list[int] = []
-            # local import keeps the hot loop free of attribute lookups
-            from ..util.smallfloat import int_to_byte4
+        from ..util.smallfloat import int_to_byte4_np
 
-            for did, content in zip(docids, contents):
+        for pdf in batches:
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            contents = pdf["content"].tolist()
+            ndocs = len(contents)
+
+            flat_tokens: list[str] = []
+            pos_lists: list[np.ndarray] = []
+            dls = np.empty(ndocs, dtype=np.int64)
+            shas: list[str] = []
+            for i, content in enumerate(contents):
                 terms, positions = analyzer.analyze(content)
-                dl = len(terms)
-                norm = int_to_byte4(dl)
-                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-                if dl:
-                    codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
-                    pos_arr = np.asarray(positions, dtype=np.int64)
-                    order = np.argsort(codes, kind="stable")
-                    sorted_codes = codes[order]
-                    sorted_pos = pos_arr[order]
-                    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
-                    starts = np.concatenate(([0], bounds))
-                    ends = np.concatenate((bounds, [len(sorted_codes)]))
-                    for s, e in zip(starts, ends):
-                        out_term.append(uniq[sorted_codes[s]])
-                        out_docid.append(int(did))
-                        out_tf.append(int(e - s))
-                        out_pos.append(sorted_pos[s:e].tolist())
-                        out_norm.append(norm)
-                        out_kind.append(0)
-                # summary row
-                out_term.append(sha)
-                out_docid.append(int(did))
-                out_tf.append(dl)
-                out_pos.append(None)
-                out_norm.append(norm)
-                out_kind.append(1)
-            yield pd.DataFrame(
-                {"term": out_term, "docid": out_docid, "tf": out_tf,
-                 "positions": out_pos, "norm": out_norm, "kind": out_kind}
-            )
+                flat_tokens.extend(terms)
+                pos_lists.append(np.asarray(positions, dtype=np.int64))
+                dls[i] = len(terms)
+                shas.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+            norms_doc = int_to_byte4_np(dls).astype(np.int64)
+
+            summary = pd.DataFrame({
+                "term": shas, "docid": docids, "tf": dls,
+                "positions": None, "norm": norms_doc, "kind": 1,
+            })
+
+            total = int(dls.sum())
+            if total == 0:
+                yield summary
+                continue
+
+            flat_pos = np.concatenate(pos_lists)
+            tok_didx = np.repeat(np.arange(ndocs), dls)
+            codes, uniq = pd.factorize(
+                np.asarray(flat_tokens, dtype=object), sort=False)
+            codes = np.asarray(codes)
+            uniq = np.asarray(uniq, dtype=object)
+            order = np.argsort(codes, kind="stable")
+            codes_s, didx_s, pos_s = codes[order], tok_didx[order], flat_pos[order]
+
+            new_post = np.empty(total, dtype=bool)
+            new_post[0] = True
+            new_post[1:] = (codes_s[1:] != codes_s[:-1]) | (didx_s[1:] != didx_s[:-1])
+            post_starts = np.flatnonzero(new_post)
+            tf = np.append(post_starts[1:], total) - post_starts
+            post_didx = didx_s[post_starts]
+
+            postings = pd.DataFrame({
+                "term": uniq[codes_s[post_starts]],
+                "docid": docids[post_didx],
+                "tf": tf,
+                "positions": np.split(pos_s, post_starts[1:]),
+                "norm": norms_doc[post_didx],
+                "kind": 0,
+            })
+            yield pd.concat([postings, summary], ignore_index=True)
 
     return build_segment
 

@@ -44,6 +44,53 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
 # varbyte (vInt) — vectorized
 # --------------------------------------------------------------------------
 
+def varbyte_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode the whole array once; also return per-value byte counts
+    so callers can slice the stream into per-group buffers (the
+    whole-segment vectorized write path)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        alive = tmp > 0
+        if not alive.any():
+            break
+        nbits[alive] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    max_rounds = int(nbytes.max())
+    tmp = v.copy()
+    for k in range(max_rounds):
+        alive = nbytes > k
+        idx = starts[alive] + k
+        chunk = (tmp[alive] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[alive] > k + 1).astype(np.uint8) << 7
+        out[idx] = chunk | cont
+        tmp[alive] >>= np.uint64(7)
+    return out.tobytes(), nbytes
+
+
+def grouped_varbyte(values: np.ndarray, group_starts: np.ndarray,
+                    header: bytes = b"\xff") -> list[bytes]:
+    """ONE vectorized varbyte pass over `values`, sliced into
+    per-group buffers at `group_starts` (value-space indices). Each
+    buffer is prefixed with the 0xFF varbyte header so `decode_seq`
+    reads it directly. This is what makes block encoding
+    O(total values) instead of O(blocks) numpy-call overhead."""
+    buf, nbytes = varbyte_encode_all(values)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    starts = np.asarray(group_starts, dtype=np.int64)
+    ends = np.append(starts[1:], len(np.asarray(values)))
+    mv = memoryview(buf)
+    return [header + bytes(mv[cum[s]:cum[e]]) for s, e in zip(starts, ends)]
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """LEB128-style varbyte: 7 bits per byte, high bit = continuation.
     Matches Lucene's vInt byte layout (store/DataOutput.writeVInt)."""

@@ -105,7 +105,12 @@ class IndexSearcher:
         self.sum_ttf = int(m["sum_ttf"])
         self.n_buckets = int(m["n_buckets"])
         self.scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
-        self.postings = tables.postings()
+        # scoring never reads positions — keep the cached/scanned
+        # projection slim (positions are arrays, ~10× the bytes of the
+        # scoring columns; caching them trashed executor memory).
+        # Phrase verification reads the full table with column pruning.
+        self.postings_full = tables.postings()
+        self.postings = self.postings_full.drop("positions")
         self.dict = tables.dict()
         self.docs = tables.docs()
         self._df_map: dict[str, int] | None = None
@@ -206,10 +211,11 @@ class IndexSearcher:
         return out
 
     # -- leaf scoring ---------------------------------------------------
-    def _postings_for(self, terms: list[str]) -> DataFrame:
+    def _postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         present = [t for t in terms]
         buckets = sorted({term_bucket(t, self.n_buckets) for t in present})
-        return self.postings.where(
+        src = self.postings_full if with_positions else self.postings
+        return src.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(present)
         )
 
@@ -254,7 +260,7 @@ class IndexSearcher:
         parts = []
         for i, t in enumerate(q.terms):
             p = (
-                self._postings_for([t])
+                self._postings_for([t], with_positions=True)
                 .select("docid", F.col("positions").alias(f"pos{i}"),
                         *( [F.col("norm")] if i == 0 else [] ))
             )

@@ -62,8 +62,9 @@ class _TermBlocks:
         imp_tfs = rows["imp_tfs"].tolist()
         imp_norms = rows["imp_norms"].tolist()
         for i in range(self.nblocks):
-            tfs = codec.varbyte_decode(imp_tfs[i]).astype(np.int64)
-            nbs = codec.varbyte_decode(imp_norms[i]).astype(np.int64)
+            # impact buffers carry the standard sequence header byte
+            tfs = codec.decode_seq(imp_tfs[i], 0).astype(np.int64)
+            nbs = codec.decode_seq(imp_norms[i], 0).astype(np.int64)
             s = bm25.score_terms(tfs, nbs, self.weight, cache)
             ubs[i] = s.max() if s.size else 0.0
         self.ub = ubs

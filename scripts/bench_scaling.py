@@ -72,9 +72,16 @@ def child(cpus: int, docs: int, queries: int) -> None:
     out["build_v1_sec"] = round(time.time() - t0, 2)
 
     searcher = IndexSearcher(tables, cache=True)
-    terms = [r["term"] for r in searcher.dict.orderBy("df").collect()]
-    mid = terms[len(terms) // 3: 2 * len(terms) // 3]
-    hi = terms[2 * len(terms) // 3:]
+    # stratified query-term sample WITHOUT collecting the whole dict
+    # (at 200k docs the dictionary is millions of terms — a full
+    # orderBy.collect is a single-threaded driver serialization wall)
+    from pyspark.sql import functions as F
+
+    hi_rows = searcher.dict.orderBy(F.desc("df"), "term").limit(512).collect()
+    mid_rows = (searcher.dict.where(F.col("df").between(3, 50))
+                .orderBy("term").limit(512).collect())
+    hi = [r["term"] for r in hi_rows]
+    mid = [r["term"] for r in mid_rows] or hi
     qs = {}
     for i in range(queries):
         a, b = mid[(37 * i) % len(mid)], hi[(53 * i) % len(hi)]
