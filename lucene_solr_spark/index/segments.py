@@ -62,7 +62,11 @@ BLOCKS_SCHEMA = (
     "segment int, kind int, term string, block_ord int, n int, "
     "first_docid long, last_docid long, sum_tf long, "
     "docids binary, tfs binary, norms binary, positions binary, "
-    "imp_tfs binary, imp_norms binary"
+    "imp_tfs binary, imp_norms binary, "
+    # doc metadata, populated on kind=1 summary rows only (null on
+    # block rows — RLE'd away by parquet): lets the docs table derive
+    # straight from summaries with NO join back to the docmap
+    "repo string, path string, commit string, lang string"
 )
 
 CHECKPOINT_SCHEMA = (
@@ -118,6 +122,10 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
             "sum_tf": dls, "docids": b"", "tfs": b"",
             "norms": [bytes([b]) for b in norms_doc],
             "positions": b"", "imp_tfs": b"", "imp_norms": b"",
+            "repo": pdf["repo"].to_numpy(),
+            "path": pdf["path"].to_numpy(),
+            "commit": pdf["commit"].to_numpy(),
+            "lang": pdf["lang"].to_numpy(),
         })
 
         total = int(dls.sum())
@@ -227,10 +235,35 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
             "docids": docid_bufs, "tfs": tf_bufs, "norms": norm_bufs,
             "positions": pos_bufs,
             "imp_tfs": imp_tf_bufs, "imp_norms": imp_norm_bufs,
+            "repo": None, "path": None, "commit": None, "lang": None,
         })
         return pd.concat([summary, blocks], ignore_index=True)
 
     return build
+
+
+def _multi_segment_builder(stop_words: frozenset[str], max_token_length: int,
+                           docs_per_segment: int):
+    """mapInPandas fn for the shuffle-free build path: the docmap is
+    written `partitionBy(segment)`, so an input split never mixes many
+    segments; we accumulate the split, group by segment in-memory and
+    run the per-segment builder. Removes the groupBy exchange of the
+    corpus content entirely — the build's only data movement is the
+    docid range-exchange of stage 0. `spark.sql.files.maxPartitionBytes`
+    bounds how many segments (and bytes) one task holds."""
+    inner = _segment_builder(stop_words, max_token_length, docs_per_segment)
+
+    def build_many(batches):
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            parts.append(pdf)
+        if not parts:
+            return
+        all_rows = pd.concat(parts, ignore_index=True)
+        for _, seg_pdf in all_rows.groupby("segment", sort=True):
+            yield inner(seg_pdf)
+
+    return build_many
 
 
 @dataclass
@@ -308,11 +341,17 @@ def build_segment_index(
     idx = SegmentIndex(out_root, spark)
 
     # ---- stage 0: docmap (docid lineage) ------------------------------
+    # repartition(segment) + partitionBy(segment): each segment becomes
+    # exactly ONE file in its own directory, so stage 1 needs NO
+    # shuffle (mapInPandas over segment-pure splits; bin-packed tasks
+    # may hold several whole segments, never a fraction of one) and
+    # chunk filters become partition pruning instead of a data scan.
     if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
         with_ids = assign_docids(corpus)
-        with_ids.withColumn(
-            "segment", (F.col("docid") / docs_per_segment).cast("int")
-        ).write.mode("overwrite").parquet(idx.docmap_path)
+        (with_ids.withColumn(
+            "segment", (F.col("docid") / docs_per_segment).cast("int"))
+         .repartition(F.col("segment"))
+         .write.mode("overwrite").partitionBy("segment").parquet(idx.docmap_path))
         parent = getattr(with_ids, "_lss_persisted_parent", None)
         if parent is not None:
             parent.unpersist()
@@ -329,8 +368,14 @@ def build_segment_index(
     done = _done_chunks(spark, out_root) if resume else set()
     if not resume and os.path.exists(idx.blocks_path):
         shutil.rmtree(idx.blocks_path)
-    builder = _segment_builder(stop_words, max_token_length, docs_per_segment)
+    builder = _multi_segment_builder(stop_words, max_token_length, docs_per_segment)
     built = 0
+    # a docmap FILE must never split across tasks (a split segment
+    # would emit colliding block_ords); docmap files are one-segment-
+    # pure, so cap splitting instead of shuffling. docs_per_segment is
+    # the sizing knob that keeps a segment well under this.
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024**3))
     for chunk in range(n_chunks):
         seg_lo = chunk * segments_per_chunk
         seg_hi = min(seg_lo + segments_per_chunk, n_segments)
@@ -344,10 +389,12 @@ def build_segment_index(
         lo_doc = seg_lo * docs_per_segment
         hi_doc = seg_hi * docs_per_segment
         tc = time.time()
+        # segment predicate → partition pruning on the docmap layout;
+        # mapInPandas (no exchange) — docmap files are segment-pure
         part_df = docmap.where(
-            (F.col("docid") >= lo_doc) & (F.col("docid") < hi_doc)
+            (F.col("segment") >= seg_lo) & (F.col("segment") < seg_hi)
         )
-        out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+        out = part_df.mapInPandas(builder, BLOCKS_SCHEMA)
         out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
         wall = time.time() - tc
         chunk_docs = min(hi_doc, n_docs_total) - lo_doc
@@ -359,21 +406,21 @@ def build_segment_index(
         )
         built += 1
         if fail_after_chunk is not None and built >= fail_after_chunk:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
             raise RuntimeError(f"injected failure after chunk {chunk}")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     # touch a blocks _SUCCESS marker equivalent via manifest below
 
     # ---- stage 2: derived tables --------------------------------------
-    summaries = idx.summaries().select(
-        F.col("first_docid").alias("docid"),
+    # docs derives straight from summary rows (they carry the doc
+    # metadata) — no join back to the docmap, no extra shuffle
+    idx.summaries().select(
+        F.col("first_docid").alias("docid"), *PK, "lang", "segment",
         F.col("n").alias("dl"),
         F.conv(F.hex(F.col("norms")), 16, 10).cast("int").alias("norm"),
         F.col("term").alias("content_sha256"),
-    )
-    docmap_slim = docmap.select("docid", *PK, "lang", "segment")
-    docmap_slim.join(summaries, "docid").write.mode("overwrite").parquet(
-        os.path.join(out_root, "docs")
-    )
+    ).write.mode("overwrite").parquet(os.path.join(out_root, "docs"))
 
     blocks = idx.blocks()
     blocks.groupBy("term").agg(

@@ -100,8 +100,10 @@ class IncrementalIndexer:
         out = with_ids.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
         out.write.mode("append").partitionBy("segment").parquet(
             os.path.join(self.root, "blocks"))
-        # docmap append (lineage)
-        with_ids.write.mode("append").parquet(os.path.join(self.root, "docmap"))
+        # docmap append (lineage) — segment-pure files, matching the
+        # batch builder's layout (segments.py shuffle-free read path)
+        with_ids.repartition(F.col("segment")).write.mode("append").partitionBy(
+            "segment").parquet(os.path.join(self.root, "docmap"))
 
         idx = SegmentIndex(self.root, spark)
         self._refresh_derived(idx)
@@ -114,15 +116,12 @@ class IncrementalIndexer:
         'reopen'). Incremental alternative at scale: MERGE INTO the
         dict delta; full recompute keeps the sandbox honest & simple."""
         spark = idx.spark
-        summaries = idx.summaries().select(
-            F.col("first_docid").alias("docid"),
+        idx.summaries().select(
+            F.col("first_docid").alias("docid"), *PK, "lang", "segment",
             F.col("n").alias("dl"),
             F.conv(F.hex(F.col("norms")), 16, 10).cast("int").alias("norm"),
             F.col("term").alias("content_sha256"),
-        )
-        docmap_slim = idx.docmap().select("docid", *PK, "lang", "segment")
-        docmap_slim.join(summaries, "docid").write.mode("overwrite").parquet(
-            os.path.join(self.root, "docs.tmp"))
+        ).write.mode("overwrite").parquet(os.path.join(self.root, "docs.tmp"))
         blocks = idx.blocks()
         blocks.groupBy("term").agg(
             F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
@@ -220,7 +219,8 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
                                F.col("segment")),
         "docid",
     )
-    new_map.write.mode("overwrite").parquet(os.path.join(idx.root, "docmap.tmp"))
+    new_map.repartition(F.col("segment")).write.mode("overwrite").partitionBy(
+        "segment").parquet(os.path.join(idx.root, "docmap.tmp"))
     shutil.rmtree(idx.docmap_path)
     os.rename(os.path.join(idx.root, "docmap.tmp"), idx.docmap_path)
     return len({int(r["segment"]) for r in

@@ -51,6 +51,17 @@ def test_stats_and_sha(built):
             src["repo"], src["path"], src["commit"])
 
 
+def test_block_keys_unique(built):
+    """(segment, term, block_ord) must be unique — a segment split
+    across build tasks would emit colliding partial blocks."""
+    idx, _, _, _ = built
+    from pyspark.sql import functions as F
+
+    dups = (idx.blocks().groupBy("segment", "term", "block_ord")
+            .agg(F.count("*").alias("c")).where(F.col("c") > 1).count())
+    assert dups == 0
+
+
 def test_dict_matches_oracle(built):
     idx, _, oracle, _ = built
     rows = {r["term"]: (r["df"], r["ttf"]) for r in idx.dict().collect()}
