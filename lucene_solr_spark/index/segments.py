@@ -10,23 +10,27 @@ dictionary-side access (prefix/fuzzy expansion, analytics joins);
 Lucene similarly keeps postings + docvalues as different orderings of
 the same data.
 
-Build plan (shuffle inventory):
-  stage 0  docmap/   corpus + deterministic docid (rank of PK); ONE
-           range-exchange (assign_docids). Persisted to Parquet so
-           every later stage and any resume reads the exact same
-           assignment — this table IS the docid lineage.
-  stage 1  blocks/   per chunk of segments: filter docmap by docid
-           range (Parquet min/max pruning), groupBy(segment)
-           .applyInPandas → tokenize, aggregate, delta+varbyte/FOR
-           encode 128-doc posting blocks with competitive impacts
-           (codec.py). One shuffle per chunk, keyed by segment.
-           Each chunk commit appends a checkpoint row; a killed build
-           resumes by skipping completed chunks (partial segment dirs
-           of an uncheckpointed chunk are removed first).
-  stage 2  docs/ dict/ stats/ — derived: docs = summary rows ⋈ docmap
-           (slim join); dict = blocks.groupBy(term).agg (map-side
-           partial agg; hot terms reduce to one row per segment before
-           the exchange, so no salting needed here); stats = one row.
+Build plan (shuffle inventory — content moves exactly twice, never
+through Parquet twice):
+  stage 0  deterministic docid = rank of PK via ONE range-exchange
+           (assign_docids); result (corpus + docid + segment) pinned
+           MEMORY_AND_DISK for the whole build. Only a SLIM docmap
+           (keys + docid + segment — the lineage record) is written;
+           on resume the same with_ids is recomputed, identical
+           because ranks are input-determined, not layout-determined.
+  stage 1  blocks/   per chunk of segments: filter the pinned frame,
+           ONE exchange keyed by segment (only that chunk's content
+           moves), applyInPandas → tokenize, aggregate,
+           delta+varbyte/FOR encode 128-doc posting blocks with
+           competitive impacts (codec.py). Each chunk commit appends
+           a checkpoint row; a killed build resumes by skipping
+           completed chunks (partial segment dirs of an uncheckpointed
+           chunk are removed first).
+  stage 2  docs/ dict/ stats/ — derived without joins: summary rows
+           carry the doc metadata, so docs/ is a select over blocks;
+           dict = blocks.groupBy(term).agg (map-side partial agg; hot
+           terms reduce to one row per segment before the exchange, so
+           no salting needed here); stats = one row.
 
 At 10^12-file scale: docs_per_segment is the DWPT RAM-budget knob
 (IndexWriterConfig.java:93 — 16 MB buffer ≙ segment sized to executor
@@ -51,6 +55,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import ENGLISH_STOP_WORDS
@@ -242,30 +247,6 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
     return build
 
 
-def _multi_segment_builder(stop_words: frozenset[str], max_token_length: int,
-                           docs_per_segment: int):
-    """mapInPandas fn for the shuffle-free build path: the docmap is
-    written `partitionBy(segment)`, so an input split never mixes many
-    segments; we accumulate the split, group by segment in-memory and
-    run the per-segment builder. Removes the groupBy exchange of the
-    corpus content entirely — the build's only data movement is the
-    docid range-exchange of stage 0. `spark.sql.files.maxPartitionBytes`
-    bounds how many segments (and bytes) one task holds."""
-    inner = _segment_builder(stop_words, max_token_length, docs_per_segment)
-
-    def build_many(batches):
-        parts: list[pd.DataFrame] = []
-        for pdf in batches:
-            parts.append(pdf)
-        if not parts:
-            return
-        all_rows = pd.concat(parts, ignore_index=True)
-        for _, seg_pdf in all_rows.groupby("segment", sort=True):
-            yield inner(seg_pdf)
-
-    return build_many
-
-
 @dataclass
 class SegmentIndex:
     root: str
@@ -340,27 +321,26 @@ def build_segment_index(
     os.makedirs(out_root, exist_ok=True)
     idx = SegmentIndex(out_root, spark)
 
-    # ---- stage 0: docmap (docid lineage) ------------------------------
-    # repartition(segment) + partitionBy(segment): each segment becomes
-    # exactly ONE file in its own directory, so stage 1 needs NO
-    # shuffle (mapInPandas over segment-pure splits; bin-packed tasks
-    # may hold several whole segments, never a fraction of one) and
-    # chunk filters become partition pruning instead of a data scan.
+    # ---- stage 0: docids + slim docmap (lineage) ----------------------
+    # The corpus content is NEVER written twice: docids attach via the
+    # range exchange, the result stays pinned in executor memory/disk
+    # for the build, and only a SLIM docmap (keys + docid + segment —
+    # the lineage record) goes to Parquet. On resume the same with_ids
+    # is recomputed — ranks are input-determined, so the docid/segment
+    # assignment is identical.
+    with_ids = assign_docids(corpus).withColumn(
+        "segment", (F.col("docid") / docs_per_segment).cast("int"))
+    with_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs_total = with_ids.count()
+    parent = getattr(with_ids, "_lss_persisted_parent", None)
+    if parent is not None:
+        parent.unpersist()
     if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
-        with_ids = assign_docids(corpus)
-        (with_ids.withColumn(
-            "segment", (F.col("docid") / docs_per_segment).cast("int"))
-         .repartition(F.col("segment"))
-         .write.mode("overwrite").partitionBy("segment").parquet(idx.docmap_path))
-        parent = getattr(with_ids, "_lss_persisted_parent", None)
-        if parent is not None:
-            parent.unpersist()
+        with_ids.drop("content").write.mode("overwrite").parquet(idx.docmap_path)
         _append_checkpoint(spark, out_root,
                            ("docmap", -1, 0, 0, 0, 0, 0, 0,
                             round(time.time() - t0, 3), 0.0))
 
-    docmap = idx.docmap()
-    n_docs_total = docmap.count()
     n_segments = int(np.ceil(n_docs_total / docs_per_segment)) or 1
     n_chunks = int(np.ceil(n_segments / segments_per_chunk))
 
@@ -368,14 +348,8 @@ def build_segment_index(
     done = _done_chunks(spark, out_root) if resume else set()
     if not resume and os.path.exists(idx.blocks_path):
         shutil.rmtree(idx.blocks_path)
-    builder = _multi_segment_builder(stop_words, max_token_length, docs_per_segment)
+    builder = _segment_builder(stop_words, max_token_length, docs_per_segment)
     built = 0
-    # a docmap FILE must never split across tasks (a split segment
-    # would emit colliding block_ords); docmap files are one-segment-
-    # pure, so cap splitting instead of shuffling. docs_per_segment is
-    # the sizing knob that keeps a segment well under this.
-    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024**3))
     for chunk in range(n_chunks):
         seg_lo = chunk * segments_per_chunk
         seg_hi = min(seg_lo + segments_per_chunk, n_segments)
@@ -389,12 +363,11 @@ def build_segment_index(
         lo_doc = seg_lo * docs_per_segment
         hi_doc = seg_hi * docs_per_segment
         tc = time.time()
-        # segment predicate → partition pruning on the docmap layout;
-        # mapInPandas (no exchange) — docmap files are segment-pure
-        part_df = docmap.where(
+        # ONE exchange of (only) this chunk's content, keyed by segment
+        part_df = with_ids.where(
             (F.col("segment") >= seg_lo) & (F.col("segment") < seg_hi)
         )
-        out = part_df.mapInPandas(builder, BLOCKS_SCHEMA)
+        out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
         out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
         wall = time.time() - tc
         chunk_docs = min(hi_doc, n_docs_total) - lo_doc
@@ -406,11 +379,8 @@ def build_segment_index(
         )
         built += 1
         if fail_after_chunk is not None and built >= fail_after_chunk:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            with_ids.unpersist()
             raise RuntimeError(f"injected failure after chunk {chunk}")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-
-    # touch a blocks _SUCCESS marker equivalent via manifest below
 
     # ---- stage 2: derived tables --------------------------------------
     # docs derives straight from summary rows (they carry the doc
@@ -446,4 +416,5 @@ def build_segment_index(
     }
     with open(os.path.join(out_root, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+    with_ids.unpersist()
     return idx

@@ -185,6 +185,12 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
     stop = frozenset(m.get("stop_words", ()))
     builder = _segment_builder(stop, int(m["max_token_length"]), dps)
     docmap = idx.docmap()
+    if "content" not in docmap.columns:
+        raise ValueError(
+            "compaction needs document content: this index's docmap is "
+            "slim (batch build) — re-run build_segment_index with a "
+            "larger docs_per_segment instead, or compact from the "
+            "source corpus table")
     merged_src = docmap.where(F.col("segment").isin(small))
     # re-key: pack the merged docs into the FEWEST segments, reusing
     # ids from `small` (never colliding with surviving full segments).
