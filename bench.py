@@ -29,6 +29,9 @@ N_QUERIES = int(os.environ.get("LSS_BENCH_QUERIES", "40"))
 
 
 def make_spark(cpus: int):
+    from lucene_solr_spark.util.env import configure_allocator
+
+    configure_allocator()
     from pyspark.sql import SparkSession
 
     return (

@@ -187,6 +187,9 @@ def standard_tokenize_typed(
     return out
 
 
+_MISS = object()  # memo-miss sentinel (None is a valid memo value)
+
+
 class StandardAnalyzer:
     """StandardTokenizer → LowerCaseFilter → StopFilter.
 
@@ -208,18 +211,32 @@ class StandardAnalyzer:
     ):
         self.stop_words = stop_words or frozenset()
         self.max_token_length = max_token_length
+        # raw token → lowered term (None = stopword). Zipf vocab means
+        # almost every token is a repeat: the memo turns per-token
+        # lower()+allocation into a dict hit returning a SHARED string
+        # object — far fewer allocations/page-faults in the hot
+        # indexing loop, and downstream factorize hashes fewer unique
+        # object ids. Bounded by vocabulary size per analyzer instance.
+        self._memo: dict[str, str | None] = {}
 
     def analyze(self, text: str) -> tuple[list[str], list[int]]:
         toks = standard_tokenize(text, self.max_token_length)
         terms: list[str] = []
         positions: list[int] = []
+        memo = self._memo
         stops = self.stop_words
+        append_t = terms.append
+        append_p = positions.append
         for pos, tok in enumerate(toks):
-            t = tok.lower()
-            if t in stops:
+            t = memo.get(tok, _MISS)
+            if t is _MISS:
+                low = tok.lower()
+                t = None if low in stops else low
+                memo[tok] = t
+            if t is None:
                 continue
-            terms.append(t)
-            positions.append(pos)
+            append_t(t)
+            append_p(pos)
         return terms, positions
 
     def terms(self, text: str) -> list[str]:

@@ -109,6 +109,9 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
         ndocs = len(contents)
 
         # --- tokenize (the irreducible per-doc work) -------------------
+        # int32 throughout the token-space arrays: positions and doc
+        # ordinals fit comfortably, and halving the bytes matters —
+        # in a cold worker, page-fault cost tracks bytes touched.
         flat_tokens: list[str] = []
         pos_lists: list[np.ndarray] = []
         dls = np.empty(ndocs, dtype=np.int64)
@@ -116,10 +119,10 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
         for i, content in enumerate(contents):
             terms, positions = analyzer.analyze(content)
             flat_tokens.extend(terms)
-            pos_lists.append(np.asarray(positions, dtype=np.int64))
+            pos_lists.append(np.asarray(positions, dtype=np.int32))
             dls[i] = len(terms)
             shas.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
-        norms_doc = int_to_byte4_np(dls).astype(np.int64)
+        norms_doc = int_to_byte4_np(dls).astype(np.int16)
 
         summary = pd.DataFrame({
             "segment": seg, "kind": 1, "term": shas, "block_ord": 0,
@@ -139,10 +142,10 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
 
         # --- invert: global factorize + ONE stable sort ---------------
         flat_pos = np.concatenate(pos_lists)
-        tok_didx = np.repeat(np.arange(ndocs), dls)
+        tok_didx = np.repeat(np.arange(ndocs, dtype=np.int32), dls)
         codes, uniq = pd.factorize(
             np.asarray(flat_tokens, dtype=object), sort=True)
-        codes = np.asarray(codes)
+        codes = np.asarray(codes).astype(np.int32, copy=False)
         uniq = np.asarray(uniq, dtype=object)
         # tokens are already in (doc, position) order → stable sort by
         # term code yields the (term, docid, position) stream

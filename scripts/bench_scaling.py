@@ -32,6 +32,9 @@ sys.path.insert(0, REPO)
 
 def child(cpus: int, docs: int, queries: int) -> None:
     """Runs in a subprocess: build + query at one parallelism level."""
+    from lucene_solr_spark.util.env import configure_allocator
+
+    configure_allocator()
     from pyspark.sql import SparkSession
 
     spark = (

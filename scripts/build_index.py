@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
+    from lucene_solr_spark.util.env import configure_allocator
+
+    configure_allocator()
     from pyspark.sql import SparkSession
 
     spark = (

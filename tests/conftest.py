@@ -8,6 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    from lucene_solr_spark.util.env import configure_allocator
+
+    configure_allocator()
     from pyspark.sql import SparkSession
 
     s = (
