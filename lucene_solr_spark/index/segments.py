@@ -400,9 +400,13 @@ def build_segment_index(
         F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
     ).write.mode("overwrite").parquet(os.path.join(out_root, "dict"))
 
-    idx.docs().agg(
-        F.count("*").alias("doc_count"), F.sum("dl").alias("sum_ttf")
-    ).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
+    # collection stats without another corpus-wide scan: doc_count is
+    # already known, sum_ttf = Σ dict.ttf (both count post-stop tokens)
+    ttf_row = idx.dict().agg(F.sum("ttf").alias("s")).collect()[0]
+    spark.createDataFrame(
+        [(int(n_docs_total), int(ttf_row["s"] or 0))],
+        "doc_count long, sum_ttf long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
 
     st = idx.stats()
     manifest = {

@@ -56,13 +56,28 @@ def child(cpus: int, docs: int, queries: int) -> None:
     from lucene_solr_spark.search.executor import IndexSearcher
     from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
 
+    import shutil
+
     out = {"cpus": cpus, "docs": docs}
     corpus = corpus_df(spark, docs, partitions=cpus * 2)
     corpus.persist().count()  # materialize input OUTSIDE the timed region
 
+    dps = max(docs // (cpus * 2), 512)
+    # WARM-UP build (untimed — BASELINE.md protocol: 1 warmup + measured
+    # runs): Python workers are reused across jobs, so this faults in
+    # every worker's allocator arena once; the measured run then
+    # reflects steady-state throughput, not this sandbox's pathological
+    # first-touch page-fault cost (which a long-lived cluster executor
+    # pays once per process lifetime, not per job).
+    warm_root = tempfile.mkdtemp(prefix=f"lss_warm_{cpus}_")
+    warm_corpus = corpus.where("pmod(crc32(path), 4) = 0")  # quarter-size
+    build_segment_index(warm_corpus, warm_root, docs_per_segment=dps,
+                        segments_per_chunk=10**9)
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix=f"lss_scale_{cpus}_")
     t0 = time.time()
-    build_segment_index(corpus, root, docs_per_segment=max(docs // (cpus * 2), 512),
+    build_segment_index(corpus, root, docs_per_segment=dps,
                         segments_per_chunk=10**9)  # one chunk: pure throughput
     build_sec = time.time() - t0
     out["build_sec"] = round(build_sec, 2)
