@@ -129,6 +129,33 @@ def _engine_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docid", F.col("score").cast("double").alias("score"))
 
 
+def _engine_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping/collapse component: top groups by best hit (grouping
+    module / CollapsingQParserPlugin role)."""
+    from lucene_solr_spark.search import components as C
+
+    s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(should=[TermQuery("spark"), TermQuery("table")])
+    return C.collapse_topk(s, q, "repo", k_groups=5, docs_per_group=2)
+
+
+def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocompletion from the term dictionary (suggest module)."""
+    from lucene_solr_spark.search import components as C
+
+    return C.suggest(_searcher(spark, sf_dir), "qu", 10)
+
+
+def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis: tf-idf term extraction → disjunction query."""
+    from lucene_solr_spark.search import components as C
+
+    s = _searcher(spark, sf_dir)
+    q = C.more_like_this(s, docid=1, max_query_terms=15)
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the inverted index over sf0.001 documents with
     the real engine and run a BM25 top-k boolean query."""
@@ -143,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_dismax_topk"] = _engine_dismax_topk
     out["engine_parsed_query"] = _engine_parsed_query
     out["engine_prefix_topk"] = _engine_prefix_topk
+    out["engine_collapse"] = _engine_collapse
+    out["engine_suggest"] = _engine_suggest
+    out["engine_mlt"] = _engine_mlt
     return out
 
 

@@ -182,6 +182,20 @@ class QueryParser:
             return q
 
     def _primitive(self, t: str) -> Query | None:
+        # explicit field prefix: single-field engine, so only the
+        # default field name is accepted (field:term in the classic
+        # grammar, QueryParser.jj; unknown fields are a parse error)
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(?=\S)", t)
+        if m and not t.startswith('"') and "//" not in t:
+            field = m.group(1)
+            rest = t[m.end():]
+            # UAX#29 joins a:b into one token, so only strip a prefix
+            # that names the content field
+            if field == "content":
+                t = rest
+            elif field.lower() == field and rest and (
+                    rest[0] in "\"[{/(" or rest.endswith("*")):
+                raise QueryParseError(f"unknown field {field!r}")
         # phrase
         if t.startswith('"'):
             m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', t)

@@ -83,11 +83,16 @@ def child(cpus: int, docs: int, queries: int) -> None:
     out["build_sec"] = round(build_sec, 2)
     out["build_docs_per_sec"] = round(docs / build_sec, 1)
 
-    # v1 term-bucketed index for the batched query path
+    # v1 term-bucketed index for the batched query path — quarter-size
+    # corpus (the query metric needs a realistic index, not the full
+    # scaling input; v2 above is the build-throughput metric)
     root1 = tempfile.mkdtemp(prefix=f"lss_scale1_{cpus}_")
+    q_corpus = corpus.where("pmod(crc32(path), 4) = 1")
+    n_q = q_corpus.count()
     t0 = time.time()
-    tables = build_index(corpus, root1)
+    tables = build_index(q_corpus, root1)
     out["build_v1_sec"] = round(time.time() - t0, 2)
+    out["v1_docs"] = int(n_q)
 
     searcher = IndexSearcher(tables, cache=True)
     # stratified query-term sample WITHOUT collecting the whole dict

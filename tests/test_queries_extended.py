@@ -202,6 +202,14 @@ def test_parser_phrase_fuzzy_wild_range():
     assert p.parse("[* TO beta]") == TermRangeQuery(None, "beta")
 
 
+def test_parser_field_prefix():
+    p = QueryParser(StandardAnalyzer())
+    assert p.parse("content:hello") == TermQuery("hello")
+    assert p.parse("content:pre*") == PrefixQuery("pre")
+    # UAX#29 keeps a:b as one token — bare unknown prefix stays a term
+    assert p.parse("a:b") == TermQuery("a:b")
+
+
 def test_parser_boost_and_group():
     p = QueryParser(StandardAnalyzer())
     assert p.parse("foo^2") == TermQuery("foo", boost=2.0)
