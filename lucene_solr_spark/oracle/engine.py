@@ -17,6 +17,7 @@ import numpy as np
 from ..analysis import StandardAnalyzer
 from ..search import bm25
 from ..search.multiterm import expand_terms
+from ..search.sloppy import sloppy_freq
 from ..search.queries import (
     BooleanClause,
     BooleanQuery,
@@ -161,9 +162,12 @@ class OracleIndex:
         return out
 
     def _match_phrase(self, q: PhraseQuery, scorer, boost) -> dict[int, float]:
-        """ExactPhraseMatcher (slop=0) / SloppyPhraseMatcher-lite semantics:
-        phrase freq = number of positional alignments; idf = sum of member
-        idfs (BM25Similarity.java:172-181), one sim call on phrase freq."""
+        """ExactPhraseMatcher (slop=0) / SloppyPhraseMatcher (slop>0)
+        semantics: exact freq = number of positional alignments; sloppy
+        freq = float32 sum of 1/(1+matchLength) over the greedy pq
+        traversal (SloppyPhraseMatcher.java:119-152, PhraseScorer.java:
+        68-77 — see search/sloppy.py); idf = sum of member idfs
+        (BM25Similarity.java:172-181), one sim call on phrase freq."""
         if not q.terms:
             return {}
         plists = [self.postings.get(t) for t in q.terms]
@@ -181,20 +185,20 @@ class OracleIndex:
         w = bm25.term_weight(idf_sum, boost * q.boost, scorer.k1)
         out = {}
         for d in common:
-            first = np.asarray(doc_maps[0][d], dtype=np.int64) - offs[0]
-            cand = first
-            for m, off in zip(doc_maps[1:], offs[1:]):
-                nxt = np.asarray(m[d], dtype=np.int64) - off
-                if q.slop == 0:
+            if q.slop == 0:
+                cand = np.asarray(doc_maps[0][d], dtype=np.int64) - offs[0]
+                for m, off in zip(doc_maps[1:], offs[1:]):
+                    nxt = np.asarray(m[d], dtype=np.int64) - off
                     cand = np.intersect1d(cand, nxt)
-                else:
-                    keep = np.abs(cand[:, None] - nxt[None, :]).min(axis=1) <= q.slop
-                    cand = cand[keep]
-                if cand.size == 0:
-                    break
-            if cand.size:
+                    if cand.size == 0:
+                        break
+                freq = float(cand.size)
+            else:
+                freq = sloppy_freq([doc_maps[i][d] for i in range(len(q.terms))],
+                                   offs, q.slop)
+            if freq > 0:
                 s = bm25.score_terms(
-                    np.array([cand.size]), np.array([self.norms[d]]), w, scorer.cache
+                    np.array([freq]), np.array([self.norms[d]]), w, scorer.cache
                 )[0]
                 out[d] = float(s)
         return out

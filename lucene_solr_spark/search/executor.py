@@ -243,10 +243,21 @@ class IndexSearcher:
         )
 
     def _phrase_leaf(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
-        """Two-phase phrase (TwoPhaseIterator / ExactPhraseMatcher
-        semantics): conjunction join on docid approximates; position
-        alignment verified vectorized; freq = #alignments; weight from
-        summed idf (BM25Similarity.java:172-181)."""
+        """Two-phase phrase (TwoPhaseIterator semantics): conjunction
+        join on docid approximates; position verification is exact.
+
+        slop=0 — ExactPhraseMatcher (ExactPhraseMatcher.java:93-126):
+        freq = #alignments, verified VECTORIZED across the whole Arrow
+        batch (positions flattened with per-row strides, one
+        intersect1d per term pair — no per-row Python).
+
+        slop>0 — SloppyPhraseMatcher (SloppyPhraseMatcher.java:119-152):
+        float32 freq = Σ 1/(1+matchLength) over the greedy pq traversal
+        (search/sloppy.py). The traversal is inherently sequential per
+        doc; it runs only on conjunction survivors.
+
+        Weight from summed member idfs (BM25Similarity.java:172-181).
+        """
         if not q.terms or any(stats.get(t, 0) == 0 for t in q.terms):
             return self._empty_scored()
         offs = q.effective_positions()
@@ -255,6 +266,7 @@ class IndexSearcher:
         w = float(bm25.term_weight(idf_sum, boost * q.boost, self.scorer.k1))
         slop = q.slop
         cache = self.scorer.cache
+        nterms = len(q.terms)
 
         # per-term position arrays joined on docid (sort-merge on docid)
         parts = []
@@ -267,34 +279,60 @@ class IndexSearcher:
             parts.append(p)
         joined = reduce(lambda a, b: a.join(b, "docid"), parts)
 
-        pos_cols = [f"pos{i}" for i in range(len(q.terms))]
+        max_off = max(offs)
 
         def verify(batches):
+            from .sloppy import sloppy_freq
+
             for pdf in batches:
-                out_docid, out_score = [], []
-                for row in pdf.itertuples(index=False):
-                    d = getattr(row, "docid")
-                    cand = np.asarray(getattr(row, "pos0"), dtype=np.int64) - offs[0]
-                    ok = True
-                    for i in range(1, len(pos_cols)):
-                        nxt = np.asarray(getattr(row, f"pos{i}"), dtype=np.int64) - offs[i]
-                        if slop == 0:
-                            cand = np.intersect1d(cand, nxt)
-                        else:
-                            keep = np.abs(cand[:, None] - nxt[None, :]).min(axis=1) <= slop
-                            cand = cand[keep]
+                nrows = len(pdf)
+                if nrows == 0:
+                    continue
+                docids = pdf["docid"].to_numpy(dtype=np.int64)
+                norms = pdf["norm"].to_numpy(dtype=np.int64)
+                cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
+                if slop == 0:
+                    # flatten with a per-row stride so ONE intersect1d
+                    # per term pair verifies the whole batch
+                    flats, lens = [], []
+                    maxpos = 0
+                    for i in range(nterms):
+                        ln = np.fromiter((len(a) for a in cols[i]), dtype=np.int64,
+                                         count=nrows)
+                        fl = np.concatenate([np.asarray(a, dtype=np.int64)
+                                             for a in cols[i]]) if ln.sum() else \
+                            np.empty(0, dtype=np.int64)
+                        if fl.size:
+                            maxpos = max(maxpos, int(fl.max()))
+                        flats.append(fl)
+                        lens.append(ln)
+                    stride = maxpos + max_off + 2
+                    cand = None
+                    for i in range(nterms):
+                        base = np.repeat(np.arange(nrows, dtype=np.int64),
+                                         lens[i]) * stride
+                        adj = flats[i] - offs[i] + max_off + base
+                        cand = adj if cand is None else np.intersect1d(
+                            cand, adj, assume_unique=True)
                         if cand.size == 0:
-                            ok = False
                             break
-                    if ok and cand.size:
-                        s = bm25.score_terms(
-                            np.array([cand.size]),
-                            np.array([getattr(row, "norm")]),
-                            np.float32(w), cache,
-                        )[0]
-                        out_docid.append(d)
-                        out_score.append(float(s))
-                yield pd.DataFrame({"docid": out_docid, "score": out_score})
+                    if cand is None or cand.size == 0:
+                        yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                            "score": pd.Series([], dtype="float32")})
+                        continue
+                    freqs = np.bincount(cand // stride, minlength=nrows).astype(np.float64)
+                else:
+                    freqs = np.empty(nrows, dtype=np.float64)
+                    for r in range(nrows):
+                        freqs[r] = sloppy_freq([cols[i][r] for i in range(nterms)],
+                                               offs, slop)
+                hit = freqs > 0
+                if not hit.any():
+                    yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                        "score": pd.Series([], dtype="float32")})
+                    continue
+                s = bm25.score_terms(freqs[hit], norms[hit], np.float32(w), cache)
+                yield pd.DataFrame({"docid": docids[hit], "score": s})
 
         return joined.mapInPandas(verify, schema="docid long, score float")
 
