@@ -177,4 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    from lucene_solr_spark.oracle import sqlgen
+
+    out = dict(ORACLES)
+    out["engine_bm25_topk"] = sqlgen.bm25_topk(("spark", "vector"))
+    out["engine_phrase_topk"] = sqlgen.phrase_topk("big", "table")
+    out["engine_wand_topk"] = sqlgen.bm25_topk(("spark", "vector", "table"))
+    out["engine_dismax_topk"] = sqlgen.dismax_topk()
+    out["engine_parsed_query"] = sqlgen.parsed_query_topk()
+    out["engine_prefix_topk"] = sqlgen.prefix_topk("quer")
+    out["engine_collapse"] = sqlgen.collapse_sql()
+    out["engine_suggest"] = sqlgen.suggest_sql()
+    out["engine_mlt"] = sqlgen.mlt_sql()
+    return out
