@@ -41,7 +41,6 @@ removes a docs-join from every query — 1 logical byte per row.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -53,7 +52,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import ENGLISH_STOP_WORDS
-from ..analysis.tokenizer import StandardAnalyzer
+from ..analysis.jvm import analyzed_columns
 
 PK = ["repo", "path", "commit"]
 
@@ -89,72 +88,91 @@ def assign_docids(corpus: DataFrame, num_partitions: int | None = None) -> DataF
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
 
+    # Entirely JVM-side: the local row index comes from decomposing
+    # monotonically_increasing_id (pid * 2^33 + index-in-partition —
+    # deterministic here because the partitioning AND the within-
+    # partition order are pinned by repartitionByRange + a total
+    # per-partition sort on the unique PK). A Python attach stage here
+    # would chain a second Python runner into every downstream
+    # pandas-UDF task — worker-pool churn that collapsed build scaling
+    # at high core counts (round-2 diagnosis).
     sorted_df = (
         corpus.repartitionByRange(num_partitions, *PK)
         .sortWithinPartitions(*PK)
+        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
     )
     sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r["_pid"]: r["cnt"] for r in
               sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
 
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in corpus.schema.fields) + ", docid long"
-
-    def attach(batches):
-        emitted = 0
-        base = None
-        for pdf in batches:
-            if base is None and len(pdf):
-                base = b_offsets.value[int(pdf["_pid"].iloc[0])]
-            n = len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out["docid"] = base + emitted + np.arange(n, dtype=np.int64)
-            emitted += n
-            yield out
-
-    result = sorted_df.mapInPandas(attach, schema=out_schema)
+    result = (
+        sorted_df.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "docid",
+            F.col("_off")
+            + (F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33)),
+        )
+        .drop("_pid", "_mid", "_off")
+    )
     # note: sorted_df stays persisted until result is consumed; caller
     # unpersists via IndexTables lifecycle (build_index handles it).
     result._lss_persisted_parent = sorted_df  # type: ignore[attr-defined]
     return result
 
 
-def _make_segment_fn(stop_words: frozenset[str], max_token_length: int):
-    """Per-partition DWPT: docs batch → aggregated posting rows plus one
-    summary row per doc.
+def _make_segment_fn(stop_words: frozenset[str] = frozenset()):
+    """Per-partition DWPT: pre-tokenized doc batch → aggregated posting
+    rows plus one summary row per doc.
 
-    Vectorized across the whole Arrow batch: ONE global factorize +
-    stable sort yields the (term, doc) posting runs; tfs and position
-    slices come from numpy boundary math (no per-doc factorize loop —
-    tokenization is the only per-row Python)."""
+    Input rows carry ``tokens``/``content_sha256`` from
+    :func:`..analysis.jvm.analyzed_columns` (tokenization is JVM-side);
+    this worker is pure vectorized numpy: the StopFilter is one isin
+    mask over the factorized vocabulary (position = raw token index →
+    stopword gaps preserved, dl counts survivors), then ONE stable
+    sort yields the (term, doc) posting runs; tfs and position slices
+    come from numpy boundary math."""
+    stop_arr = np.asarray(sorted(stop_words), dtype=object) if stop_words else None
 
     def build_segment(batches):
-        analyzer = StandardAnalyzer(stop_words=stop_words,
-                                    max_token_length=max_token_length)
         from ..util.smallfloat import int_to_byte4_np
 
         for pdf in batches:
             docids = pdf["docid"].to_numpy(dtype=np.int64)
-            contents = pdf["content"].tolist()
-            ndocs = len(contents)
+            ndocs = len(pdf)
 
-            flat_tokens: list[str] = []
-            pos_lists: list[np.ndarray] = []
-            dls = np.empty(ndocs, dtype=np.int64)
-            shas: list[str] = []
-            for i, content in enumerate(contents):
-                terms, positions = analyzer.analyze(content)
-                flat_tokens.extend(terms)
-                pos_lists.append(np.asarray(positions, dtype=np.int64))
-                dls[i] = len(terms)
-                shas.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+            toks_col = pdf["tokens"].to_numpy()
+            raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
+                                   count=ndocs)
+            total_raw = int(raw_lens.sum())
+            shas = pdf["content_sha256"].tolist()
+
+            if total_raw:
+                flat_raw = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks_col])
+                doc_of_tok = np.repeat(np.arange(ndocs), raw_lens)
+                starts = np.zeros(ndocs, dtype=np.int64)
+                np.cumsum(raw_lens[:-1], out=starts[1:])
+                pos_raw = np.arange(total_raw, dtype=np.int64) - starts[doc_of_tok]
+                codes_all, uniq = pd.factorize(flat_raw, sort=False)
+                codes_all = np.asarray(codes_all)
+                uniq = np.asarray(uniq, dtype=object)
+                if stop_arr is not None and len(uniq):
+                    keep = ~np.isin(uniq, stop_arr)[codes_all]
+                    codes = codes_all[keep]
+                    tok_didx = doc_of_tok[keep]
+                    flat_pos = pos_raw[keep]
+                else:
+                    codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
+                dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
+            else:
+                dls = np.zeros(ndocs, dtype=np.int64)
             norms_doc = int_to_byte4_np(dls).astype(np.int64)
 
             summary = pd.DataFrame({
@@ -167,12 +185,6 @@ def _make_segment_fn(stop_words: frozenset[str], max_token_length: int):
                 yield summary
                 continue
 
-            flat_pos = np.concatenate(pos_lists)
-            tok_didx = np.repeat(np.arange(ndocs), dls)
-            codes, uniq = pd.factorize(
-                np.asarray(flat_tokens, dtype=object), sort=False)
-            codes = np.asarray(codes)
-            uniq = np.asarray(uniq, dtype=object)
             order = np.argsort(codes, kind="stable")
             codes_s, didx_s, pos_s = codes[order], tok_didx[order], flat_pos[order]
 
@@ -255,12 +267,13 @@ def build_index(
     stop_words = stop_words or frozenset()
     os.makedirs(out_root, exist_ok=True)
 
-    with_ids = assign_docids(corpus, build_partitions)
-    with_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    base = assign_docids(corpus, build_partitions)
+    parent = getattr(base, "_lss_persisted_parent", None)
+    analyzed = analyzed_columns(
+        base, max_token_length=max_token_length).drop("content")
+    analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    segments = with_ids.mapInPandas(
-        _make_segment_fn(stop_words, max_token_length), schema=SEGMENT_SCHEMA
-    )
+    segments = analyzed.mapInPandas(_make_segment_fn(stop_words), schema=SEGMENT_SCHEMA)
     segments.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- postings: merge to term-bucket layout --------------------------
@@ -283,7 +296,7 @@ def build_index(
         .select(F.col("docid"), F.col("tf").alias("dl"), F.col("norm"),
                 F.col("term").alias("content_sha256"))
     )
-    meta = with_ids.select("docid", *PK, "lang")
+    meta = analyzed.select("docid", *PK, "lang")
     docs = meta.join(summaries, "docid").select(
         "docid", *PK, "lang", "dl", "norm", "content_sha256"
     )
@@ -318,8 +331,7 @@ def build_index(
         json.dump(manifest, f, indent=1)
 
     segments.unpersist()
-    with_ids.unpersist()
-    parent = getattr(with_ids, "_lss_persisted_parent", None)
+    analyzed.unpersist()
     if parent is not None:
         parent.unpersist()
     return tables

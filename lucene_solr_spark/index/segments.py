@@ -46,7 +46,6 @@ merge SegmentMerger.java:96-177, commit SegmentInfos/IndexCommit.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -59,7 +58,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import ENGLISH_STOP_WORDS
-from ..analysis.tokenizer import StandardAnalyzer
+from ..analysis.jvm import analyzed_columns
 from . import codec
 from .builder import PK, assign_docids
 
@@ -81,47 +80,65 @@ CHECKPOINT_SCHEMA = (
 )
 
 
-def _segment_builder(stop_words: frozenset[str], max_token_length: int,
-                     docs_per_segment: int):
-    """applyInPandas fn: all docs of ONE segment → encoded block rows
-    (kind=0) + one summary row per doc (kind=1: term=sha256, n=dl,
-    norms=[normbyte]).
+def _segment_builder(docs_per_segment: int,
+                     stop_words: frozenset[str] = frozenset()):
+    """applyInPandas fn: all (pre-tokenized) docs of ONE segment →
+    encoded block rows (kind=0) + one summary row per doc (kind=1:
+    term=sha256, n=dl, norms=[normbyte]).
 
-    Fully vectorized after tokenization: ONE global factorize + stable
-    sort produces the (term, docid, position) stream; posting/block
-    boundaries, tfs, docid/position deltas, pareto impacts and the
-    varbyte streams are all whole-segment numpy passes (grouped_varbyte
-    slices one encoded stream into per-block buffers). Per-block Python
-    touches only full 128-blocks (FOR bit-packing, a small minority).
-    ~20× the throughput of a per-block encode loop — the difference
-    between tokenizer-bound and overhead-bound at 100 TB.
+    Input rows carry ``tokens``/``content_sha256`` from
+    :func:`..analysis.jvm.analyzed_columns` — tokenization happened
+    JVM-side before the segment exchange, so this worker is pure
+    vectorized numpy: the StopFilter is one isin mask over the
+    factorized vocabulary (position = raw token index, so stopword
+    gaps are preserved and BM25 dl counts survivors only —
+    FilteringTokenFilter.java:47-57), then ONE stable sort produces
+    the (term, docid, position) stream; posting/block boundaries, tfs,
+    docid/position deltas, pareto impacts and the varbyte streams are
+    all whole-segment numpy passes (grouped_varbyte slices one encoded
+    stream into per-block buffers). Per-block Python touches only full
+    128-blocks (FOR bit-packing, a small minority).
     """
+    stop_arr = np.asarray(sorted(stop_words), dtype=object) if stop_words else None
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        analyzer = StandardAnalyzer(stop_words=stop_words,
-                                    max_token_length=max_token_length)
         from ..util.smallfloat import int_to_byte4_np
 
         pdf = pdf.sort_values("docid")
         seg = int(pdf["segment"].iloc[0])
         docids_doc = pdf["docid"].to_numpy(dtype=np.int64)
-        contents = pdf["content"].tolist()
-        ndocs = len(contents)
+        ndocs = len(pdf)
 
-        # --- tokenize (the irreducible per-doc work) -------------------
         # int32 throughout the token-space arrays: positions and doc
         # ordinals fit comfortably, and halving the bytes matters —
         # in a cold worker, page-fault cost tracks bytes touched.
-        flat_tokens: list[str] = []
-        pos_lists: list[np.ndarray] = []
-        dls = np.empty(ndocs, dtype=np.int64)
-        shas: list[str] = []
-        for i, content in enumerate(contents):
-            terms, positions = analyzer.analyze(content)
-            flat_tokens.extend(terms)
-            pos_lists.append(np.asarray(positions, dtype=np.int32))
-            dls[i] = len(terms)
-            shas.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+        toks_col = pdf["tokens"].to_numpy()
+        raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
+                               count=ndocs)
+        total_raw = int(raw_lens.sum())
+        shas = pdf["content_sha256"].tolist()
+
+        if total_raw:
+            flat_raw = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_col])
+            doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int32), raw_lens)
+            starts = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(raw_lens[:-1], out=starts[1:])
+            pos_raw = (np.arange(total_raw, dtype=np.int64)
+                       - starts[doc_of_tok]).astype(np.int32)
+            codes_all, uniq = pd.factorize(flat_raw, sort=True)
+            codes_all = np.asarray(codes_all).astype(np.int32, copy=False)
+            uniq = np.asarray(uniq, dtype=object)
+            if stop_arr is not None and len(uniq):
+                keep = ~np.isin(uniq, stop_arr)[codes_all]
+                codes = codes_all[keep]
+                tok_didx = doc_of_tok[keep]
+                flat_pos = pos_raw[keep]
+            else:
+                codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
+            dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
+        else:
+            dls = np.zeros(ndocs, dtype=np.int64)
         norms_doc = int_to_byte4_np(dls).astype(np.int16)
 
         summary = pd.DataFrame({
@@ -140,13 +157,7 @@ def _segment_builder(stop_words: frozenset[str], max_token_length: int,
         if total == 0:
             return summary
 
-        # --- invert: global factorize + ONE stable sort ---------------
-        flat_pos = np.concatenate(pos_lists)
-        tok_didx = np.repeat(np.arange(ndocs, dtype=np.int32), dls)
-        codes, uniq = pd.factorize(
-            np.asarray(flat_tokens, dtype=object), sort=True)
-        codes = np.asarray(codes).astype(np.int32, copy=False)
-        uniq = np.asarray(uniq, dtype=object)
+        # --- invert: ONE stable sort by term code ----------------------
         # tokens are already in (doc, position) order → stable sort by
         # term code yields the (term, docid, position) stream
         order = np.argsort(codes, kind="stable")
@@ -273,7 +284,10 @@ class SegmentIndex:
         return self.spark.read.parquet(self.docmap_path)
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "docs"))
+        df = self.spark.read.parquet(os.path.join(self.root, "docs"))
+        # streaming indexes partition docs by ingest batch (idempotent
+        # delta appends, streaming/incremental.py); batch builds don't
+        return df.drop("batch")
 
     def dict(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "dict"))
@@ -290,9 +304,26 @@ class SegmentIndex:
 
 
 def _append_checkpoint(spark: SparkSession, root: str, row: tuple):
-    spark.createDataFrame([row], CHECKPOINT_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(root, "checkpoints"))
+    """One checkpoint row, written driver-side with pyarrow (a Spark
+    job per tiny bookkeeping write adds fixed per-stage cost that
+    dominates small builds at high core counts). Layout-compatible
+    with spark.read.parquet over the directory."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names, types = [], []
+    for fld in CHECKPOINT_SCHEMA.split(","):
+        n, t = fld.strip().split()
+        names.append(n)
+        types.append({"string": pa.string(), "int": pa.int32(),
+                      "long": pa.int64(), "double": pa.float64()}[t])
+    table = pa.table(
+        {n: pa.array([v], type=t) for n, t, v in zip(names, types, row)})
+    d = os.path.join(root, "checkpoints")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def _done_chunks(spark: SparkSession, root: str) -> set[int]:
@@ -323,23 +354,38 @@ def build_segment_index(
     stop_words = stop_words or frozenset()
     os.makedirs(out_root, exist_ok=True)
     idx = SegmentIndex(out_root, spark)
+    if not resume:
+        # a fresh rebuild must drop prior blocks AND checkpoints: stale
+        # 'blocks' checkpoint rows would otherwise mark chunks done
+        # whose segment data was just deleted, silently truncating a
+        # later resume of this build
+        for sub in ("blocks", "checkpoints"):
+            p = os.path.join(out_root, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
-    # ---- stage 0: docids + slim docmap (lineage) ----------------------
-    # The corpus content is NEVER written twice: docids attach via the
-    # range exchange, the result stays pinned in executor memory/disk
-    # for the build, and only a SLIM docmap (keys + docid + segment —
-    # the lineage record) goes to Parquet. On resume the same with_ids
-    # is recomputed — ranks are input-determined, so the docid/segment
-    # assignment is identical.
-    with_ids = assign_docids(corpus).withColumn(
+    # ---- stage 0: docids + JVM analysis + slim docmap (lineage) -------
+    # The corpus content is read ONCE and never pinned: docids attach
+    # via the range exchange, tokenization runs JVM-side on top
+    # (analysis/jvm.py), and what stays pinned for the whole build is
+    # the ANALYZED frame — slim token arrays, stopwords/whitespace
+    # already gone — not the raw content. Only a SLIM docmap (keys +
+    # docid + segment — the lineage record) goes to Parquet. On resume
+    # the same frame is recomputed — ranks are input-determined, so the
+    # docid/segment assignment is identical.
+    base = assign_docids(corpus)
+    parent = getattr(base, "_lss_persisted_parent", None)
+    with_ids = base.withColumn(
         "segment", (F.col("docid") / docs_per_segment).cast("int"))
-    with_ids.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs_total = with_ids.count()
-    parent = getattr(with_ids, "_lss_persisted_parent", None)
+    analyzed = analyzed_columns(
+        with_ids, max_token_length=max_token_length).drop("content")
+    analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs_total = analyzed.count()
     if parent is not None:
         parent.unpersist()
     if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
-        with_ids.drop("content").write.mode("overwrite").parquet(idx.docmap_path)
+        analyzed.drop("tokens", "content_sha256").write.mode(
+            "overwrite").parquet(idx.docmap_path)
         _append_checkpoint(spark, out_root,
                            ("docmap", -1, 0, 0, 0, 0, 0, 0,
                             round(time.time() - t0, 3), 0.0))
@@ -349,9 +395,7 @@ def build_segment_index(
 
     # ---- stage 1: per-chunk block build (resumable) -------------------
     done = _done_chunks(spark, out_root) if resume else set()
-    if not resume and os.path.exists(idx.blocks_path):
-        shutil.rmtree(idx.blocks_path)
-    builder = _segment_builder(stop_words, max_token_length, docs_per_segment)
+    builder = _segment_builder(docs_per_segment, stop_words)
     built = 0
     for chunk in range(n_chunks):
         seg_lo = chunk * segments_per_chunk
@@ -367,7 +411,7 @@ def build_segment_index(
         hi_doc = seg_hi * docs_per_segment
         tc = time.time()
         # ONE exchange of (only) this chunk's content, keyed by segment
-        part_df = with_ids.where(
+        part_df = analyzed.where(
             (F.col("segment") >= seg_lo) & (F.col("segment") < seg_hi)
         )
         out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
@@ -382,7 +426,7 @@ def build_segment_index(
         )
         built += 1
         if fail_after_chunk is not None and built >= fail_after_chunk:
-            with_ids.unpersist()
+            analyzed.unpersist()
             raise RuntimeError(f"injected failure after chunk {chunk}")
 
     # ---- stage 2: derived tables --------------------------------------
@@ -402,11 +446,18 @@ def build_segment_index(
 
     # collection stats without another corpus-wide scan: doc_count is
     # already known, sum_ttf = Σ dict.ttf (both count post-stop tokens)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     ttf_row = idx.dict().agg(F.sum("ttf").alias("s")).collect()[0]
-    spark.createDataFrame(
-        [(int(n_docs_total), int(ttf_row["s"] or 0))],
-        "doc_count long, sum_ttf long",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
+    stats_dir = os.path.join(out_root, "stats")
+    if os.path.exists(stats_dir):
+        shutil.rmtree(stats_dir)
+    os.makedirs(stats_dir)
+    pq.write_table(
+        pa.table({"doc_count": pa.array([int(n_docs_total)], pa.int64()),
+                  "sum_ttf": pa.array([int(ttf_row["s"] or 0)], pa.int64())}),
+        os.path.join(stats_dir, "part-0.parquet"))
 
     st = idx.stats()
     manifest = {
@@ -423,5 +474,5 @@ def build_segment_index(
     }
     with open(os.path.join(out_root, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
-    with_ids.unpersist()
+    analyzed.unpersist()
     return idx

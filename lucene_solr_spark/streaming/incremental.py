@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..analysis import ENGLISH_STOP_WORDS
+from ..analysis.jvm import analyzed_columns
 from ..index import codec
 from ..index.builder import PK
 from ..index.segments import BLOCKS_SCHEMA, SegmentIndex, _segment_builder
@@ -71,8 +72,17 @@ class IncrementalIndexer:
 
     # -- the flush (one micro-batch = one soft commit) -------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch = one segment flush. Idempotent under
+        foreachBatch's at-least-once contract: already-committed batch
+        ids (recorded in the manifest at refresh time) are skipped, and
+        block/docmap output stages under a batch-scoped tmp dir that
+        moves into place per segment — a batch retried after a crash
+        overwrites its own segment dirs instead of appending duplicate
+        rows."""
         spark = batch_df.sparkSession
         state = self._load_state()
+        if batch_id <= int(state.get("last_batch_id", -1)):
+            return  # retry of a committed batch (at-least-once replay)
         base_docid = int(state["doc_count"])
         base_segment = int(state["n_segments"])
         dps = int(state["docs_per_segment"])
@@ -88,7 +98,12 @@ class IncrementalIndexer:
         # distributed via range partitioning.
         from ..index.builder import assign_docids
 
-        with_ids = assign_docids(rows).withColumn(
+        base = assign_docids(rows)
+        # capture the persisted parent NOW: DataFrame transformations do
+        # not propagate Python attributes, so reading it off with_ids
+        # later would leak one cached corpus copy per micro-batch
+        parent = getattr(base, "_lss_persisted_parent", None)
+        with_ids = base.withColumn(
             "docid", F.col("docid") + F.lit(base_docid))
         with_ids = with_ids.withColumn(
             "segment",
@@ -96,51 +111,135 @@ class IncrementalIndexer:
                 # new segments never share ids with existing ones
                 base_segment - base_docid // dps),
         )
-        builder = _segment_builder(self.stop_words, self.max_token_length, dps)
-        out = with_ids.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
-        out.write.mode("append").partitionBy("segment").parquet(
-            os.path.join(self.root, "blocks"))
-        # docmap append (lineage) — segment-pure files, matching the
-        # batch builder's layout (segments.py shuffle-free read path)
-        with_ids.repartition(F.col("segment")).write.mode("append").partitionBy(
-            "segment").parquet(os.path.join(self.root, "docmap"))
+        builder = _segment_builder(dps, self.stop_words)
+        analyzed = analyzed_columns(
+            with_ids, max_token_length=self.max_token_length).drop("content")
+        out = analyzed.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+
+        # stage under a batch-scoped dir, then move segment dirs into
+        # place (segment ids are batch-exclusive — each batch starts at
+        # the manifest's n_segments — so a move never interleaves rows
+        # from two batches; a retry replaces its own partial dirs)
+        import shutil
+
+        tmp = os.path.join(self.root, f"batch-{batch_id}.tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        out.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(tmp, "blocks"))
+        # docmap (lineage) — segment-pure files, matching the batch
+        # builder's layout (segments.py shuffle-free read path)
+        with_ids.repartition(F.col("segment")).write.mode("overwrite").partitionBy(
+            "segment").parquet(os.path.join(tmp, "docmap"))
+        for name in ("blocks", "docmap"):
+            dst_root = os.path.join(self.root, name)
+            os.makedirs(dst_root, exist_ok=True)
+            src_root = os.path.join(tmp, name)
+            for d in os.listdir(src_root):
+                if not d.startswith("segment="):
+                    continue
+                dst = os.path.join(dst_root, d)
+                if os.path.exists(dst):  # partial dir from a crashed try
+                    shutil.rmtree(dst)
+                os.rename(os.path.join(src_root, d), dst)
+        shutil.rmtree(tmp)
 
         idx = SegmentIndex(self.root, spark)
-        self._refresh_derived(idx)
-        parent = getattr(with_ids, "_lss_persisted_parent", None)
+        new_segments = sorted(
+            r["segment"] for r in
+            out.sparkSession.read.parquet(os.path.join(self.root, "blocks"))
+            .select("segment").where(
+                F.col("segment") >= base_segment).distinct().collect())
+        self._refresh_derived(idx, batch_id=batch_id, new_segments=new_segments)
         if parent is not None:
             parent.unpersist()
 
-    def _refresh_derived(self, idx: SegmentIndex) -> None:
-        """Recompute docs/dict/stats + manifest from blocks (the
-        'reopen'). Incremental alternative at scale: MERGE INTO the
-        dict delta; full recompute keeps the sandbox honest & simple."""
-        spark = idx.spark
-        idx.summaries().select(
+    def _docs_select(self, summaries: DataFrame) -> DataFrame:
+        return summaries.select(
             F.col("first_docid").alias("docid"), *PK, "lang", "segment",
             F.col("n").alias("dl"),
             F.conv(F.hex(F.col("norms")), 16, 10).cast("int").alias("norm"),
             F.col("term").alias("content_sha256"),
-        ).write.mode("overwrite").parquet(os.path.join(self.root, "docs.tmp"))
-        blocks = idx.blocks()
-        blocks.groupBy("term").agg(
-            F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
-        ).write.mode("overwrite").parquet(os.path.join(self.root, "dict.tmp"))
+        )
 
-        # atomic-ish swap (Iceberg snapshot commit analogue)
-        for name in ("docs", "dict"):
-            final = os.path.join(self.root, name)
-            tmp = os.path.join(self.root, name + ".tmp")
-            if os.path.exists(final):
-                import shutil
+    def _refresh_derived(self, idx: SegmentIndex, batch_id: int | None = None,
+                         new_segments: list[int] | None = None) -> None:
+        """Refresh docs/dict/stats + manifest (the 'reopen').
 
-                shutil.rmtree(final)
-            os.rename(tmp, final)
+        Incremental when possible: the docs delta (only the NEW
+        segments' summaries) lands in a batch-scoped partition dir, and
+        the dict is a merge of the existing dict with the new segments'
+        term aggregate — per-batch cost is O(batch + vocabulary), not
+        O(index) (round-1 quadratic-ingest finding). Idempotence: the
+        dict dir carries a ``_delta_batch`` marker, and the docs delta
+        dir is replaced wholesale on a retried batch. Falls back to a
+        full recompute from blocks when no prior derived tables exist
+        (first batch) or no segment list was provided (compaction)."""
+        import shutil
 
-        docs = spark.read.parquet(os.path.join(self.root, "docs"))
+        spark = idx.spark
+        docs_root = os.path.join(self.root, "docs")
+        dict_root = os.path.join(self.root, "dict")
+        marker = os.path.join(dict_root, "_delta_batch")
+
+        incremental = bool(
+            batch_id is not None and new_segments
+            and os.path.exists(docs_root) and os.path.exists(dict_root))
+        if incremental:
+            seg_pred = F.col("segment").isin([int(s) for s in new_segments])
+            # docs delta → docs/batch=<id>/ (replace-on-retry)
+            tmp = os.path.join(self.root, "docs.delta.tmp")
+            self._docs_select(idx.summaries().where(seg_pred)).write.mode(
+                "overwrite").parquet(tmp)
+            dst = os.path.join(docs_root, f"batch={batch_id}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(tmp, dst)
+            # dict merge (skip if this batch's delta is already in)
+            applied = -1
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    applied = int(f.read().strip() or -1)
+            if applied != batch_id:
+                delta = idx.blocks().where(seg_pred).groupBy("term").agg(
+                    F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"))
+                old = spark.read.parquet(dict_root)
+                merged = old.unionByName(delta).groupBy("term").agg(
+                    F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                dtmp = os.path.join(self.root, "dict.tmp")
+                merged.write.mode("overwrite").parquet(dtmp)
+                with open(os.path.join(dtmp, "_delta_batch"), "w") as f:
+                    f.write(str(batch_id))
+                shutil.rmtree(dict_root)
+                os.rename(dtmp, dict_root)
+        else:
+            # full recompute from blocks; docs live under batch=<id> so
+            # later incremental deltas can append partition dirs
+            self._docs_select(idx.summaries()).write.mode("overwrite").parquet(
+                os.path.join(self.root, "docs.tmp"))
+            idx.blocks().groupBy("term").agg(
+                F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+            ).write.mode("overwrite").parquet(os.path.join(self.root, "dict.tmp"))
+            for name in ("docs", "dict"):
+                final = os.path.join(self.root, name)
+                tmp = os.path.join(self.root, name + ".tmp")
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                if name == "docs":
+                    os.makedirs(final, exist_ok=True)
+                    os.rename(tmp, os.path.join(
+                        final, f"batch={-1 if batch_id is None else batch_id}"))
+                else:
+                    os.rename(tmp, final)
+
+        docs = idx.docs()
         agg = docs.agg(F.count("*").alias("c"), F.sum("dl").alias("s")).collect()[0]
-        n_segments = idx.blocks().agg(
-            F.max("segment").alias("m")).collect()[0]["m"]
+        if new_segments:
+            n_segments = max(int(self._load_state().get("n_segments", 0)) - 1,
+                             max(new_segments))
+        else:
+            n_segments = idx.blocks().agg(
+                F.max("segment").alias("m")).collect()[0]["m"]
         spark.createDataFrame(
             [(int(agg["c"]), int(agg["s"] or 0))], "doc_count long, sum_ttf long"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(self.root, "stats"))
@@ -148,6 +247,8 @@ class IncrementalIndexer:
         state.update(doc_count=int(agg["c"]), sum_ttf=int(agg["s"] or 0),
                      n_segments=int(n_segments) + 1,
                      updated_wall=round(time.time(), 3))
+        if batch_id is not None:
+            state["last_batch_id"] = int(batch_id)  # the commit record
         with open(self.manifest_path, "w") as f:
             json.dump(state, f, indent=1)
 
@@ -183,7 +284,7 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
         return len(seg_sizes)
 
     stop = frozenset(m.get("stop_words", ()))
-    builder = _segment_builder(stop, int(m["max_token_length"]), dps)
+    builder = _segment_builder(dps, stop)
     docmap = idx.docmap()
     if "content" not in docmap.columns:
         raise ValueError(
@@ -205,7 +306,9 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
             F.element_at(seg_ids, (F.col("_rk") / dps).cast("int") + 1))
         .drop("_rk")
     )
-    out = w_ids.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+    out = analyzed_columns(
+        w_ids, max_token_length=int(m["max_token_length"])
+    ).drop("content").groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
     tmp = os.path.join(idx.root, "blocks.compact.tmp")
     out.write.mode("overwrite").partitionBy("segment").parquet(tmp)
     # swap: drop old small segment dirs, move in compacted ones

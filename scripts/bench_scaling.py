@@ -31,10 +31,14 @@ sys.path.insert(0, REPO)
 
 
 def child(cpus: int, docs: int, queries: int) -> None:
-    """Runs in a subprocess: build + query at one parallelism level."""
-    from lucene_solr_spark.util.env import configure_allocator
+    """Runs in a subprocess: build + query at one parallelism level.
 
-    configure_allocator()
+    No warmup build and no allocator-retention env: a prior build in
+    the same JVM degrades the next one (python worker-pool growth +
+    THP/khugepaged churn on retained arenas — round-2 diagnosis), so
+    the honest protocol is ONE measured build per fresh JVM; run-to-run
+    host noise is handled by interleaved repeats + medians in the
+    parent."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -42,6 +46,9 @@ def child(cpus: int, docs: int, queries: int) -> None:
         .appName(f"lss-scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # bound the python-worker pool: idle extras die instead of
+        # accumulating retained-arena processes across jobs
+        .config("spark.python.worker.idleTimeoutSeconds", "30")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
@@ -63,18 +70,6 @@ def child(cpus: int, docs: int, queries: int) -> None:
     corpus.persist().count()  # materialize input OUTSIDE the timed region
 
     dps = max(docs // (cpus * 2), 512)
-    # WARM-UP build (untimed — BASELINE.md protocol: 1 warmup + measured
-    # runs): Python workers are reused across jobs, so this faults in
-    # every worker's allocator arena once; the measured run then
-    # reflects steady-state throughput, not this sandbox's pathological
-    # first-touch page-fault cost (which a long-lived cluster executor
-    # pays once per process lifetime, not per job).
-    warm_root = tempfile.mkdtemp(prefix=f"lss_warm_{cpus}_")
-    warm_corpus = corpus.where("pmod(crc32(path), 4) = 0")  # quarter-size
-    build_segment_index(warm_corpus, warm_root, docs_per_segment=dps,
-                        segments_per_chunk=10**9)
-    shutil.rmtree(warm_root, ignore_errors=True)
-
     root = tempfile.mkdtemp(prefix=f"lss_scale_{cpus}_")
     t0 = time.time()
     build_segment_index(corpus, root, docs_per_segment=dps,
@@ -159,8 +154,15 @@ def main() -> int:
         child(args.cpus, args.docs, args.queries)
         return 0
 
-    lo = run_level(args.low, args.docs, args.queries, args.runs)
-    hi = run_level(args.high, args.docs, args.queries, args.runs)
+    # interleave levels (lo,hi,lo,hi,…) so slow host drift cancels
+    lo_rs, hi_rs = [], []
+    for _ in range(args.runs):
+        lo_rs.append(run_level(args.low, args.docs, args.queries, 1))
+        hi_rs.append(run_level(args.high, args.docs, args.queries, 1))
+    med = lambda rs: {k: (statistics.median(r[k] for r in rs)
+                          if isinstance(rs[0][k], (int, float)) else rs[0][k])
+                      for k in rs[0]}
+    lo, hi = med(lo_rs), med(hi_rs)
     ratio = args.high / args.low
     eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
     eff_query = (hi["query_qps"] / lo["query_qps"]) / ratio
