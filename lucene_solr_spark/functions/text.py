@@ -1,82 +1,80 @@
 """Vectorized text-analysis functions (training-data pipeline ops).
 
-Arrow-batched pandas UDFs — the engine-grade (64-bit, full-width)
-variants of the SQL-checkable 16-bit suite entries in
-relational/pipeline.py. All hashing is blake2b-based (stdlib,
-deterministic across runs/machines — no PYTHONHASHSEED dependence).
+Engine-grade (64-bit, full-width) variants of the SQL-checkable 16-bit
+suite entries in relational/pipeline.py. The hash-heavy fingerprints
+(SimHash, MinHash) are pure JVM column expressions over ``xxhash64`` —
+whole-stage-codegen, no Python in the hot path (a per-row Python hash
+loop caps fingerprint throughput at per-core Python speed; VERDICT
+round-1 perf #5). Only the winnowing fingerprint stays a pandas UDF —
+its sliding-window modular hash is one vectorized numpy pass.
 
-Scale shape: every function is a scalar pandas UDF over `text`
-(one Arrow batch in, one out) — embarrassingly parallel, no shuffle;
-downstream dedup joins group on the emitted fingerprints.
+Scale shape: every function is a scalar projection over ``text`` —
+embarrassingly parallel, no shuffle; downstream dedup joins group on
+the emitted fingerprints.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import Column, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
-def _token_hashes(text: str, seed: bytes = b"") -> np.ndarray:
-    """uint64 blake2b hash per whitespace token."""
-    toks = text.split()
-    if not toks:
-        return np.zeros(0, dtype=np.uint64)
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(seed + t.encode("utf-8"),
-                                        digest_size=8).digest(), "big")
-         for t in toks],
-        dtype=np.uint64,
-    )
+def _col_sql(col: str | Column) -> str:
+    """SQL fragment for a column name / Column (simple refs only)."""
+    if isinstance(col, str):
+        return f"`{col}`" if col.isidentifier() else col
+    return col._jc.toString()  # noqa: SLF001 — Column has no public SQL accessor
 
 
-@F.pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash: per-token 64-bit hash; each bit contributes
-    +1/-1 per occurrence; fingerprint = sign vector. Near-dups differ
-    in few bits (compare with bit_count(simhash64(a) ^ simhash64(b)))."""
-    out = np.zeros(len(text), dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(text.fillna("")):
-        h = _token_hashes(t)
-        if h.size == 0:
-            continue
-        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        sums = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for b in np.flatnonzero(sums >= 0):
-            fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp.astype(np.int64))
-    return pd.Series(out)
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash as a JVM expression: per-token ``xxhash64``; each
+    bit contributes +1/-1 per occurrence; fingerprint = sign vector.
+    Near-dups differ in few bits (compare with
+    ``bit_count(simhash64(a) ^ simhash64(b))``). Bits assemble with
+    bitwise OR (no additive overflow under ANSI mode)."""
+    c = _col_sql(col)
+    return F.expr(f"""
+      aggregate(
+        transform(filter(split(coalesce({c}, ''), ' '), x -> x <> ''),
+                  t -> xxhash64(t)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(
+          acc,
+          transform(sequence(0, 63),
+                    b -> CASE WHEN (shiftright(h, b) & 1) = 1
+                         THEN 1L ELSE -1L END),
+          (a, x) -> a + x),
+        acc -> aggregate(
+          sequence(0, 63), 0L,
+          (fp, b) -> CASE WHEN element_at(acc, b + 1) >= 0
+                     THEN fp | shiftleft(1L, b) ELSE fp END)
+      )""")
 
 
 def minhash_signature(n_hashes: int = 16, shingle_len: int = 3):
-    """Returns a pandas UDF: text → array<long> of `n_hashes` MinHash
-    values over token `shingle_len`-gram shingles. Documents sharing a
-    banded slice of the signature are LSH near-dup candidates."""
+    """Returns ``col → Column(array<long>)``: `n_hashes` MinHash values
+    over token `shingle_len`-gram shingles, all JVM (``xxhash64`` over
+    the shingle strings, seeded by prefix). Documents sharing a banded
+    slice of the signature are LSH near-dup candidates."""
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def minhash(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text.fillna(""):
-            toks = t.split()
-            if len(toks) < shingle_len:
-                out.append([0] * n_hashes)
-                continue
-            shingles = {" ".join(toks[i:i + shingle_len])
-                        for i in range(len(toks) - shingle_len + 1)}
-            sig = []
-            for s in range(n_hashes):
-                seed = f"s{s}|".encode()
-                sig.append(min(
-                    int.from_bytes(hashlib.blake2b(seed + sh.encode("utf-8"),
-                                                   digest_size=8).digest(), "big")
-                    for sh in shingles) - 2**63)
-            out.append(sig)
-        return pd.Series(out)
+    def minhash(col: str | Column) -> Column:
+        c = _col_sql(col)
+        toks = f"filter(split(coalesce({c}, ''), ' '), x -> x <> '')"
+        shingles = (
+            f"transform(sequence(1, size({toks}) - {shingle_len - 1}), "
+            f"i -> array_join(slice({toks}, i, {shingle_len}), ' '))"
+        )
+        return F.expr(f"""
+          CASE WHEN size({toks}) < {shingle_len}
+               THEN array_repeat(0L, {n_hashes})
+               ELSE transform(
+                 sequence(0, {n_hashes - 1}),
+                 s -> array_min(transform(
+                   {shingles},
+                   sh -> xxhash64(concat('s', cast(s AS string), '|', sh)))))
+          END""")
 
     return minhash
 

@@ -21,15 +21,18 @@ from ..search.sloppy import sloppy_freq
 from ..search.queries import (
     BooleanClause,
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     PhraseQuery,
     Query,
     SynonymQuery,
     TermQuery,
     TopDoc,
+    build_common_terms,
 )
 from ..util.smallfloat import int_to_byte4
 
@@ -92,6 +95,14 @@ class OracleIndex:
 
         if isinstance(q, PhraseQuery):
             return self._match_phrase(q, scorer, boost)
+
+        if isinstance(q, MultiPhraseQuery):
+            return self._match_multi_phrase(q, scorer, boost)
+
+        if isinstance(q, CommonTermsQuery):
+            dfs = {t: self.doc_freq(t) for t in q.terms}
+            return self._match(build_common_terms(q, dfs, self.doc_count),
+                               scorer, boost)
 
         if isinstance(q, MatchAllDocsQuery):
             return {d: float(np.float32(boost * q.boost)) for d in range(self.doc_count)}
@@ -195,6 +206,51 @@ class OracleIndex:
                 freq = float(cand.size)
             else:
                 freq = sloppy_freq([doc_maps[i][d] for i in range(len(q.terms))],
+                                   offs, q.slop)
+            if freq > 0:
+                s = bm25.score_terms(
+                    np.array([freq]), np.array([self.norms[d]]), w, scorer.cache
+                )[0]
+                out[d] = float(s)
+        return out
+
+    def _match_multi_phrase(self, q: MultiPhraseQuery, scorer, boost) -> dict[int, float]:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java): each slot is
+        the positional UNION of its terms' postings (UnionPostingsEnum);
+        freq/matching then follow the exact/sloppy phrase machinery.
+        Weight: idf summed over every member term with df > 0."""
+        if not q.termss or any(not slot for slot in q.termss):
+            return {}
+        offs = q.effective_positions()
+        # per-slot union: doc -> sorted positions
+        slot_maps: list[dict[int, tuple[int, ...]]] = []
+        for slot in q.termss:
+            m: dict[int, list[int]] = defaultdict(list)
+            for t in slot:
+                for d, _tf, pos in self.postings.get(t, ()):
+                    m[d].extend(pos)
+            slot_maps.append({d: tuple(sorted(ps)) for d, ps in m.items()})
+        if any(not m for m in slot_maps):
+            return {}
+        common = set(slot_maps[0])
+        for m in slot_maps[1:]:
+            common &= set(m)
+        dfs = [self.doc_freq(t) for slot in q.termss for t in slot]
+        idfs = [bm25.idf(df, scorer.doc_count) for df in dfs if df > 0]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = bm25.term_weight(idf_sum, boost * q.boost, scorer.k1)
+        out = {}
+        for d in common:
+            if q.slop == 0:
+                cand = np.asarray(slot_maps[0][d], dtype=np.int64) - offs[0]
+                for m, off in zip(slot_maps[1:], offs[1:]):
+                    nxt = np.asarray(m[d], dtype=np.int64) - off
+                    cand = np.intersect1d(cand, nxt)
+                    if cand.size == 0:
+                        break
+                freq = float(cand.size)
+            else:
+                freq = sloppy_freq([slot_maps[i][d] for i in range(len(q.termss))],
                                    offs, q.slop)
             if freq > 0:
                 s = bm25.score_terms(

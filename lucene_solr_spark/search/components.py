@@ -49,13 +49,20 @@ def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,
     w_in = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docid"))
     ranked = joined.withColumn("rank_in_group", F.row_number().over(w_in)).where(
         F.col("rank_in_group") <= docs_per_group)
-    w_grp = Window.orderBy(F.desc("best_score"), F.asc("best_docid"))
+    # top k_groups groups by best hit: a global orderBy.limit —
+    # Catalyst TakeOrderedAndProject, per-partition heaps + driver
+    # merge — NOT an unpartitioned Window, which would funnel every
+    # group's best row through one task at scale (VERDICT perf #6);
+    # the residual row_number runs over <= k_groups rows.
     best = (ranked.where(F.col("rank_in_group") == 1)
             .select(F.col(group_col), F.col("score").alias("best_score"),
-                    F.col("docid").alias("best_docid")))
-    top_groups = best.withColumn("group_rank", F.row_number().over(w_grp)).where(
-        F.col("group_rank") <= k_groups)
-    return (ranked.join(top_groups.select(group_col, "group_rank"), group_col)
+                    F.col("docid").alias("best_docid"))
+            .orderBy(F.desc("best_score"), F.asc("best_docid"))
+            .limit(k_groups))
+    w_grp = Window.orderBy(F.desc("best_score"), F.asc("best_docid"))
+    top_groups = best.withColumn("group_rank", F.row_number().over(w_grp))
+    return (ranked.join(F.broadcast(top_groups.select(group_col, "group_rank")),
+                        group_col)
             .orderBy("group_rank", "rank_in_group")
             .select(group_col, "group_rank", "docid", "score", "rank_in_group"))
 

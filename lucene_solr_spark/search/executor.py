@@ -44,10 +44,12 @@ from .multiterm import expand_terms, wildcard_to_regex
 from .queries import (
     BooleanClause,
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     PhraseQuery,
     PrefixQuery,
@@ -59,6 +61,7 @@ from .queries import (
     TermRangeQuery,
     TopDoc,
     WildcardQuery,
+    build_common_terms,
 )
 
 
@@ -67,11 +70,85 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def _phrase_verify_fn(offs, slop, nterms, w, cache):
+    """mapInPandas verifier shared by PhraseQuery and MultiPhraseQuery:
+    input rows carry per-slot position arrays pos0..pos{n-1} + norm.
+
+    slop=0 — ExactPhraseMatcher (ExactPhraseMatcher.java:93-126):
+    freq = #alignments, verified VECTORIZED across the whole Arrow
+    batch (positions flattened with per-row strides, one intersect1d
+    per slot — no per-row Python).
+
+    slop>0 — SloppyPhraseMatcher (SloppyPhraseMatcher.java:119-152):
+    float32 freq = Σ 1/(1+matchLength) over the greedy pq traversal
+    (search/sloppy.py), sequential per doc, conjunction survivors only.
+    """
+    offs = tuple(offs)
+    max_off = max(offs)
+
+    def verify(batches):
+        from .sloppy import sloppy_freq
+
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            norms = pdf["norm"].to_numpy(dtype=np.int64)
+            cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
+            if slop == 0:
+                # flatten with a per-row stride so ONE intersect1d
+                # per slot verifies the whole batch
+                flats, lens = [], []
+                maxpos = 0
+                for i in range(nterms):
+                    ln = np.fromiter((len(a) for a in cols[i]), dtype=np.int64,
+                                     count=nrows)
+                    fl = np.concatenate([np.asarray(a, dtype=np.int64)
+                                         for a in cols[i]]) if ln.sum() else \
+                        np.empty(0, dtype=np.int64)
+                    if fl.size:
+                        maxpos = max(maxpos, int(fl.max()))
+                    flats.append(fl)
+                    lens.append(ln)
+                stride = maxpos + max_off + 2
+                cand = None
+                for i in range(nterms):
+                    base = np.repeat(np.arange(nrows, dtype=np.int64),
+                                     lens[i]) * stride
+                    adj = flats[i] - offs[i] + max_off + base
+                    cand = adj if cand is None else np.intersect1d(
+                        cand, adj, assume_unique=True)
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
+                    yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                        "score": pd.Series([], dtype="float32")})
+                    continue
+                freqs = np.bincount(cand // stride, minlength=nrows).astype(np.float64)
+            else:
+                freqs = np.empty(nrows, dtype=np.float64)
+                for r in range(nrows):
+                    freqs[r] = sloppy_freq([cols[i][r] for i in range(nterms)],
+                                           offs, slop)
+            hit = freqs > 0
+            if not hit.any():
+                yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                    "score": pd.Series([], dtype="float32")})
+                continue
+            s = bm25.score_terms(freqs[hit], norms[hit], np.float32(w), cache)
+            yield pd.DataFrame({"docid": docids[hit], "score": s})
+
+    return verify
+
+
 def _collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, (PhraseQuery, SynonymQuery)):
+    if isinstance(q, (PhraseQuery, SynonymQuery, CommonTermsQuery)):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.termss for t in slot}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in q.clauses:
@@ -135,6 +212,11 @@ class IndexSearcher:
             if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
                 return BooleanQuery(inner.clauses, boost=q.boost)
             return ConstantScoreQuery(inner, boost=q.boost)
+        if isinstance(q, CommonTermsQuery):
+            # df-threshold split against the dictionary
+            # (CommonTermsQuery.java buildQuery)
+            dfs = self.term_stats(set(q.terms))
+            return build_common_terms(q, dfs, self.doc_count)
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 tuple(BooleanClause(self.rewrite(c.query), c.occur)
@@ -161,7 +243,15 @@ class IndexSearcher:
         elif isinstance(q, WildcardQuery):
             pred = col.rlike("^(?s)" + wildcard_to_regex(q.pattern) + "$")
         elif isinstance(q, RegexpQuery):
-            pred = col.rlike("^(?s)(?:" + q.pattern + ")$")
+            from .multiterm import java_safe_regex
+
+            if java_safe_regex(q.pattern):
+                pred = col.rlike("^(?s)(?:" + q.pattern + ")$")
+            else:
+                # dialect-divergent pattern: scan the dict unpruned and
+                # rely on the exact Python refinement (expand_terms) —
+                # a Java-side rlike could throw or silently drop terms
+                pred = F.lit(True)
         elif isinstance(q, FuzzyQuery):
             # classic levenshtein >= OSA; one transposition <= 2 classic
             # edits, so this prefilter admits every OSA match
@@ -279,62 +369,46 @@ class IndexSearcher:
             parts.append(p)
         joined = reduce(lambda a, b: a.join(b, "docid"), parts)
 
-        max_off = max(offs)
+        return joined.mapInPandas(
+            _phrase_verify_fn(offs, slop, nterms, w, cache),
+            schema="docid long, score float")
 
-        def verify(batches):
-            from .sloppy import sloppy_freq
+    def _multi_phrase_leaf(self, q: MultiPhraseQuery, stats, boost: float) -> DataFrame:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java): per slot,
+        the positional UNION of the slot terms' postings
+        (UnionPostingsEnum) — one bucket-pruned scan + groupBy(docid)
+        flattening per slot — then the SAME two-phase verify as
+        PhraseQuery. Weight sums idf over every member term with
+        df > 0 (MultiPhraseWeight → idfExplain(termStats[]))."""
+        if not q.termss:
+            return self._empty_scored()
+        present_slots = [[t for t in slot if stats.get(t, 0)] for slot in q.termss]
+        if any(not slot for slot in present_slots):
+            return self._empty_scored()
+        offs = q.effective_positions()
+        dfs = [stats[t] for slot in present_slots for t in slot]
+        idfs = [bm25.idf(df, self.doc_count) for df in dfs]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = float(bm25.term_weight(idf_sum, boost * q.boost, self.scorer.k1))
 
-            for pdf in batches:
-                nrows = len(pdf)
-                if nrows == 0:
-                    continue
-                docids = pdf["docid"].to_numpy(dtype=np.int64)
-                norms = pdf["norm"].to_numpy(dtype=np.int64)
-                cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
-                if slop == 0:
-                    # flatten with a per-row stride so ONE intersect1d
-                    # per term pair verifies the whole batch
-                    flats, lens = [], []
-                    maxpos = 0
-                    for i in range(nterms):
-                        ln = np.fromiter((len(a) for a in cols[i]), dtype=np.int64,
-                                         count=nrows)
-                        fl = np.concatenate([np.asarray(a, dtype=np.int64)
-                                             for a in cols[i]]) if ln.sum() else \
-                            np.empty(0, dtype=np.int64)
-                        if fl.size:
-                            maxpos = max(maxpos, int(fl.max()))
-                        flats.append(fl)
-                        lens.append(ln)
-                    stride = maxpos + max_off + 2
-                    cand = None
-                    for i in range(nterms):
-                        base = np.repeat(np.arange(nrows, dtype=np.int64),
-                                         lens[i]) * stride
-                        adj = flats[i] - offs[i] + max_off + base
-                        cand = adj if cand is None else np.intersect1d(
-                            cand, adj, assume_unique=True)
-                        if cand.size == 0:
-                            break
-                    if cand is None or cand.size == 0:
-                        yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
-                                            "score": pd.Series([], dtype="float32")})
-                        continue
-                    freqs = np.bincount(cand // stride, minlength=nrows).astype(np.float64)
-                else:
-                    freqs = np.empty(nrows, dtype=np.float64)
-                    for r in range(nrows):
-                        freqs[r] = sloppy_freq([cols[i][r] for i in range(nterms)],
-                                               offs, slop)
-                hit = freqs > 0
-                if not hit.any():
-                    yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
-                                        "score": pd.Series([], dtype="float32")})
-                    continue
-                s = bm25.score_terms(freqs[hit], norms[hit], np.float32(w), cache)
-                yield pd.DataFrame({"docid": docids[hit], "score": s})
-
-        return joined.mapInPandas(verify, schema="docid long, score float")
+        parts = []
+        for i, slot in enumerate(present_slots):
+            src = self._postings_for(slot, with_positions=True)
+            if len(slot) == 1:
+                p = src.select("docid", F.col("positions").alias(f"pos{i}"),
+                               *([F.col("norm")] if i == 0 else []))
+            else:
+                aggs = [F.sort_array(F.flatten(F.collect_list("positions")))
+                        .alias(f"pos{i}")]
+                if i == 0:
+                    aggs.append(F.min("norm").alias("norm"))
+                p = src.groupBy("docid").agg(*aggs)
+            parts.append(p)
+        joined = reduce(lambda a, b: a.join(b, "docid"), parts)
+        return joined.mapInPandas(
+            _phrase_verify_fn(offs, q.slop, len(present_slots), w,
+                              self.scorer.cache),
+            schema="docid long, score float")
 
     def _empty_scored(self) -> DataFrame:
         return self.tables.spark.createDataFrame([], "docid long, score float")
@@ -347,6 +421,8 @@ class IndexSearcher:
             return self._term_leaf(q, stats, boost)
         if isinstance(q, PhraseQuery):
             return self._phrase_leaf(q, stats, boost)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase_leaf(q, stats, boost)
         if isinstance(q, MatchAllDocsQuery):
             return self.docs.select(
                 "docid", F.lit(float(np.float32(boost * q.boost))).cast("float").alias("score")

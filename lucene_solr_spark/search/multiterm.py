@@ -49,6 +49,27 @@ def wildcard_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+_JAVA_DIVERGENT_RE = re.compile(
+    # constructs whose semantics (or validity) differ between Python re
+    # and Java regex: alphanumeric escapes (\d \w \s \b \A \Z unicode
+    # breadth / dialect; \1 backrefs fine but rare — blacklist anyway),
+    # any (?...) group that is not plain (?:, possessive quantifiers.
+    r"\\[A-Za-z0-9]"
+    r"|\(\?[^:]"
+    r"|[+*?}]\+"
+)
+
+
+def java_safe_regex(pattern: str) -> bool:
+    """True when `pattern` is restricted to the regex subset that
+    Python re and Java (Spark rlike) evaluate identically — literals,
+    char classes, ., anchors, |, (?:...), greedy/lazy quantifiers.
+    Used to gate the dictionary-scan pushdown: an unsafe pattern must
+    NOT prune candidates JVM-side, or terms the exact Python refinement
+    would accept silently disappear (RegexpQuery correctness)."""
+    return _JAVA_DIVERGENT_RE.search(pattern) is None
+
+
 def osa_distance(a: str, b: str, cap: int | None = None) -> int:
     """Optimal-string-alignment distance (Levenshtein + adjacent
     transposition as one edit) — FuzzyQuery's transpositions=true

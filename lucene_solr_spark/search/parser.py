@@ -161,13 +161,24 @@ class QueryParser:
 
         boost = None
         m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", t)
-        if m and not t.startswith('"'):
-            t, boost = m.group(1), float(m.group(2))
+        if m:
+            head = m.group(1)
+            # only strip ^N when the remainder is itself well-formed: a
+            # non-quoted term, or a complete quoted phrase (so a ^ inside
+            # the phrase body is never mangled). Classic grammar accepts
+            # "phrase"^boost and "phrase"~slop^boost (QueryParser.jj).
+            if not head.startswith('"') or re.match(
+                    r'^"(?:[^"\\]|\\.)*"(?:~\d+)?$', head):
+                t, boost = head, float(m.group(2))
 
         q = self._primitive(t)
+        j = i + 1
+        if boost is None and t.startswith('"'):
+            # the lexer may split the boost into its own ^N token
+            boost, j = self._maybe_boost_token(toks, j)
         if boost is not None and q is not None:
             q = self._boosted(q, boost)
-        return q, i + 1
+        return q, j
 
     def _maybe_boost_token(self, toks, j):
         if j < len(toks) and re.match(r"^\^\d+(\.\d+)?$", toks[j]):

@@ -20,6 +20,7 @@ class Query:
 class TermQuery(Query):
     term: str
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -32,9 +33,73 @@ class PhraseQuery(Query):
     positions: tuple[int, ...] | None = None
     slop: int = 0
     boost: float = 1.0
+    field: str = "content"
 
     def effective_positions(self) -> tuple[int, ...]:
         return self.positions if self.positions is not None else tuple(range(len(self.terms)))
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with per-slot term alternatives
+    (search/MultiPhraseQuery.java): each position slot matches ANY of
+    its terms; the matcher walks the union of the slot terms' position
+    lists; the weight sums idf over ALL member terms with df > 0
+    (MultiPhraseWeight ctor → BM25Similarity.idfExplain(termStats[]))."""
+
+    termss: tuple[tuple[str, ...], ...]
+    positions: tuple[int, ...] | None = None
+    slop: int = 0
+    boost: float = 1.0
+    field: str = "content"
+
+    def effective_positions(self) -> tuple[int, ...]:
+        return self.positions if self.positions is not None else tuple(range(len(self.termss)))
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """df-threshold split query (queries/CommonTermsQuery.java): terms
+    whose df exceeds ``max_term_frequency`` (absolute when >= 1, else a
+    fraction of docCount) are "common" and demoted to an optional
+    scoring clause; rare terms form the required part. Rewrites against
+    the dictionary via :func:`build_common_terms` — shared by the
+    oracle and the Spark engine so both split identically."""
+
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = "SHOULD"
+    high_freq_occur: str = "SHOULD"
+    low_freq_msm: int = 0
+    high_freq_msm: int = 0
+    boost: float = 1.0
+    field: str = "content"
+
+
+def build_common_terms(q: CommonTermsQuery, dfs: dict[str, int],
+                       doc_count: int) -> Query:
+    """CommonTermsQuery.buildQuery semantics: split by the df cutoff;
+    low-freq-only or high-freq-only collapse to a single boolean;
+    otherwise MUST(lowFreq) + SHOULD(highFreq)."""
+    cutoff = (q.max_term_frequency if q.max_term_frequency >= 1.0
+              else q.max_term_frequency * doc_count)
+    low = [t for t in q.terms if dfs.get(t, 0) <= cutoff]
+    high = [t for t in q.terms if dfs.get(t, 0) > cutoff]
+    low_q = BooleanQuery(
+        tuple(BooleanClause(TermQuery(t, field=q.field), q.low_freq_occur)
+              for t in low),
+        q.low_freq_msm)
+    high_q = BooleanQuery(
+        tuple(BooleanClause(TermQuery(t, field=q.field), q.high_freq_occur)
+              for t in high),
+        q.high_freq_msm)
+    if not high:
+        return BooleanQuery(low_q.clauses, q.low_freq_msm, q.boost)
+    if not low:
+        return BooleanQuery(high_q.clauses, q.high_freq_msm, q.boost)
+    return BooleanQuery(
+        (BooleanClause(low_q, "MUST"), BooleanClause(high_q, "SHOULD")),
+        0, q.boost)
 
 
 @dataclass(frozen=True)
@@ -76,6 +141,7 @@ class PrefixQuery(MultiTermQuery):
     prefix: str
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -86,6 +152,7 @@ class WildcardQuery(MultiTermQuery):
     pattern: str
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -96,6 +163,7 @@ class RegexpQuery(MultiTermQuery):
     pattern: str
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -109,6 +177,7 @@ class FuzzyQuery(MultiTermQuery):
     transpositions: bool = True
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -122,6 +191,7 @@ class TermRangeQuery(MultiTermQuery):
     include_upper: bool = True
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -132,6 +202,7 @@ class TermInSetQuery(MultiTermQuery):
     terms: tuple[str, ...]
     rewrite: str = "constant_score"
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -142,6 +213,7 @@ class SynonymQuery(Query):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -163,6 +235,15 @@ class MatchAllDocsQuery(Query):
 @dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Docs that have indexed the field (DocValuesFieldExistsQuery /
+    NormsFieldExistsQuery role): constant score `boost`."""
+
+    field: str
     boost: float = 1.0
 
 

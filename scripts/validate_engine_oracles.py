@@ -80,9 +80,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     con = duck_con(sf_dir)
 
-    names = [n for n in qs if n.startswith("engine_")]
-    if only:
-        names = [n for n in names if n in only]
+    names = sorted(only) if only else [n for n in qs if n.startswith("engine_")]
     failures = []
     for name in names:
         print(f"== {name}")

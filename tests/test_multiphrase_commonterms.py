@@ -1,0 +1,102 @@
+"""MultiPhraseQuery + CommonTermsQuery: Spark engine vs oracle
+rank/score identity (search/MultiPhraseQuery.java,
+queries/CommonTermsQuery.java; VERDICT round-1 missing #5/#7)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.queries import (
+    CommonTermsQuery,
+    MultiPhraseQuery,
+    PhraseQuery,
+    build_common_terms,
+)
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index_mpc"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4)
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS, n_buckets=8)
+    searcher = IndexSearcher(tables, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    return searcher, oracle
+
+
+def _identical(searcher, oracle, q, k=10):
+    exp = oracle.search(q, k)
+    got = searcher.search(q, k)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def _common_terms(oracle, lo=2, hi=30):
+    """A frequent and some mid-frequency terms from the corpus."""
+    by_df = sorted(oracle.postings, key=lambda t: (-oracle.doc_freq(t), t))
+    hi_t = by_df[0]
+    mids = [t for t in by_df if lo <= oracle.doc_freq(t) <= hi]
+    return hi_t, mids
+
+
+def test_multi_phrase_matches_oracle(built):
+    searcher, oracle = built
+    # find real adjacent bigrams so the query actually matches
+    pdf = corpus_pandas(N_DOCS)
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    t0 = an.analyze(pdf["content"].iloc[0])[0]
+    a, b = t0[0], t0[1]
+    c, d = t0[2], t0[3]
+    q = MultiPhraseQuery(((a,), (b, d)))
+    _identical(searcher, oracle, q)
+    q2 = MultiPhraseQuery(((a, c), (b, d)))
+    _identical(searcher, oracle, q2)
+    # must agree with plain PhraseQuery when every slot is singleton
+    exp = oracle.search(PhraseQuery((a, b)), 10)
+    got = searcher.search(MultiPhraseQuery(((a,), (b,))), 10)
+    assert [(h.docid,) for h in got] == [(h.docid,) for h in exp]
+    # sloppy variant
+    _identical(searcher, oracle, MultiPhraseQuery(((a, c), (b, d)), slop=2))
+    # missing term in one slot is ignored; all-missing slot matches nothing
+    _identical(searcher, oracle, MultiPhraseQuery(((a, "zzzznope"), (b,))))
+    assert searcher.search(MultiPhraseQuery(((a,), ("zzzznope",))), 10) == []
+
+
+def test_common_terms_matches_oracle(built):
+    searcher, oracle = built
+    hi_t, mids = _common_terms(oracle)
+    assert mids, "corpus should have mid-frequency terms"
+    q = CommonTermsQuery((hi_t, mids[0], mids[1]), max_term_frequency=0.5)
+    _identical(searcher, oracle, q)
+    # all-common: collapses to the high-freq boolean
+    q_all_hi = CommonTermsQuery((hi_t,), max_term_frequency=0.001)
+    _identical(searcher, oracle, q_all_hi)
+    # all-rare: collapses to the low-freq boolean
+    q_all_lo = CommonTermsQuery((mids[0], mids[2]), max_term_frequency=0.9)
+    _identical(searcher, oracle, q_all_lo)
+    # MUST low-freq occur
+    q_must = CommonTermsQuery((hi_t, mids[0]), max_term_frequency=0.5,
+                              low_freq_occur="MUST")
+    _identical(searcher, oracle, q_must)
+
+
+def test_build_common_terms_split():
+    q = CommonTermsQuery(("rare", "common"), max_term_frequency=0.1)
+    built_q = build_common_terms(q, {"rare": 1, "common": 80}, 100)
+    occurs = [(c.occur, type(c.query).__name__) for c in built_q.clauses]
+    assert ("MUST", "BooleanQuery") in occurs
+    assert ("SHOULD", "BooleanQuery") in occurs
+    # absolute threshold (>= 1)
+    built_abs = build_common_terms(
+        CommonTermsQuery(("a", "b"), max_term_frequency=5.0),
+        {"a": 5, "b": 6}, 100)
+    # a (df=5 <= 5) low, b (df=6 > 5) high
+    assert len(built_abs.clauses) == 2
