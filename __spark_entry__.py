@@ -146,6 +146,46 @@ def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.suggest(_searcher(spark, sf_dir), "qu", 10)
 
 
+_MF_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _mf_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Multi-field index over documents: title = source (short keyword
+    field), content = text — per-field postings/stats/norms
+    (builder.py fields=...), the edismax substrate."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MF_SEARCHERS:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "lss_mfindex_" + key.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            corpus = docs.select(
+                F.col("source").alias("repo"),
+                F.format_string("doc/%09d", F.col("doc_id")).alias("path"),
+                F.col("doc_id").cast("string").alias("commit"),
+                F.col("lang").alias("lang"),
+                F.col("source").alias("title"),
+                F.col("text").alias("content"),
+            )
+            build_index(corpus, root, n_buckets=16,
+                        fields=("title", "content"))
+        _MF_SEARCHERS[key] = IndexSearcher(IndexTables(root, spark), cache=True)
+    return _MF_SEARCHERS[key]
+
+
+def _engine_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax over (title^2, content): per-word cross-field
+    DisjunctionMax with tie-break (ExtendedDismaxQParser role)."""
+    from lucene_solr_spark.search.components import edismax_query
+
+    s = _mf_searcher(spark, sf_dir)
+    q = edismax_query("spark src3", {"title": 2.0, "content": 1.0}, tie=0.3)
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: tf-idf term extraction → disjunction query."""
     from lucene_solr_spark.search import components as C
@@ -173,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_collapse"] = _engine_collapse
     out["engine_suggest"] = _engine_suggest
     out["engine_mlt"] = _engine_mlt
+    out["engine_edismax"] = _engine_edismax
     return out
 
 
@@ -189,4 +230,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_collapse"] = sqlgen.collapse_sql()
     out["engine_suggest"] = sqlgen.suggest_sql()
     out["engine_mlt"] = sqlgen.mlt_sql()
+    out["engine_edismax"] = sqlgen.edismax_topk()
     return out

@@ -53,13 +53,16 @@ def _needs_python(content, raw_tokens, max_token_length: int):
 
 
 def _python_analyzed(df: DataFrame, max_token_length: int,
-                     content_col: str) -> DataFrame:
+                     content_col: str, tokens_col: str,
+                     with_sha: bool) -> DataFrame:
     """The exact-semantics fallback (full Unicode + 255-chop): lowered,
     UNFILTERED token stream — position = list index, like the JVM
     branch."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", tokens array<string>, content_sha256 string"
+    ) + f", {tokens_col} array<string>"
+    if with_sha:
+        out_schema += ", content_sha256 string"
 
     def analyze(batches):
         for pdf in batches:
@@ -67,10 +70,13 @@ def _python_analyzed(df: DataFrame, max_token_length: int,
             for content in pdf[content_col].fillna(""):
                 toks = standard_tokenize(content, max_token_length)
                 toks_l.append([t.lower() for t in toks])
-                sha_l.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+                if with_sha:
+                    sha_l.append(
+                        hashlib.sha256(content.encode("utf-8")).hexdigest())
             out = pdf.copy()
-            out["tokens"] = toks_l
-            out["content_sha256"] = sha_l
+            out[tokens_col] = toks_l
+            if with_sha:
+                out["content_sha256"] = sha_l
             yield out
 
     return df.coalesce(_FALLBACK_PARTITIONS).mapInPandas(
@@ -80,22 +86,25 @@ def _python_analyzed(df: DataFrame, max_token_length: int,
 def analyzed_columns(df: DataFrame,
                      max_token_length: int = MAX_TOKEN_LENGTH,
                      content_col: str = "content",
-                     stop_words=None) -> DataFrame:
-    """Add ``tokens`` (lowered, unfiltered, position = index) and
-    ``content_sha256`` (hex digest of the UTF-8 content bytes — the
-    per-row invariant vs the input) to ``df``.
+                     stop_words=None,
+                     tokens_col: str = "tokens",
+                     with_sha: bool = True) -> DataFrame:
+    """Add ``tokens_col`` (lowered, unfiltered, position = index) and —
+    when ``with_sha`` — ``content_sha256`` (hex digest of the UTF-8
+    content bytes, the per-row invariant vs the input) to ``df``.
 
     ``stop_words`` is accepted for signature compatibility and ignored:
     stop filtering happens vectorized in the consuming builder.
+    Multi-field indexes call this once per analyzed field with a
+    distinct ``tokens_col`` (sha only on the content field).
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
     raw = F.regexp_extract_all(content, F.lit(_A_WORD), F.lit(0))
     needs_py = _needs_python(content, raw, max_token_length)
 
-    jvm = (
-        df.where(~needs_py)
-        .withColumn("tokens", F.transform(raw, F.lower))
-        .withColumn("content_sha256", F.sha2(content, 256))
-    )
-    py = _python_analyzed(df.where(needs_py), max_token_length, content_col)
+    jvm = df.where(~needs_py).withColumn(tokens_col, F.transform(raw, F.lower))
+    if with_sha:
+        jvm = jvm.withColumn("content_sha256", F.sha2(content, 256))
+    py = _python_analyzed(df.where(needs_py), max_token_length, content_col,
+                          tokens_col, with_sha)
     return jvm.unionByName(py)

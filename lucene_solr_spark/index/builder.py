@@ -56,10 +56,11 @@ from ..analysis.jvm import analyzed_columns
 
 PK = ["repo", "path", "commit"]
 
-# kind=0: posting row. kind=1: per-doc summary (term carries sha256 hex,
-# tf carries dl, positions null).
+# kind=0: posting row. kind=1: per-(doc, field) summary (term carries
+# sha256 hex on the sha field, tf carries dl, positions null).
 SEGMENT_SCHEMA = (
-    "term string, docid long, tf int, positions array<int>, norm int, kind int"
+    "field string, term string, docid long, tf int, positions array<int>, "
+    "norm int, kind int"
 )
 
 
@@ -127,17 +128,72 @@ def assign_docids(corpus: DataFrame, num_partitions: int | None = None) -> DataF
     return result
 
 
-def _make_segment_fn(stop_words: frozenset[str] = frozenset()):
-    """Per-partition DWPT: pre-tokenized doc batch → aggregated posting
-    rows plus one summary row per doc.
+def _invert_field(docids, toks_col, null_mask, stop_arr):
+    """Vectorized inversion of ONE analyzed field over a doc batch:
+    numpy StopFilter (position = raw token index → gaps preserved, dl
+    counts survivors), factorize, ONE stable sort → posting runs.
+    Returns (dls, posting frame columns) — posting cols None when the
+    field has no tokens in the batch. Docs where the field is null get
+    dl −1 (field absent: no norm, excluded from field stats —
+    FieldInfos semantics, index/FieldInfo.java:31-71)."""
+    ndocs = len(docids)
+    raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
+                           count=ndocs)
+    total_raw = int(raw_lens.sum())
+    if not total_raw:
+        dls = np.zeros(ndocs, dtype=np.int64)
+        dls[null_mask] = -1
+        return dls, None
+    flat_raw = np.concatenate([np.asarray(t, dtype=object) for t in toks_col])
+    doc_of_tok = np.repeat(np.arange(ndocs), raw_lens)
+    starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(raw_lens[:-1], out=starts[1:])
+    pos_raw = np.arange(total_raw, dtype=np.int64) - starts[doc_of_tok]
+    codes_all, uniq = pd.factorize(flat_raw, sort=False)
+    codes_all = np.asarray(codes_all)
+    uniq = np.asarray(uniq, dtype=object)
+    if stop_arr is not None and len(uniq):
+        keep = ~np.isin(uniq, stop_arr)[codes_all]
+        codes = codes_all[keep]
+        tok_didx = doc_of_tok[keep]
+        flat_pos = pos_raw[keep]
+    else:
+        codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
+    dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
+    dls[null_mask] = -1
+    total = int(codes.size)
+    if total == 0:
+        return dls, None
 
-    Input rows carry ``tokens``/``content_sha256`` from
-    :func:`..analysis.jvm.analyzed_columns` (tokenization is JVM-side);
-    this worker is pure vectorized numpy: the StopFilter is one isin
-    mask over the factorized vocabulary (position = raw token index →
-    stopword gaps preserved, dl counts survivors), then ONE stable
-    sort yields the (term, doc) posting runs; tfs and position slices
-    come from numpy boundary math."""
+    order = np.argsort(codes, kind="stable")
+    codes_s, didx_s, pos_s = codes[order], tok_didx[order], flat_pos[order]
+    new_post = np.empty(total, dtype=bool)
+    new_post[0] = True
+    new_post[1:] = (codes_s[1:] != codes_s[:-1]) | (didx_s[1:] != didx_s[:-1])
+    post_starts = np.flatnonzero(new_post)
+    tf = np.append(post_starts[1:], total) - post_starts
+    post_didx = didx_s[post_starts]
+    return dls, {
+        "term": uniq[codes_s[post_starts]],
+        "docid": docids[post_didx],
+        "tf": tf,
+        "positions": np.split(pos_s, post_starts[1:]),
+        "post_didx": post_didx,
+    }
+
+
+def _make_segment_fn(stop_words: frozenset[str] = frozenset(),
+                     fields: tuple[str, ...] = ("content",),
+                     sha_field: str = "content"):
+    """Per-partition DWPT: pre-tokenized doc batch → aggregated posting
+    rows (field, term, docid, tf, positions, norm) plus one summary
+    row per (doc, present field) carrying dl/norm (sha256 rides the
+    ``sha_field`` summary).
+
+    Input rows carry ``tokens_<field>``/``content_sha256`` from
+    :func:`..analysis.jvm.analyzed_columns` (tokenization is
+    JVM-side); this worker is pure vectorized numpy per field
+    (see :func:`_invert_field`)."""
     stop_arr = np.asarray(sorted(stop_words), dtype=object) if stop_words else None
 
     def build_segment(batches):
@@ -146,64 +202,38 @@ def _make_segment_fn(stop_words: frozenset[str] = frozenset()):
         for pdf in batches:
             docids = pdf["docid"].to_numpy(dtype=np.int64)
             ndocs = len(pdf)
-
-            toks_col = pdf["tokens"].to_numpy()
-            raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
-                                   count=ndocs)
-            total_raw = int(raw_lens.sum())
-            shas = pdf["content_sha256"].tolist()
-
-            if total_raw:
-                flat_raw = np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks_col])
-                doc_of_tok = np.repeat(np.arange(ndocs), raw_lens)
-                starts = np.zeros(ndocs, dtype=np.int64)
-                np.cumsum(raw_lens[:-1], out=starts[1:])
-                pos_raw = np.arange(total_raw, dtype=np.int64) - starts[doc_of_tok]
-                codes_all, uniq = pd.factorize(flat_raw, sort=False)
-                codes_all = np.asarray(codes_all)
-                uniq = np.asarray(uniq, dtype=object)
-                if stop_arr is not None and len(uniq):
-                    keep = ~np.isin(uniq, stop_arr)[codes_all]
-                    codes = codes_all[keep]
-                    tok_didx = doc_of_tok[keep]
-                    flat_pos = pos_raw[keep]
-                else:
-                    codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
-                dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
-            else:
-                dls = np.zeros(ndocs, dtype=np.int64)
-            norms_doc = int_to_byte4_np(dls).astype(np.int64)
-
-            summary = pd.DataFrame({
-                "term": shas, "docid": docids, "tf": dls,
-                "positions": None, "norm": norms_doc, "kind": 1,
-            })
-
-            total = int(dls.sum())
-            if total == 0:
-                yield summary
-                continue
-
-            order = np.argsort(codes, kind="stable")
-            codes_s, didx_s, pos_s = codes[order], tok_didx[order], flat_pos[order]
-
-            new_post = np.empty(total, dtype=bool)
-            new_post[0] = True
-            new_post[1:] = (codes_s[1:] != codes_s[:-1]) | (didx_s[1:] != didx_s[:-1])
-            post_starts = np.flatnonzero(new_post)
-            tf = np.append(post_starts[1:], total) - post_starts
-            post_didx = didx_s[post_starts]
-
-            postings = pd.DataFrame({
-                "term": uniq[codes_s[post_starts]],
-                "docid": docids[post_didx],
-                "tf": tf,
-                "positions": np.split(pos_s, post_starts[1:]),
-                "norm": norms_doc[post_didx],
-                "kind": 0,
-            })
-            yield pd.concat([postings, summary], ignore_index=True)
+            shas = pdf["content_sha256"].to_numpy()
+            frames = []
+            for f in fields:
+                toks_col = pdf[f"tokens_{f}"].to_numpy()
+                nullcol = f"null_{f}"
+                null_mask = (pdf[nullcol].to_numpy(dtype=bool)
+                             if nullcol in pdf.columns
+                             else np.zeros(ndocs, dtype=bool))
+                dls, post = _invert_field(docids, toks_col, null_mask, stop_arr)
+                present = dls >= 0
+                norms_doc = int_to_byte4_np(np.maximum(dls, 0)).astype(np.int64)
+                summary = pd.DataFrame({
+                    "field": f,
+                    "term": shas[present] if f == sha_field else None,
+                    "docid": docids[present],
+                    "tf": dls[present],
+                    "positions": None,
+                    "norm": norms_doc[present],
+                    "kind": 1,
+                })
+                frames.append(summary)
+                if post is not None:
+                    frames.append(pd.DataFrame({
+                        "field": f,
+                        "term": post["term"],
+                        "docid": post["docid"],
+                        "tf": post["tf"],
+                        "positions": post["positions"],
+                        "norm": norms_doc[post["post_didx"]],
+                        "kind": 0,
+                    }))
+            yield pd.concat(frames, ignore_index=True)
 
     return build_segment
 
@@ -242,9 +272,24 @@ class IndexTables:
     def dict(self) -> DataFrame:
         return self.spark.read.parquet(self.dict_path)
 
+    def field_docs(self) -> DataFrame | None:
+        """(field, docid, dl, norm) for every present (doc, field) —
+        the per-field norms table; None on single-field indexes (the
+        docs table covers the content field)."""
+        p = os.path.join(self.root, "field_docs")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
     def stats(self) -> dict:
-        row = self.spark.read.parquet(self.stats_path).collect()[0]
-        return row.asDict()
+        """{field: {doc_count, sum_ttf}} (collection statistics per
+        field, BlockTreeTermsWriter.java:223-239 role)."""
+        rows = self.spark.read.parquet(self.stats_path).collect()
+        if rows and "field" in rows[0].asDict():
+            return {r["field"]: {"doc_count": int(r["doc_count"]),
+                                 "sum_ttf": int(r["sum_ttf"] or 0)}
+                    for r in rows}
+        r = rows[0].asDict()
+        return {"content": {"doc_count": int(r["doc_count"]),
+                            "sum_ttf": int(r["sum_ttf"] or 0)}}
 
     def manifest(self) -> dict:
         with open(self.manifest_path) as f:
@@ -258,22 +303,36 @@ def build_index(
     max_token_length: int = 255,
     n_buckets: int | None = None,
     build_partitions: int | None = None,
+    fields: tuple[str, ...] = ("content",),
 ) -> IndexTables:
-    """Full index build. See module docstring for the plan & shuffles."""
+    """Full index build. See module docstring for the plan & shuffles.
+
+    ``fields`` lists the analyzed text columns; each becomes a
+    per-field postings/dict/stats dimension (FieldInfos role,
+    index/FieldInfo.java:31-71). The first field containing "content"
+    (or fields[0]) carries the per-row sha256 invariant.
+    """
     spark = corpus.sparkSession
     t0 = time.time()
     if n_buckets is None:
         n_buckets = num_term_buckets()
     stop_words = stop_words or frozenset()
+    sha_field = "content" if "content" in fields else fields[0]
     os.makedirs(out_root, exist_ok=True)
 
     base = assign_docids(corpus, build_partitions)
     parent = getattr(base, "_lss_persisted_parent", None)
-    analyzed = analyzed_columns(
-        base, max_token_length=max_token_length).drop("content")
+    analyzed = base
+    for f in fields:
+        analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
+        analyzed = analyzed_columns(
+            analyzed, max_token_length=max_token_length, content_col=f,
+            tokens_col=f"tokens_{f}", with_sha=(f == sha_field))
+    analyzed = analyzed.drop(*fields)
     analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    segments = analyzed.mapInPandas(_make_segment_fn(stop_words), schema=SEGMENT_SCHEMA)
+    segments = analyzed.mapInPandas(
+        _make_segment_fn(stop_words, fields, sha_field), schema=SEGMENT_SCHEMA)
     segments.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- postings: merge to term-bucket layout --------------------------
@@ -284,44 +343,64 @@ def build_index(
         .withColumn("_salt", F.pmod(F.col("docid"), F.lit(8)).cast("int"))
         .repartition(F.col("bucket"), F.col("_salt"))
         .drop("_salt")
-        .sortWithinPartitions("term", "docid")
+        .sortWithinPartitions("term", "field", "docid")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_root, "postings")
     )
 
-    # --- docs table: summary rows ⋈ slim metadata ------------------------
-    summaries = (
-        segments.where(F.col("kind") == 1)
+    # --- docs table (sha-field summaries ⋈ slim metadata) ---------------
+    summaries = segments.where(F.col("kind") == 1)
+    doc_rows = (
+        summaries.where(F.col("field") == sha_field)
         .select(F.col("docid"), F.col("tf").alias("dl"), F.col("norm"),
                 F.col("term").alias("content_sha256"))
     )
     meta = analyzed.select("docid", *PK, "lang")
-    docs = meta.join(summaries, "docid").select(
+    docs = meta.join(doc_rows, "docid").select(
         "docid", *PK, "lang", "dl", "norm", "content_sha256"
     )
     docs.write.mode("overwrite").parquet(os.path.join(out_root, "docs"))
+
+    # --- per-field doc table (norms/docvalues role; FieldExists) --------
+    if len(fields) > 1:
+        summaries.select("field", "docid", F.col("tf").alias("dl"),
+                         "norm").write.mode("overwrite").partitionBy(
+            "field").parquet(os.path.join(out_root, "field_docs"))
 
     tables = IndexTables(out_root, spark)
 
     # --- dictionary + collection stats ----------------------------------
     postings = tables.postings()
-    dict_df = postings.groupBy("term").agg(
+    dict_df = postings.groupBy("field", "term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("ttf"),
         F.first("bucket").alias("bucket"),
     )
     dict_df.write.mode("overwrite").parquet(os.path.join(out_root, "dict"))
 
-    tables.docs().agg(
-        F.count("*").alias("doc_count"), F.sum("dl").alias("sum_ttf")
-    ).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
+    # per-field collection stats: docCount = docs WITH the field,
+    # sumTotalTermFreq = Σ dl over those docs (BM25Similarity.java:79)
+    field_stats = {
+        r["field"]: {"doc_count": int(r["doc_count"]),
+                     "sum_ttf": int(r["sum_ttf"] or 0)}
+        for r in summaries.groupBy("field").agg(
+            F.count("*").alias("doc_count"),
+            F.sum("tf").alias("sum_ttf")).collect()
+    }
+    cs = field_stats.get(sha_field, {"doc_count": 0, "sum_ttf": 0})
+    spark.createDataFrame(
+        [(f, s["doc_count"], s["sum_ttf"]) for f, s in sorted(field_stats.items())],
+        "field string, doc_count long, sum_ttf long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_root, "stats"))
 
-    st = tables.stats()
     manifest = {
         "format_version": 1,
-        "doc_count": st["doc_count"],
-        "sum_ttf": int(st["sum_ttf"] or 0),
+        "fields": list(fields),
+        "sha_field": sha_field,
+        "doc_count": cs["doc_count"],
+        "sum_ttf": cs["sum_ttf"],
+        "field_stats": field_stats,
         "n_buckets": n_buckets,
         "stop_words": sorted(stop_words),
         "max_token_length": max_token_length,

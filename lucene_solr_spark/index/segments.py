@@ -298,9 +298,46 @@ class SegmentIndex:
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "checkpoints"))
 
+    @property
+    def deletes_path(self):
+        return os.path.join(self.root, "deletes")
+
+    def deletes(self) -> DataFrame | None:
+        """Tombstoned docids (the .liv live-docs bitset role,
+        Lucene50LiveDocsFormat.java:38-48) — None when nothing is
+        deleted. Applied as an anti-join/mask at query time and
+        physically dropped at compaction."""
+        if not os.path.exists(self.deletes_path):
+            return None
+        return self.spark.read.parquet(self.deletes_path).select("docid").distinct()
+
+    def deleted_docids(self) -> "np.ndarray":
+        d = self.deletes()
+        if d is None:
+            return np.zeros(0, dtype=np.int64)
+        return np.array(sorted(r["docid"] for r in d.collect()), dtype=np.int64)
+
     def manifest(self) -> dict:
         with open(os.path.join(self.root, "manifest.json")) as f:
             return json.load(f)
+
+
+def append_deletes(root: str, docids) -> int:
+    """Append tombstone docids (driver-side pyarrow write — tombstone
+    batches are small relative to the index; compaction empties them)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(d) for d in docids})
+    if not ids:
+        return 0
+    d = os.path.join(root, "deletes")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({"docid": pa.array(ids, pa.int64())}),
+                   os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+    return len(ids)
 
 
 def _append_checkpoint(spark: SparkSession, root: str, row: tuple):

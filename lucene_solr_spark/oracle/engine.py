@@ -24,6 +24,7 @@ from ..search.queries import (
     CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldExistsQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
     MultiTermQuery,
@@ -38,74 +39,117 @@ from ..util.smallfloat import int_to_byte4
 
 
 class OracleIndex:
+    """Multi-field: a document is ``{field: text}`` (a bare string means
+    ``{"content": text}``); postings/norms/collection stats are
+    per-field (FieldInfos, index/FieldInfo.java:31-71), so BM25 idf and
+    avgdl resolve per field exactly like per-field
+    collectionStatistics."""
+
     def __init__(self, analyzer: StandardAnalyzer | None = None,
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75,
+                 similarity: str = "bm25"):
         self.analyzer = analyzer or StandardAnalyzer()
         self.k1, self.b = k1, b
-        # postings: term -> list[(docid, tf, positions tuple)]
-        self.postings: dict[str, list[tuple[int, int, tuple[int, ...]]]] = defaultdict(list)
-        self.norms: list[int] = []  # per-doc norm byte
+        self.similarity = similarity
+        # (field, term) -> list[(docid, tf, positions tuple)]
+        self.postings: dict[tuple[str, str], list[tuple[int, int, tuple[int, ...]]]] = defaultdict(list)
+        # field -> per-doc norm byte (None where the field is absent)
+        self.field_norms: dict[str, list[int | None]] = defaultdict(list)
         self.doc_count = 0
-        self.sum_ttf = 0  # sum of per-doc lengths (post-stop tokens)
+        self.field_doc_count: dict[str, int] = defaultdict(int)
+        self.field_sum_ttf: dict[str, int] = defaultdict(int)
 
-    def add(self, text: str) -> int:
+    # back-compat: content-field views
+    @property
+    def norms(self) -> list[int | None]:
+        return self.field_norms.get("content", [])
+
+    @property
+    def sum_ttf(self) -> int:
+        return self.field_sum_ttf.get("content", 0)
+
+    def add(self, doc) -> int:
         docid = self.doc_count
-        terms, positions = self.analyzer.analyze(text)
-        by_term: dict[str, list[int]] = defaultdict(list)
-        for t, p in zip(terms, positions):
-            by_term[t].append(p)
-        for t, ps in by_term.items():
-            self.postings[t].append((docid, len(ps), tuple(ps)))
-        self.norms.append(int_to_byte4(len(terms)))
-        self.sum_ttf += len(terms)
+        fields = {"content": doc} if isinstance(doc, str) else dict(doc)
+        for f, text in fields.items():
+            if text is None:
+                continue
+            terms, positions = self.analyzer.analyze(text)
+            by_term: dict[str, list[int]] = defaultdict(list)
+            for t, p in zip(terms, positions):
+                by_term[t].append(p)
+            for t, ps in by_term.items():
+                self.postings[(f, t)].append((docid, len(ps), tuple(ps)))
+            nl = self.field_norms[f]
+            nl.extend([None] * (docid - len(nl)))
+            nl.append(int_to_byte4(len(terms)))
+            self.field_sum_ttf[f] += len(terms)
+            self.field_doc_count[f] += 1
         self.doc_count += 1
         return docid
 
-    def add_all(self, texts) -> None:
-        for t in texts:
-            self.add(t)
+    def add_all(self, docs) -> None:
+        for d in docs:
+            self.add(d)
+
+    def _norm(self, field: str, docid: int) -> int:
+        nl = self.field_norms.get(field, [])
+        v = nl[docid] if docid < len(nl) else None
+        return 0 if v is None else v
 
     # -- stats ---------------------------------------------------------
-    def doc_freq(self, term: str) -> int:
-        return len(self.postings.get(term, ()))
+    def doc_freq(self, term: str, field: str = "content") -> int:
+        return len(self.postings.get((field, term), ()))
 
-    def total_term_freq(self, term: str) -> int:
-        return sum(tf for _, tf, _ in self.postings.get(term, ()))
+    def total_term_freq(self, term: str, field: str = "content") -> int:
+        return sum(tf for _, tf, _ in self.postings.get((field, term), ()))
 
-    def scorer(self) -> bm25.BM25Scorer:
-        return bm25.BM25Scorer(self.doc_count, self.sum_ttf, self.k1, self.b)
+    def scorer(self, field: str = "content"):
+        from ..search.similarities import SIMILARITIES
+
+        return SIMILARITIES[self.similarity](
+            max(self.field_doc_count.get(field, 0), 1),
+            max(self.field_sum_ttf.get(field, 0), 1), self.k1, self.b)
 
     # -- matching ------------------------------------------------------
     def _match(self, q: Query, scorer: bm25.BM25Scorer, boost: float = 1.0) -> dict[int, float]:
         """Return {docid: per-query float32 score}. Scores follow the
         per-scorer float discipline; sums over clauses in float64 then
-        cast to float32 (see search/bm25.py)."""
+        cast to float32 (see search/bm25.py). Leaf queries resolve
+        their own field's scorer; ``scorer`` is the calling context's
+        (kept for compound score plumbing)."""
         if isinstance(q, TermQuery):
-            plist = self.postings.get(q.term, ())
+            plist = self.postings.get((q.field, q.term), ())
             if not plist:
                 return {}
-            w = scorer.weight(len(plist), boost * q.boost)
+            fscorer = self.scorer(q.field)
+            w = fscorer.weight(len(plist), boost * q.boost)
             out = {}
             for docid, tf, _ in plist:
-                s = bm25.score_terms(
-                    np.array([tf]), np.array([self.norms[docid]]), w, scorer.cache
-                )[0]
+                s = fscorer.partial(
+                    np.array([tf]), np.array([self._norm(q.field, docid)]), w)[0]
                 out[docid] = float(s)
             return out
 
         if isinstance(q, PhraseQuery):
-            return self._match_phrase(q, scorer, boost)
+            return self._match_phrase(q, self.scorer(q.field), boost)
 
         if isinstance(q, MultiPhraseQuery):
-            return self._match_multi_phrase(q, scorer, boost)
+            return self._match_multi_phrase(q, self.scorer(q.field), boost)
 
         if isinstance(q, CommonTermsQuery):
-            dfs = {t: self.doc_freq(t) for t in q.terms}
-            return self._match(build_common_terms(q, dfs, self.doc_count),
-                               scorer, boost)
+            dfs = {t: self.doc_freq(t, q.field) for t in q.terms}
+            return self._match(
+                build_common_terms(q, dfs, self.field_doc_count.get(q.field, 0)),
+                scorer, boost)
 
         if isinstance(q, MatchAllDocsQuery):
             return {d: float(np.float32(boost * q.boost)) for d in range(self.doc_count)}
+
+        if isinstance(q, FieldExistsQuery):
+            c = float(np.float32(boost * q.boost))
+            nl = self.field_norms.get(q.field, [])
+            return {d: c for d, v in enumerate(nl) if v is not None}
 
         if isinstance(q, ConstantScoreQuery):
             inner = self._match(q.query, scorer, 1.0)
@@ -116,12 +160,14 @@ class OracleIndex:
             return self._match_boolean(q, scorer, boost)
 
         if isinstance(q, MultiTermQuery):
-            terms = expand_terms(self.postings.keys(), q)
-            rewritten = self._rewrite_multiterm(q, terms)
+            qfield = getattr(q, "field", "content")
+            terms = expand_terms(
+                (t for f, t in self.postings.keys() if f == qfield), q)
+            rewritten = self._rewrite_multiterm(q, terms, qfield)
             return self._match(rewritten, scorer, boost)
 
         if isinstance(q, SynonymQuery):
-            return self._match_synonym(q, scorer, boost)
+            return self._match_synonym(q, self.scorer(q.field), boost)
 
         if isinstance(q, DisjunctionMaxQuery):
             return self._match_dismax(q, scorer, boost)
@@ -129,11 +175,13 @@ class OracleIndex:
         raise TypeError(f"unsupported query {type(q)}")
 
     @staticmethod
-    def _rewrite_multiterm(q: MultiTermQuery, terms: list[str]) -> Query:
+    def _rewrite_multiterm(q: MultiTermQuery, terms: list[str],
+                           field: str = "content") -> Query:
         """CONSTANT_SCORE_REWRITE / SCORING_BOOLEAN_REWRITE
         (MultiTermQuery.java:94-126)."""
         inner = BooleanQuery(
-            tuple(BooleanClause(TermQuery(t), "SHOULD") for t in terms))
+            tuple(BooleanClause(TermQuery(t, field=field), "SHOULD")
+                  for t in terms))
         if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
             return BooleanQuery(inner.clauses, boost=q.boost)
         return ConstantScoreQuery(inner, boost=q.boost)
@@ -142,7 +190,7 @@ class OracleIndex:
         """Pseudo-term stats: df = max member df, freq = per-doc sum of
         member freqs; ONE similarity call (SynonymQuery.java:144-158,
         freq sum :446-455)."""
-        plists = [self.postings.get(t, ()) for t in q.terms]
+        plists = [self.postings.get((q.field, t), ()) for t in q.terms]
         df = max((len(p) for p in plists), default=0)
         if df == 0:
             return {}
@@ -153,8 +201,8 @@ class OracleIndex:
                 freqs[docid] += tf
         out = {}
         for d, f in freqs.items():
-            s = bm25.score_terms(
-                np.array([f]), np.array([self.norms[d]]), w, scorer.cache)[0]
+            s = scorer.partial(
+                np.array([f]), np.array([self._norm(q.field, d)]), w)[0]
             out[d] = float(s)
         return out
 
@@ -181,7 +229,7 @@ class OracleIndex:
         (BM25Similarity.java:172-181), one sim call on phrase freq."""
         if not q.terms:
             return {}
-        plists = [self.postings.get(t) for t in q.terms]
+        plists = [self.postings.get((q.field, t)) for t in q.terms]
         if any(p is None for p in plists):
             return {}
         offs = q.effective_positions()
@@ -191,9 +239,9 @@ class OracleIndex:
         for m in doc_maps[1:]:
             common &= set(m)
         # idf sum in float32 over member terms, weight from summed idf
-        idfs = [bm25.idf(len(pl), scorer.doc_count) for pl in plists]
+        idfs = [scorer.idf(len(pl)) for pl in plists]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = bm25.term_weight(idf_sum, boost * q.boost, scorer.k1)
+        w = scorer.weight_from_idf_sum(idf_sum, boost * q.boost)
         out = {}
         for d in common:
             if q.slop == 0:
@@ -208,9 +256,8 @@ class OracleIndex:
                 freq = sloppy_freq([doc_maps[i][d] for i in range(len(q.terms))],
                                    offs, q.slop)
             if freq > 0:
-                s = bm25.score_terms(
-                    np.array([freq]), np.array([self.norms[d]]), w, scorer.cache
-                )[0]
+                s = scorer.partial(
+                    np.array([freq]), np.array([self._norm(q.field, d)]), w)[0]
                 out[d] = float(s)
         return out
 
@@ -227,7 +274,7 @@ class OracleIndex:
         for slot in q.termss:
             m: dict[int, list[int]] = defaultdict(list)
             for t in slot:
-                for d, _tf, pos in self.postings.get(t, ()):
+                for d, _tf, pos in self.postings.get((q.field, t), ()):
                     m[d].extend(pos)
             slot_maps.append({d: tuple(sorted(ps)) for d, ps in m.items()})
         if any(not m for m in slot_maps):
@@ -235,10 +282,10 @@ class OracleIndex:
         common = set(slot_maps[0])
         for m in slot_maps[1:]:
             common &= set(m)
-        dfs = [self.doc_freq(t) for slot in q.termss for t in slot]
-        idfs = [bm25.idf(df, scorer.doc_count) for df in dfs if df > 0]
+        dfs = [self.doc_freq(t, q.field) for slot in q.termss for t in slot]
+        idfs = [scorer.idf(df) for df in dfs if df > 0]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = bm25.term_weight(idf_sum, boost * q.boost, scorer.k1)
+        w = scorer.weight_from_idf_sum(idf_sum, boost * q.boost)
         out = {}
         for d in common:
             if q.slop == 0:
@@ -253,9 +300,8 @@ class OracleIndex:
                 freq = sloppy_freq([slot_maps[i][d] for i in range(len(q.termss))],
                                    offs, q.slop)
             if freq > 0:
-                s = bm25.score_terms(
-                    np.array([freq]), np.array([self.norms[d]]), w, scorer.cache
-                )[0]
+                s = scorer.partial(
+                    np.array([freq]), np.array([self._norm(q.field, d)]), w)[0]
                 out[d] = float(s)
         return out
 

@@ -90,21 +90,30 @@ def _idf32(df_expr: str) -> str:
             f" / ({df_expr} + 0.5)) AS REAL)")
 
 
-def term_score_ctes(pred: str, tag: str) -> str:
+def term_score_ctes(pred: str, tag: str, tok: str = "tok",
+                    dc: str = "dc", st: str = "st",
+                    boost: float = 1.0) -> str:
     """Per-(term,doc) float32 BM25 partial scores for terms matching
-    ``pred`` (a SQL predicate over ``term``), at boost 1. Emits CTEs
-    qdf_<tag>, tf_<tag>, ts_<tag>(docid, term, s REAL)."""
+    ``pred`` (a SQL predicate over ``term``) in the field whose token/
+    norm-cache/stats CTEs are ``tok``/``dc``/``st``. Emits CTEs
+    qdf_<tag>, tf_<tag>, ts_<tag>(docid, term, s REAL). Weight =
+    f32(f32(k1p1 * boost) * idf) (BM25Similarity.java:222 with query
+    boost; both f32 products are exact through a double intermediate)."""
+    bf = float(np.float32(boost))
+    w1 = f"CAST(CAST({K1P1!r}::DOUBLE AS REAL) * {bf!r}::DOUBLE AS REAL)"
+    idf = (f"CAST(ln(1 + ((SELECT n FROM {st}) - df + 0.5)"
+           f" / (df + 0.5)) AS REAL)")
     return f"""
   qdf_{tag} AS (
     SELECT term, count(*) AS df
-    FROM (SELECT DISTINCT docid, term FROM tok WHERE {pred})
+    FROM (SELECT DISTINCT docid, term FROM {tok} WHERE {pred})
     GROUP BY term
   ),
   qw_{tag} AS (
-    SELECT term, CAST({K1P1!r}::DOUBLE AS REAL) * {_idf32('df')} AS w FROM qdf_{tag}
+    SELECT term, {w1} * {idf} AS w FROM qdf_{tag}
   ),
   tf_{tag} AS (
-    SELECT docid, term, count(*) AS tf FROM tok WHERE {pred}
+    SELECT docid, term, count(*) AS tf FROM {tok} WHERE {pred}
     GROUP BY docid, term
   ),
   ts_{tag} AS (
@@ -113,7 +122,7 @@ def term_score_ctes(pred: str, tag: str) -> str:
                       / (CAST(t.tf AS DOUBLE) + CAST(c.cache AS DOUBLE))
                  AS REAL) AS s
     FROM tf_{tag} t JOIN qw_{tag} q USING (term)
-    JOIN dc c ON c.docid = t.docid
+    JOIN {dc} c ON c.docid = t.docid
   )"""
 
 
@@ -388,3 +397,71 @@ def sloppy_phrase_ctes(t1: str, t2: str, slop: int, tag: str,
              AS REAL) AS s
     FROM sfreq_{tag} f JOIN dc c ON c.docid = f.docid
   )"""
+
+
+def title_field_ctes() -> str:
+    """CTEs for a `title` field = the documents `source` column (the
+    multi-field driver entry indexes title=source, content=text):
+    single lowered token at position 0; per-field dl/norm cache and
+    collection stats — per-field collectionStatistics semantics
+    (index/FieldInfo.java:31-71)."""
+    return f"""
+  ttok AS (
+    SELECT docid, lower(source) AS term, 0 AS pos FROM corpus
+    WHERE source IS NOT NULL AND lower(source) NOT IN ({STOPS_SQL})
+  ),
+  tdl AS (
+    SELECT c.docid, count(t.term) AS dl
+    FROM corpus c LEFT JOIN ttok t USING (docid)
+    WHERE c.source IS NOT NULL GROUP BY c.docid
+  ),
+  tst AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sttf FROM tdl),
+  tav AS (SELECT CAST(sttf / n AS REAL) AS avgdl FROM tst),
+  tdc AS (
+    SELECT d.docid,
+           CAST({K1!r}::DOUBLE AS REAL)
+           * (CAST({OMB!r}::DOUBLE AS REAL)
+              + (CAST({B_!r}::DOUBLE AS REAL)
+                 * CAST((SELECT max(v) FROM lt WHERE v <= d.dl) AS REAL))
+                / (SELECT avgdl FROM tav)) AS cache
+    FROM tdl d
+  )"""
+
+
+def edismax_topk(words: tuple[str, ...] = ("spark", "src3"),
+                 qf: dict[str, float] | None = None,
+                 tie: float = 0.3, k: int = 10) -> str:
+    """edismax over (title=source, content=text): per word, a
+    DisjunctionMax across fields with per-field boosts (tie-broken sum
+    of the others); words combine as SHOULD (sum in double, f32 once)
+    — search/components.py::edismax_query semantics."""
+    qf = qf or {"content": 1.0, "title": 2.0}
+    tb = float(np.float32(tie))
+    parts = ["WITH " + base_ctes() + "," + title_field_ctes()]
+    dm_ctes = []
+    for i, w in enumerate(words):
+        uni_branches = []
+        for f in sorted(qf):
+            tag = f"w{i}{f[0]}"
+            tok, dc, st = (("ttok", "tdc", "tst") if f == "title"
+                           else ("tok", "dc", "st"))
+            parts.append("," + term_score_ctes(
+                f"term = '{w}'", tag, tok=tok, dc=dc, st=st, boost=qf[f]))
+            uni_branches.append(f"SELECT docid, s FROM ts_{tag}")
+        uni = " UNION ALL ".join(uni_branches)
+        dm_ctes.append(f"""
+  dm_{i} AS (
+    SELECT docid,
+           CAST(CAST(max(s) AS DOUBLE)
+                + (sum(CAST(s AS DOUBLE)) - CAST(max(s) AS DOUBLE))
+                  * {tb!r}::DOUBLE AS REAL) AS s
+    FROM ({uni}) GROUP BY docid
+  )""")
+    parts.append("," + ",".join(dm_ctes))
+    all_dm = " UNION ALL ".join(
+        f"SELECT docid, s FROM dm_{i}" for i in range(len(words)))
+    parts.append(f"""
+  SELECT docid, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM ({all_dm}) GROUP BY docid
+  ORDER BY score DESC, docid ASC LIMIT {k}""")
+    return "".join(parts)

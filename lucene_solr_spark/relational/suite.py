@@ -649,6 +649,40 @@ def stats_stream(spark, sf_dir):
     )
 
 
+from ..functions.datemath import parse_date_math
+
+# resolved at SQL-gen time from a LITERAL base (deterministic): the
+# same instants parameterize the Spark filter and the DuckDB oracle
+_DM_START = parse_date_math("2024-01-03T07:09:00Z/DAY")
+_DM_END = parse_date_math("2024-01-03T07:09:00Z/DAY+2MONTHS-45DAYS")
+
+
+@register(
+    "date_math_window",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '{_DM_START}' AND ts < TIMESTAMP '{_DM_END}'
+    GROUP BY 1
+    """,
+)
+def date_math_window(spark, sf_dir):
+    """Solr date-math range inputs (solr/util/DateMathParser.java:
+    `NOW/DAY+6MONTHS` grammar → functions/datemath.py) feeding a
+    TimeSeries-style bucketed aggregation: the window bounds are
+    date-math expressions resolved once at plan time, then pure
+    JVM timestamp predicates (partition/row-group prunable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("ts") >= F.lit(_DM_START)) & (F.col("ts") < F.lit(_DM_END)))
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
 @register(
     "agg_hll_unique",
     """

@@ -96,6 +96,17 @@ class BM25Scorer:
     def weight(self, doc_freq: int, boost: float = 1.0) -> np.float32:
         return term_weight(idf(doc_freq, self.doc_count), boost, self.k1)
 
+    # -- pluggable-similarity hooks (search/similarities.py) ------------
+    def idf(self, doc_freq):
+        return idf(doc_freq, self.doc_count)
+
+    def weight_from_idf_sum(self, idf_f32, boost: float = 1.0) -> np.float32:
+        return term_weight(idf_f32, boost, self.k1)
+
+    def partial(self, freq, norm_byte, weight_f32) -> np.ndarray:
+        return score_terms(freq, norm_byte,
+                           np.asarray(weight_f32, dtype=np.float32), self.cache)
+
     def score(self, freq, norm_byte, doc_freq: int, boost: float = 1.0) -> np.ndarray:
         w = self.weight(doc_freq, boost)
         return score_terms(np.atleast_1d(freq), np.atleast_1d(norm_byte),

@@ -34,7 +34,51 @@ from pyspark.sql.window import Window
 from ..analysis.tokenizer import StandardAnalyzer
 from .executor import IndexSearcher
 from .multiterm import osa_distance
-from .queries import BooleanQuery, Query, TermQuery
+from .queries import (
+    BooleanClause,
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+
+def edismax_query(query_string: str, qf: dict[str, float],
+                  tie: float = 0.0, analyzer: StandardAnalyzer | None = None,
+                  default_operator: str = "OR",
+                  minimum_should_match: int = 0) -> Query:
+    """Solr edismax (ExtendedDismaxQParser.java role): each whitespace
+    clause of the user query becomes a DisjunctionMaxQuery over the
+    query fields ``qf`` with per-field boosts; ``+``/``-`` prefixes set
+    required/prohibited; multi-token clauses (after analysis) become
+    per-field phrases. The resulting AST runs on the multi-field index
+    (per-field postings/stats, builder.py fields=...)."""
+    analyzer = analyzer or StandardAnalyzer()
+    clauses = []
+    for word in query_string.split():
+        mod = None
+        if word.startswith("+") and len(word) > 1:
+            mod, word = "MUST", word[1:]
+        elif word.startswith("-") and len(word) > 1:
+            mod, word = "MUST_NOT", word[1:]
+        terms, positions = analyzer.analyze(word)
+        if not terms:
+            continue
+        per_field: list[Query] = []
+        for f, b in sorted(qf.items()):
+            if len(terms) == 1:
+                per_field.append(TermQuery(terms[0], boost=b, field=f))
+            else:
+                base = positions[0]
+                per_field.append(PhraseQuery(
+                    tuple(terms), tuple(p - base for p in positions),
+                    0, b, f))
+        dm = DisjunctionMaxQuery(tuple(per_field), tie_breaker=tie)
+        occur = mod or ("MUST" if default_operator == "AND" else "SHOULD")
+        clauses.append(BooleanClause(dm, occur))
+    return BooleanQuery(tuple(clauses),
+                        minimum_should_match=minimum_should_match)
 
 
 def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,
@@ -85,17 +129,18 @@ def more_like_this(searcher: IndexSearcher, docid: int,
     log((N+1)/(df+1)) + 1 there; we use the engine's BM25 idf — the
     ranking, which is all that matters, is identical in N, df), take
     the top `max_query_terms` as SHOULD clauses."""
-    rows = (searcher.postings.where(F.col("docid") == docid)
+    rows = (searcher.postings.where((F.col("docid") == docid)
+                                    & (F.col("field") == "content"))
             .select("term", "tf").collect())
     if not rows:
         return BooleanQuery.of(should=[])
     terms = [r["term"] for r in rows]
-    stats = searcher.term_stats(set(terms))
+    stats = searcher.term_stats({("content", t) for t in terms})
     n = searcher.doc_count
     scored = []
     for r in rows:
         t, tf = r["term"], int(r["tf"])
-        df = stats.get(t, 0)
+        df = stats.get(("content", t), 0)
         if tf < min_term_freq or df < min_doc_freq:
             continue
         idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
@@ -128,7 +173,8 @@ def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
     """Prefix completion from the dictionary, weighted by df (the FST
     suggester's weight role). Dict scan is bucket/row-group pruned by
     the startswith predicate."""
-    return (searcher.dict.where(F.col("term").startswith(prefix))
+    return (searcher.dict.where(F.col("term").startswith(prefix)
+                                & (F.col("field") == "content"))
             .select("term", F.col("df").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term")).limit(n))
 
@@ -140,7 +186,8 @@ def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
     (distance asc, df desc, term asc). Spark prefilter with builtin
     levenshtein, exact OSA refinement driver-side on the candidates."""
     cands = (searcher.dict
-             .where(F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+             .where((F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+                    & (F.col("field") == "content"))
              .select("term", "df").collect())
     out = []
     for r in cands:
@@ -165,7 +212,7 @@ def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
     q = searcher.rewrite(q)
     from .executor import _collect_terms
 
-    qterms = _collect_terms(q)
+    qterms = {t for _f, t in _collect_terms(q)}
     hits = searcher.search_df(q, k)
     if corpus is None:
         raise ValueError("pass the corpus DataFrame holding (repo,path,commit,content)")

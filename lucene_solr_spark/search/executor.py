@@ -47,6 +47,7 @@ from .queries import (
     CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldExistsQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -70,7 +71,7 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _phrase_verify_fn(offs, slop, nterms, w, cache):
+def _phrase_verify_fn(offs, slop, nterms, w, scorer):
     """mapInPandas verifier shared by PhraseQuery and MultiPhraseQuery:
     input rows carry per-slot position arrays pos0..pos{n-1} + norm.
 
@@ -136,21 +137,22 @@ def _phrase_verify_fn(offs, slop, nterms, w, cache):
                 yield pd.DataFrame({"docid": pd.Series([], dtype="int64"),
                                     "score": pd.Series([], dtype="float32")})
                 continue
-            s = bm25.score_terms(freqs[hit], norms[hit], np.float32(w), cache)
+            s = scorer.partial(freqs[hit], norms[hit], np.float32(w))
             yield pd.DataFrame({"docid": docids[hit], "score": s})
 
     return verify
 
 
-def _collect_terms(q: Query) -> set[str]:
+def _collect_terms(q: Query) -> set[tuple[str, str]]:
+    """(field, term) pairs needing TermStates resolution."""
     if isinstance(q, TermQuery):
-        return {q.term}
+        return {(q.field, q.term)}
     if isinstance(q, (PhraseQuery, SynonymQuery, CommonTermsQuery)):
-        return set(q.terms)
+        return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhraseQuery):
-        return {t for slot in q.termss for t in slot}
+        return {(q.field, t) for slot in q.termss for t in slot}
     if isinstance(q, BooleanQuery):
-        out: set[str] = set()
+        out: set[tuple[str, str]] = set()
         for c in q.clauses:
             out |= _collect_terms(c.query)
         return out
@@ -175,29 +177,66 @@ class IndexSearcher:
     #: term→df in driver RAM exactly like Lucene holds its FST.
     DICT_CACHE_MAX = 5_000_000
 
-    def __init__(self, tables: IndexTables, cache: bool = False):
+    def __init__(self, tables: IndexTables, cache: bool = False,
+                 similarity: str = "bm25"):
+        from .similarities import make_scorer
+
         self.tables = tables
         m = tables.manifest()
         self.doc_count = int(m["doc_count"])
         self.sum_ttf = int(m["sum_ttf"])
         self.n_buckets = int(m["n_buckets"])
-        self.scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
+        self.similarity = similarity
+        # per-field collection stats → per-field scorers (FieldInfos /
+        # collectionStatistics role; similarity is pluggable —
+        # IndexSearcher.setSimilarity, search/similarities/)
+        self.field_stats = m.get("field_stats") or {
+            "content": {"doc_count": self.doc_count, "sum_ttf": self.sum_ttf}}
+        self.scorers = {
+            f: make_scorer(similarity, s["doc_count"], s["sum_ttf"])
+            for f, s in self.field_stats.items()}
+        self.scorer = self.scorers.get(
+            "content", next(iter(self.scorers.values())))
         # scoring never reads positions — keep the cached/scanned
         # projection slim (positions are arrays, ~10× the bytes of the
         # scoring columns; caching them trashed executor memory).
         # Phrase verification reads the full table with column pruning.
         self.postings_full = tables.postings()
+        if "field" not in self.postings_full.columns:  # pre-field index
+            self.postings_full = self.postings_full.withColumn(
+                "field", F.lit("content"))
         self.postings = self.postings_full.drop("positions")
         self.dict = tables.dict()
+        if "field" not in self.dict.columns:
+            self.dict = self.dict.withColumn("field", F.lit("content"))
         self.docs = tables.docs()
-        self._df_map: dict[str, int] | None = None
+        # tombstones (anti-joined onto every scored result; the
+        # Lucene liveDocs role — stats keep counting deleted docs
+        # until a rebuild/compaction, like docCount vs numDocs)
+        import os as _os
+
+        droot = _os.path.join(tables.root, "deletes")
+        self.deletes = (
+            tables.spark.read.parquet(droot).select("docid").distinct()
+            if _os.path.exists(droot) else None)
+        self._df_map: dict[tuple[str, str], int] | None = None
         if cache:
             self.postings.persist()
             self.dict.persist()
             n_terms = self.dict.count()  # also materializes both caches lazily
             if n_terms <= self.DICT_CACHE_MAX:
-                pdf = self.dict.select("term", "df").toPandas()
-                self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
+                pdf = self.dict.select("field", "term", "df").toPandas()
+                self._df_map = {(f, t): int(d) for f, t, d in
+                                zip(pdf["field"], pdf["term"], pdf["df"])}
+
+    def field_scorer(self, field: str):
+        s = self.scorers.get(field)
+        if s is None:  # unknown field: empty stats (no matches anyway)
+            from .similarities import make_scorer
+
+            s = make_scorer(self.similarity, max(self.doc_count, 1),
+                            max(self.sum_ttf, 1))
+        return s
 
     # -- rewrite (logical optimization) ---------------------------------
     def rewrite(self, q: Query) -> Query:
@@ -207,16 +246,20 @@ class IndexSearcher:
         methods), recursing through compound queries."""
         if isinstance(q, MultiTermQuery):
             terms = self._expand(q)
+            qfield = getattr(q, "field", "content")
             inner = BooleanQuery(
-                tuple(BooleanClause(TermQuery(t), "SHOULD") for t in terms))
+                tuple(BooleanClause(TermQuery(t, field=qfield), "SHOULD")
+                      for t in terms))
             if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
                 return BooleanQuery(inner.clauses, boost=q.boost)
             return ConstantScoreQuery(inner, boost=q.boost)
         if isinstance(q, CommonTermsQuery):
             # df-threshold split against the dictionary
             # (CommonTermsQuery.java buildQuery)
-            dfs = self.term_stats(set(q.terms))
-            return build_common_terms(q, dfs, self.doc_count)
+            pairs = self.term_stats({(q.field, t) for t in q.terms})
+            dfs = {t: df for (_f, t), df in pairs.items()}
+            doc_count = self.field_scorer(q.field).doc_count
+            return build_common_terms(q, dfs, doc_count)
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 tuple(BooleanClause(self.rewrite(c.query), c.occur)
@@ -235,8 +278,10 @@ class IndexSearcher:
         Spark-side predicate prunes the dict scan, then the candidate
         set is refined exactly in Python (shared with the oracle via
         expand_terms, so both engines expand identically)."""
+        qfield = getattr(q, "field", "content")
         if self._df_map is not None:
-            return expand_terms(self._df_map.keys(), q)
+            return expand_terms(
+                (t for f, t in self._df_map.keys() if f == qfield), q)
         col = F.col("term")
         if isinstance(q, PrefixQuery):
             pred = col.startswith(q.prefix)
@@ -268,67 +313,77 @@ class IndexSearcher:
             pred = col.isin(list(q.terms))
         else:
             raise TypeError(f"unknown multi-term query {type(q)}")
-        cands = [r["term"] for r in self.dict.where(pred).select("term").collect()]
+        cands = [r["term"] for r in
+                 self.dict.where(pred & (F.col("field") == qfield))
+                 .select("term").collect()]
         return expand_terms(cands, q)
 
     # -- planning -------------------------------------------------------
-    def term_stats(self, terms: set[str]) -> dict[str, int]:
-        """df per term — the TermStates resolution
+    def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """df per (field, term) — the TermStates resolution
         (IndexSearcher.java:764). Driver dict cache when loaded (≙
         Lucene's in-RAM FST), else a bucket-pruned scan of the dict
-        table; tiny collect (|terms| rows)."""
-        if not terms:
+        table; tiny collect (|pairs| rows)."""
+        if not pairs:
             return {}
         if self._df_map is not None:
-            return {t: self._df_map[t] for t in terms if t in self._df_map}
+            return {p: self._df_map[p] for p in pairs if p in self._df_map}
+        terms = {t for _f, t in pairs}
+        fields = {f for f, _t in pairs}
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         rows = (
             self.dict
-            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
-            .select("term", "df")
+            .where(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(list(terms))
+                   & F.col("field").isin(list(fields)))
+            .select("field", "term", "df")
             .collect()
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+        out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        return {p: out[p] for p in pairs if p in out}
 
-    def _weights(self, q: Query, stats: dict[str, int]) -> dict[str, float]:
-        """Per-term float32 weight = (k1+1) * boost * idf. Boost folded
-        in per-leaf during compilation, so here boost=1 weights."""
+    def _weights(self, q: Query, stats: dict[tuple[str, str], int]) -> dict:
+        """Per-(field, term) float32 weight = (k1+1) * boost * idf.
+        Boost folded in per-leaf during compilation (boost=1 here)."""
         out = {}
-        for t in _collect_terms(q):
-            df = stats.get(t, 0)
+        for pair in _collect_terms(q):
+            df = stats.get(pair, 0)
             if df:
-                out[t] = float(self.scorer.weight(df, 1.0))
+                out[pair] = float(self.field_scorer(pair[0]).weight(df, 1.0))
         return out
 
     # -- leaf scoring ---------------------------------------------------
-    def _postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+    def _postings_for(self, terms: list[str], with_positions: bool = False,
+                      field: str = "content") -> DataFrame:
         present = [t for t in terms]
         buckets = sorted({term_bucket(t, self.n_buckets) for t in present})
         src = self.postings_full if with_positions else self.postings
         return src.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(present)
+            & (F.col("field") == field)
         )
 
-    def _score_udf(self, weights: dict[str, float]):
-        cache = self.scorer.cache
+    def _score_udf(self, weights: dict[str, float], scorer=None):
+        scorer = scorer or self.scorer
 
         @F.pandas_udf(FloatType())
         def score(term: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
             w = term.map(weights).to_numpy(dtype=np.float32)
-            s = bm25.score_terms(tf.to_numpy(), norm.to_numpy(), w, cache)
+            s = scorer.partial(tf.to_numpy(), norm.to_numpy(), w)
             return pd.Series(s)
 
         return score
 
     def _term_leaf(self, q: TermQuery, stats, boost: float) -> DataFrame:
         """(docid, score float32) for one term."""
-        df = stats.get(q.term, 0)
+        df = stats.get((q.field, q.term), 0)
         if df == 0:
             return self._empty_scored()
-        w = float(self.scorer.weight(df, boost * q.boost))
-        udf = self._score_udf({q.term: w})
+        scorer = self.field_scorer(q.field)
+        w = float(scorer.weight(df, boost * q.boost))
+        udf = self._score_udf({q.term: w}, scorer)
         return (
-            self._postings_for([q.term])
+            self._postings_for([q.term], field=q.field)
             .select("docid", udf(F.col("term"), F.col("tf"), F.col("norm")).alias("score"))
         )
 
@@ -348,21 +403,21 @@ class IndexSearcher:
 
         Weight from summed member idfs (BM25Similarity.java:172-181).
         """
-        if not q.terms or any(stats.get(t, 0) == 0 for t in q.terms):
+        if not q.terms or any(stats.get((q.field, t), 0) == 0 for t in q.terms):
             return self._empty_scored()
+        scorer = self.field_scorer(q.field)
         offs = q.effective_positions()
-        idfs = [bm25.idf(stats[t], self.doc_count) for t in q.terms]
+        idfs = [scorer.idf(stats[(q.field, t)]) for t in q.terms]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = float(bm25.term_weight(idf_sum, boost * q.boost, self.scorer.k1))
+        w = float(scorer.weight_from_idf_sum(idf_sum, boost * q.boost))
         slop = q.slop
-        cache = self.scorer.cache
         nterms = len(q.terms)
 
         # per-term position arrays joined on docid (sort-merge on docid)
         parts = []
         for i, t in enumerate(q.terms):
             p = (
-                self._postings_for([t], with_positions=True)
+                self._postings_for([t], with_positions=True, field=q.field)
                 .select("docid", F.col("positions").alias(f"pos{i}"),
                         *( [F.col("norm")] if i == 0 else [] ))
             )
@@ -370,7 +425,7 @@ class IndexSearcher:
         joined = reduce(lambda a, b: a.join(b, "docid"), parts)
 
         return joined.mapInPandas(
-            _phrase_verify_fn(offs, slop, nterms, w, cache),
+            _phrase_verify_fn(offs, slop, nterms, w, scorer),
             schema="docid long, score float")
 
     def _multi_phrase_leaf(self, q: MultiPhraseQuery, stats, boost: float) -> DataFrame:
@@ -382,18 +437,20 @@ class IndexSearcher:
         df > 0 (MultiPhraseWeight → idfExplain(termStats[]))."""
         if not q.termss:
             return self._empty_scored()
-        present_slots = [[t for t in slot if stats.get(t, 0)] for slot in q.termss]
+        present_slots = [[t for t in slot if stats.get((q.field, t), 0)]
+                         for slot in q.termss]
         if any(not slot for slot in present_slots):
             return self._empty_scored()
+        scorer = self.field_scorer(q.field)
         offs = q.effective_positions()
-        dfs = [stats[t] for slot in present_slots for t in slot]
-        idfs = [bm25.idf(df, self.doc_count) for df in dfs]
+        dfs = [stats[(q.field, t)] for slot in present_slots for t in slot]
+        idfs = [scorer.idf(df) for df in dfs]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = float(bm25.term_weight(idf_sum, boost * q.boost, self.scorer.k1))
+        w = float(scorer.weight_from_idf_sum(idf_sum, boost * q.boost))
 
         parts = []
         for i, slot in enumerate(present_slots):
-            src = self._postings_for(slot, with_positions=True)
+            src = self._postings_for(slot, with_positions=True, field=q.field)
             if len(slot) == 1:
                 p = src.select("docid", F.col("positions").alias(f"pos{i}"),
                                *([F.col("norm")] if i == 0 else []))
@@ -406,8 +463,7 @@ class IndexSearcher:
             parts.append(p)
         joined = reduce(lambda a, b: a.join(b, "docid"), parts)
         return joined.mapInPandas(
-            _phrase_verify_fn(offs, q.slop, len(present_slots), w,
-                              self.scorer.cache),
+            _phrase_verify_fn(offs, q.slop, len(present_slots), w, scorer),
             schema="docid long, score float")
 
     def _empty_scored(self) -> DataFrame:
@@ -427,6 +483,17 @@ class IndexSearcher:
             return self.docs.select(
                 "docid", F.lit(float(np.float32(boost * q.boost))).cast("float").alias("score")
             )
+        if isinstance(q, FieldExistsQuery):
+            # NormsFieldExistsQuery role: docs that indexed the field
+            c = float(np.float32(boost * q.boost))
+            fd = self.tables.field_docs()
+            if fd is not None:
+                base = fd.where(F.col("field") == q.field).select("docid")
+            elif q.field in self.field_stats:
+                base = self.docs.select("docid")  # single-field index
+            else:
+                return self._empty_scored()
+            return base.select("docid", F.lit(c).cast("float").alias("score"))
         if isinstance(q, ConstantScoreQuery):
             inner = self._compile(q.query, stats, 1.0).select("docid")
             c = float(np.float32(boost * q.boost))
@@ -444,21 +511,20 @@ class IndexSearcher:
         max member df, ONE similarity call (SynonymQuery.java:144-158,
         freq sum :446-455). groupBy(docid) sums tfs (ints — no float
         ordering concern), then the scoring UDF runs once per doc."""
-        present = [t for t in q.terms if stats.get(t, 0)]
+        present = [t for t in q.terms if stats.get((q.field, t), 0)]
         if not present:
             return self._empty_scored()
-        df_pseudo = max(stats[t] for t in present)
-        w = float(self.scorer.weight(df_pseudo, boost * q.boost))
-        cache = self.scorer.cache
+        scorer = self.field_scorer(q.field)
+        df_pseudo = max(stats[(q.field, t)] for t in present)
+        w = float(scorer.weight(df_pseudo, boost * q.boost))
 
         @F.pandas_udf(FloatType())
         def score(freq: pd.Series, norm: pd.Series) -> pd.Series:
-            s = bm25.score_terms(freq.to_numpy(), norm.to_numpy(),
-                                 np.float32(w), cache)
+            s = scorer.partial(freq.to_numpy(), norm.to_numpy(), np.float32(w))
             return pd.Series(s)
 
         agg = (
-            self._postings_for(present)
+            self._postings_for(present, field=q.field)
             .groupBy("docid")
             .agg(F.sum("tf").alias("freq"), F.max("norm").alias("norm"))
         )
@@ -485,32 +551,54 @@ class IndexSearcher:
 
     def _term_batch_leaf(self, term_clauses: list[tuple[TermQuery, int]],
                          stats, boost: float) -> DataFrame | None:
-        """Score MANY term clauses with ONE postings scan: per-term
-        weights ride in the scoring UDF's dict, so an expanded
+        """Score MANY term clauses with ONE postings scan: per-(field,
+        term) weights ride in the scoring UDF's dict, so an expanded
         multi-term disjunction (prefix/range/fuzzy rewrite) costs one
         scan + one aggregate regardless of how many terms it expanded
         to — the plan shape that survives a 100× scale-up (a per-term
         union would be N scans). Emits (docid, score, is_must) rows,
-        one per (term, doc) hit."""
+        one per (field, term, doc) hit. Norm caches differ per field,
+        so the UDF keys on "field\x00term" and resolves each row's
+        cache from its field."""
         weights = {}
         is_must_map = {}
         for tq, is_must in term_clauses:
-            df = stats.get(tq.term, 0)
+            df = stats.get((tq.field, tq.term), 0)
             if df:
-                weights[tq.term] = float(self.scorer.weight(df, boost * tq.boost))
-                is_must_map[tq.term] = is_must
+                key = tq.field + "\x00" + tq.term
+                weights[key] = float(
+                    self.field_scorer(tq.field).weight(df, boost * tq.boost))
+                is_must_map[key] = is_must
         if not weights:
             return None
-        udf = self._score_udf(weights)
-        must_terms = [t for t, m in is_must_map.items() if m]
-        return (
-            self._postings_for(list(weights))
-            .select(
-                "docid",
-                udf(F.col("term"), F.col("tf"), F.col("norm")).alias("score"),
-                (F.col("term").isin(must_terms) if must_terms else F.lit(False))
-                .cast("int").alias("is_must"),
-            )
+        scorers = dict(self.scorers)
+
+        @F.pandas_udf(FloatType())
+        def score(key: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
+            w = key.map(weights).to_numpy(dtype=np.float32)
+            out = np.empty(len(key), dtype=np.float32)
+            fields = key.str.split("\x00").str[0]
+            tfv = tf.to_numpy()
+            nv = norm.to_numpy()
+            for f, idx in fields.groupby(fields).groups.items():
+                ii = np.asarray(idx)
+                out[ii] = scorers[f].partial(tfv[ii], nv[ii], w[ii])
+            return pd.Series(out)
+
+        fields_l = sorted({tq.field for tq, _m in term_clauses})
+        terms_l = sorted({tq.term for tq, _m in term_clauses})
+        must_keys = [k for k, m in is_must_map.items() if m]
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms_l})
+        key_col = F.concat_ws("\x00", F.col("field"), F.col("term"))
+        scan = self.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms_l)
+            & F.col("field").isin(fields_l)
+            & key_col.isin(list(weights)))
+        return scan.select(
+            "docid",
+            score(key_col, F.col("tf"), F.col("norm")).alias("score"),
+            (key_col.isin(must_keys) if must_keys else F.lit(False))
+            .cast("int").alias("is_must"),
         )
 
     def _compile_boolean(self, q: BooleanQuery, stats, boost: float) -> DataFrame:
@@ -528,7 +616,7 @@ class IndexSearcher:
         # compound clauses compile recursively and union in
         term_clauses = [(sq, 1) for sq in must if isinstance(sq, TermQuery)]
         term_clauses += [(sq, 0) for sq in should if isinstance(sq, TermQuery)]
-        seen_terms = [tq.term for tq, _ in term_clauses]
+        seen_terms = [(tq.field, tq.term) for tq, _ in term_clauses]
         batchable = len(set(seen_terms)) == len(seen_terms)
 
         scoring: list[DataFrame] = []
@@ -589,12 +677,19 @@ class IndexSearcher:
         return out
 
     # -- public API -----------------------------------------------------
+    def _live(self, scored: DataFrame) -> DataFrame:
+        """Drop tombstoned docs (liveDocs anti-join; broadcast — the
+        tombstone set is small between compactions)."""
+        if self.deletes is None:
+            return scored
+        return scored.join(F.broadcast(self.deletes), "docid", "left_anti")
+
     def search_df(self, q: Query, k: int | None = 10) -> DataFrame:
         """Scored result as a DataFrame(docid, score), top-k ordered.
         k=None → all matches, unordered (for counting / set ops)."""
         q = self.rewrite(q)
         stats = self.term_stats(_collect_terms(q))
-        scored = self._compile(q, stats)
+        scored = self._live(self._compile(q, stats))
         if k is None:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -630,12 +725,12 @@ class IndexSearcher:
         ordered within each qid by (score desc, docid asc).
         """
         spark = self.tables.spark
-        all_terms: set[str] = set()
+        all_pairs: set[tuple[str, str]] = set()
         for q in queries.values():
-            all_terms |= _collect_terms(q)
-        stats = self.term_stats(all_terms)
+            all_pairs |= _collect_terms(q)
+        stats = self.term_stats(all_pairs)
 
-        clause_rows = []  # (qid, term, weight, is_must, is_should, is_filter, is_not)
+        clause_rows = []  # (qid, field, term, weight, occur flags)
         req_rows = []  # (qid, n_must, n_filter, should_need)
         for qid, q in queries.items():
             if isinstance(q, TermQuery):
@@ -652,11 +747,13 @@ class IndexSearcher:
             for cq, occur in clauses:
                 if not isinstance(cq, TermQuery):
                     raise TypeError("search_many clauses must be TermQuery")
-                df = stats.get(cq.term, 0)
+                df = stats.get((cq.field, cq.term), 0)
                 scoring = occur in ("MUST", "SHOULD")
-                w = float(self.scorer.weight(df, boost * cq.boost)) if df and scoring else 0.0
+                w = (float(self.field_scorer(cq.field).weight(df, boost * cq.boost))
+                     if df and scoring else 0.0)
                 clause_rows.append(
-                    (qid, cq.term, w, int(occur == "MUST"), int(occur == "SHOULD"),
+                    (qid, cq.field, cq.term, w,
+                     int(occur == "MUST"), int(occur == "SHOULD"),
                      int(occur == "FILTER"), int(occur == "MUST_NOT"))
                 )
                 n_must += occur == "MUST"
@@ -667,32 +764,40 @@ class IndexSearcher:
 
         clause_df = spark.createDataFrame(
             clause_rows,
-            "qid string, term string, weight float, is_must int, is_should int, "
-            "is_filter int, is_not int",
+            "qid string, field string, term string, weight float, is_must int, "
+            "is_should int, is_filter int, is_not int",
         )
         req_df = spark.createDataFrame(
             req_rows, "qid string, q_n_must int, q_n_filter int, q_should_need int"
         )
 
-        terms_present = [t for t in all_terms if stats.get(t)]
-        if not terms_present:
+        pairs_present = [p for p in all_pairs if stats.get(p)]
+        if not pairs_present:
             return spark.createDataFrame([], "qid string, docid long, score float, rn int")
-        matches = self._postings_for(terms_present).join(
-            F.broadcast(clause_df), "term"
-        )
-        cache = self.scorer.cache
+        terms_present = sorted({t for _f, t in pairs_present})
+        fields_present = sorted({f for f, _t in pairs_present})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms_present})
+        matches = self.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms_present)
+            & F.col("field").isin(fields_present)
+        ).join(F.broadcast(clause_df), ["field", "term"])
+        scorers = dict(self.scorers)
 
         @F.pandas_udf(FloatType())
-        def score_w(tf: pd.Series, norm: pd.Series, weight: pd.Series) -> pd.Series:
-            s = bm25.score_terms(
-                tf.to_numpy(), norm.to_numpy(),
-                weight.to_numpy(dtype=np.float32), cache,
-            )
-            return pd.Series(s)
+        def score_w(field: pd.Series, tf: pd.Series, norm: pd.Series,
+                    weight: pd.Series) -> pd.Series:
+            out = np.empty(len(field), dtype=np.float32)
+            tfv, nv = tf.to_numpy(), norm.to_numpy()
+            wv = weight.to_numpy(dtype=np.float32)
+            for f, idx in field.groupby(field).groups.items():
+                ii = np.asarray(idx)
+                out[ii] = scorers[f].partial(tfv[ii], nv[ii], wv[ii])
+            return pd.Series(out)
 
         scored = matches.select(
             "qid", "docid", "is_must", "is_should", "is_filter", "is_not",
-            score_w(F.col("tf"), F.col("norm"), F.col("weight")).alias("s"),
+            score_w(F.col("field"), F.col("tf"), F.col("norm"),
+                    F.col("weight")).alias("s"),
         )
         agg = scored.groupBy("qid", "docid").agg(
             F.sum(F.col("s").cast("double")).alias("_s"),
@@ -702,7 +807,7 @@ class IndexSearcher:
             F.sum("is_not").alias("_nnot"),
         )
         kept = (
-            agg.join(F.broadcast(req_df), "qid")
+            self._live(agg).join(F.broadcast(req_df), "qid")
             .where(
                 (F.col("_nmust") == F.col("q_n_must"))
                 & (F.col("_nfilter") == F.col("q_n_filter"))
@@ -728,7 +833,7 @@ class IndexSearcher:
         (score < s) OR (score == s AND docid > d)."""
         q = self.rewrite(q)
         stats = self.term_stats(_collect_terms(q))
-        scored = self._compile(q, stats)
+        scored = self._live(self._compile(q, stats))
         s = float(np.float32(after.score))
         pred = (F.col("score") < s) | ((F.col("score") == s) & (F.col("docid") > after.docid))
         rows = (

@@ -69,11 +69,16 @@ class QueryParseError(ValueError):
 
 class QueryParser:
     def __init__(self, analyzer: StandardAnalyzer | None = None,
-                 default_operator: str = "OR"):
+                 default_operator: str = "OR",
+                 default_field: str = "content",
+                 fields: tuple[str, ...] | None = None):
         self.analyzer = analyzer or StandardAnalyzer()
         if default_operator not in ("OR", "AND"):
             raise ValueError(default_operator)
         self.default_operator = default_operator
+        self.default_field = default_field
+        #: known indexed fields accepted by the `field:term` syntax
+        self.fields = tuple(fields) if fields is not None else (default_field,)
 
     # -- lexer ----------------------------------------------------------
     def _lex(self, s: str) -> list[str]:
@@ -193,17 +198,18 @@ class QueryParser:
             return q
 
     def _primitive(self, t: str) -> Query | None:
-        # explicit field prefix: single-field engine, so only the
-        # default field name is accepted (field:term in the classic
-        # grammar, QueryParser.jj; unknown fields are a parse error)
+        # explicit field prefix (field:term in the classic grammar,
+        # QueryParser.jj): accepted for every known indexed field;
+        # unmistakably-field-shaped prefixes naming unknown fields are
+        # a parse error (UAX#29 joins a:b into ONE token otherwise)
+        qfield = self.default_field
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(?=\S)", t)
         if m and not t.startswith('"') and "//" not in t:
             field = m.group(1)
             rest = t[m.end():]
-            # UAX#29 joins a:b into one token, so only strip a prefix
-            # that names the content field
-            if field == "content":
+            if field in self.fields:
                 t = rest
+                qfield = field
             elif field.lower() == field and rest and (
                     rest[0] in "\"[{/(" or rest.endswith("*")):
                 raise QueryParseError(f"unknown field {field!r}")
@@ -218,13 +224,15 @@ class QueryParser:
             if not terms:
                 return None
             if len(terms) == 1:
-                return TermQuery(terms[0])
+                return TermQuery(terms[0], field=qfield)
             base = positions[0]
             return PhraseQuery(tuple(terms),
-                               tuple(p - base for p in positions), slop)
+                               tuple(p - base for p in positions), slop,
+                               field=qfield)
         # regex
         if t.startswith("/") and t.endswith("/") and len(t) >= 2:
-            return RegexpQuery(t[1:-1].replace("\\/", "/").lower())
+            return RegexpQuery(t[1:-1].replace("\\/", "/").lower(),
+                               field=qfield)
         # range
         m = _RANGE_RE.match(t)
         if m:
@@ -232,23 +240,26 @@ class QueryParser:
             hi = None if m.group(3) == "*" else m.group(3).lower()
             return TermRangeQuery(lo, hi,
                                   include_lower=m.group(1) == "[",
-                                  include_upper=m.group(4) == "]")
+                                  include_upper=m.group(4) == "]",
+                                  field=qfield)
         # fuzzy
         m = re.match(r"^(.+?)~(\d*)$", t)
         if m and "*" not in t and "?" not in t:
             edits = int(m.group(2)) if m.group(2) else 2
-            return FuzzyQuery(m.group(1).lower(), max_edits=edits)
+            return FuzzyQuery(m.group(1).lower(), max_edits=edits,
+                              field=qfield)
         # wildcard / prefix
         if "*" in t or "?" in t:
             body = t.lower()
             if body.endswith("*") and "?" not in body and "*" not in body[:-1]:
-                return PrefixQuery(body[:-1])
-            return WildcardQuery(body)
+                return PrefixQuery(body[:-1], field=qfield)
+            return WildcardQuery(body, field=qfield)
         # plain analyzed term
         terms, positions = self.analyzer.analyze(t)
         if not terms:
             return None
         if len(terms) == 1:
-            return TermQuery(terms[0])
+            return TermQuery(terms[0], field=qfield)
         base = positions[0]
-        return PhraseQuery(tuple(terms), tuple(p - base for p in positions), 0)
+        return PhraseQuery(tuple(terms), tuple(p - base for p in positions), 0,
+                           field=qfield)

@@ -86,6 +86,7 @@ def segment_topk(
     k: int,
     min_should_match: int = 0,
     use_wand: bool = True,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, float32 scores) for a scored disjunction
     over one segment's block rows. Returns arrays sorted by
@@ -133,6 +134,9 @@ def segment_topk(
                 all_s.append(s[m])
             d_cat = np.concatenate(all_d)
             s_cat = np.concatenate(all_s)
+            if deleted is not None and deleted.size and d_cat.size:
+                live = ~np.isin(d_cat, deleted)  # liveDocs mask (.liv role)
+                d_cat, s_cat = d_cat[live], s_cat[live]
             if d_cat.size:
                 uds, inv = np.unique(d_cat, return_inverse=True)
                 sums = np.bincount(inv, weights=s_cat.astype(np.float64))
@@ -171,6 +175,12 @@ class SegmentSearcher:
         self.scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
         self.blocks = index.blocks()
         self.dict = index.dict()
+        # tombstones, masked inside each leaf BEFORE its top-k cut
+        # (masking after the per-segment truncation would drop docs
+        # that should be promoted); collection stats keep counting
+        # deleted docs until compaction, exactly like Lucene's
+        # docCount-vs-liveDocs split
+        self.deleted = index.deleted_docids()
         self._df_map: dict[str, int] | None = None
         if cache:
             self.blocks.persist()
@@ -219,9 +229,12 @@ class SegmentSearcher:
         cache = self.scorer.cache
         need = max(msm, 1) if msm else 0
 
+        deleted = self.deleted if self.deleted.size else None
+
         def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = segment_topk(pdf, weights, cache, k,
-                                min_should_match=need, use_wand=use_wand)
+                                min_should_match=need, use_wand=use_wand,
+                                deleted=deleted)
             return pd.DataFrame({"docid": d.astype(np.int64),
                                  "score": s.astype(np.float32)})
 

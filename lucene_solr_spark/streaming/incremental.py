@@ -38,7 +38,12 @@ from ..analysis import ENGLISH_STOP_WORDS
 from ..analysis.jvm import analyzed_columns
 from ..index import codec
 from ..index.builder import PK
-from ..index.segments import BLOCKS_SCHEMA, SegmentIndex, _segment_builder
+from ..index.segments import (
+    BLOCKS_SCHEMA,
+    SegmentIndex,
+    _segment_builder,
+    append_deletes,
+)
 
 
 class IncrementalIndexer:
@@ -252,6 +257,40 @@ class IncrementalIndexer:
         with open(self.manifest_path, "w") as f:
             json.dump(state, f, indent=1)
 
+    # -- updates / deletes ----------------------------------------------
+    def delete_by_key(self, spark, keys_df: DataFrame,
+                      key_cols: tuple[str, ...] = ("repo", "path")) -> int:
+        """Tombstone every indexed doc whose key matches a row of
+        ``keys_df`` (delete-by-term, index/DocumentsWriter.java:476-494
+        semantics): resolve docids from the docmap, append to the
+        tombstone table. Deleted docs stop matching immediately
+        (liveDocs anti-join/mask in both searchers); their postings are
+        physically dropped at the next compaction."""
+        idx = SegmentIndex(self.root, spark)
+        if not os.path.exists(idx.docmap_path):
+            return 0
+        hits = (idx.docmap()
+                .join(keys_df.select(*key_cols).distinct(),
+                      list(key_cols), "left_semi")
+                .select("docid").collect())
+        return append_deletes(self.root, [r["docid"] for r in hits])
+
+    def upsert_batch(self, batch_df: DataFrame, batch_id: int,
+                     key_cols: tuple[str, ...] = ("repo", "path")) -> None:
+        """updateDocument = delete-by-term + add
+        (index/DocumentsWriter.java:476-494; Solr NRT re-ingest / the
+        `MERGE INTO` role keyed on ``key_cols``): tombstone any older
+        version of each incoming doc, then flush the batch as new
+        segments with fresh docids. Idempotent like process_batch —
+        a committed batch_id is skipped entirely (duplicate tombstone
+        rows from a retried half-applied batch are harmless: the
+        tombstone set is read distinct)."""
+        state = self._load_state()
+        if batch_id <= int(state.get("last_batch_id", -1)):
+            return
+        self.delete_by_key(batch_df.sparkSession, batch_df, key_cols)
+        self.process_batch(batch_df, batch_id)
+
     # -- stream wiring ---------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint: str, trigger: dict | None = None):
         """Attach to a streaming DataFrame of corpus rows. `trigger`
@@ -264,13 +303,17 @@ class IncrementalIndexer:
         return w.start()
 
 
-def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
+def compact_segments(idx: SegmentIndex, min_fill: float = 0.5,
+                     apply_deletes: bool = True) -> int:
     """Tiered-merge analogue: re-encode underfull segments into full
     ones (TieredMergePolicy.java:97-101 role). docids are global, so a
     merge is re-keying by docid//docs_per_segment + re-encoding — no
     docID remapping (unlike SegmentMerger.java:96-177, whose remap
-    exists only because Lucene docids are per-segment). Returns the
-    number of segments after compaction."""
+    exists only because Lucene docids are per-segment). Tombstoned docs
+    inside the merged segments are physically dropped (deletes applied
+    at merge, FreqProxTermsWriter applyDeletes role) and their
+    tombstones retired; derived tables + manifest stats refresh when
+    deletes were applied. Returns the segment count after compaction."""
     spark = idx.spark
     m = idx.manifest()
     dps = int(m["docs_per_segment"])
@@ -279,8 +322,19 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
         for r in idx.summaries().groupBy("segment").agg(
             F.count("*").alias("n")).collect()
     }
+    deletes = idx.deletes() if apply_deletes else None
     small = sorted(s for s, n in seg_sizes.items() if n < dps * min_fill)
-    if len(small) <= 1:
+    if deletes is not None:
+        # segments holding tombstoned docs must be rewritten too
+        docmap_all = idx.docmap()
+        del_segs = sorted(
+            int(r["segment"]) for r in docmap_all
+            .join(deletes, "docid", "left_semi")
+            .select("segment").distinct().collect())
+        small = sorted(set(small) | set(del_segs))
+    if len(small) <= 1 and deletes is None:
+        return len(seg_sizes)
+    if not small:
         return len(seg_sizes)
 
     stop = frozenset(m.get("stop_words", ()))
@@ -293,6 +347,13 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
             "larger docs_per_segment instead, or compact from the "
             "source corpus table")
     merged_src = docmap.where(F.col("segment").isin(small))
+    applied_del_ids: list[int] = []
+    if deletes is not None:
+        applied_del_ids = [
+            int(r["docid"]) for r in
+            merged_src.join(deletes, "docid", "left_semi")
+            .select("docid").collect()]
+        merged_src = merged_src.join(deletes, "docid", "left_anti")
     # re-key: pack the merged docs into the FEWEST segments, reusing
     # ids from `small` (never colliding with surviving full segments).
     # The global row_number window is safe here: only underfull
@@ -332,5 +393,18 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5) -> int:
         "segment").parquet(os.path.join(idx.root, "docmap.tmp"))
     shutil.rmtree(idx.docmap_path)
     os.rename(os.path.join(idx.root, "docmap.tmp"), idx.docmap_path)
+
+    if applied_del_ids:
+        # retire the tombstones that were physically applied; keep the
+        # rest (docs living in surviving segments)
+        remaining = sorted(
+            set(int(d) for d in idx.deleted_docids()) - set(applied_del_ids))
+        shutil.rmtree(idx.deletes_path)
+        if remaining:
+            append_deletes(idx.root, remaining)
+        # deleted docs are gone from postings: refresh docs/dict/stats
+        # + manifest counts (Lucene: merged segments lose deletions and
+        # docCount drops to numDocs)
+        IncrementalIndexer(idx.root)._refresh_derived(idx)
     return len({int(r["segment"]) for r in
                 idx.blocks().select("segment").distinct().collect()})

@@ -33,12 +33,11 @@ sys.path.insert(0, REPO)
 def child(cpus: int, docs: int, queries: int) -> None:
     """Runs in a subprocess: build + query at one parallelism level.
 
-    No warmup build and no allocator-retention env: a prior build in
-    the same JVM degrades the next one (python worker-pool growth +
-    THP/khugepaged churn on retained arenas — round-2 diagnosis), so
-    the honest protocol is ONE measured build per fresh JVM; run-to-run
-    host noise is handled by interleaved repeats + medians in the
-    parent."""
+    No allocator-retention env (it fed THP/khugepaged churn); the
+    warm-daemon config keeps the python worker pool healthy across
+    builds, so one untimed warmup + a measured steady-state build per
+    fresh JVM is honest; run-to-run host noise is handled by
+    interleaved repeats + medians in the parent."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -46,9 +45,10 @@ def child(cpus: int, docs: int, queries: int) -> None:
         .appName(f"lss-scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        # bound the python-worker pool: idle extras die instead of
-        # accumulating retained-arena processes across jobs
-        .config("spark.python.worker.idleTimeoutSeconds", "30")
+        # warm daemon: pandas/pyarrow/numpy imported before forking, so
+        # worker-pool churn costs pages (COW), not cold imports — the
+        # fork+import storm was the round-1 scaling collapse
+        .config("spark.python.daemon.module", "lucene_solr_spark.warm_daemon")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
@@ -70,6 +70,17 @@ def child(cpus: int, docs: int, queries: int) -> None:
     corpus.persist().count()  # materialize input OUTSIDE the timed region
 
     dps = max(docs // (cpus * 2), 512)
+    # WARM-UP build (untimed): first-build costs are one-off JVM/JIT/
+    # worker-pool warmup that a long-lived executor pays once per
+    # process lifetime; with the warm daemon successive builds are
+    # steady-state (no cross-build degradation — verified by the
+    # triple-build diagnostic).
+    warm_root = tempfile.mkdtemp(prefix=f"lss_warm_{cpus}_")
+    warm_corpus = corpus.where("pmod(crc32(path), 4) = 0")  # quarter-size
+    build_segment_index(warm_corpus, warm_root, docs_per_segment=dps,
+                        segments_per_chunk=10**9)
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     root = tempfile.mkdtemp(prefix=f"lss_scale_{cpus}_")
     t0 = time.time()
     build_segment_index(corpus, root, docs_per_segment=dps,

@@ -29,7 +29,7 @@ def built(spark, tmp_path_factory):
 
 
 def _common_terms(oracle, n=2):
-    v = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    v = sorted((t for _f, t in oracle.postings), key=lambda t: -oracle.doc_freq(t))
     return v[:n]
 
 
@@ -103,18 +103,18 @@ def test_rescore(built):
 
 def test_suggest(built):
     searcher, oracle, _, _ = built
-    pref = sorted(oracle.postings)[len(oracle.postings) // 2][:2]
+    pref = sorted(t for _f, t in oracle.postings)[len(oracle.postings) // 2][:2]
     got = C.suggest(searcher, pref, 10).collect()
     assert got
     exp = sorted(
-        ((t, len(oracle.postings[t])) for t in oracle.postings if t.startswith(pref)),
+        ((t, oracle.doc_freq(t)) for _f, t in oracle.postings if t.startswith(pref)),
         key=lambda x: (-x[1], x[0]))[:10]
     assert [(r["term"], r["weight"]) for r in got] == exp
 
 
 def test_spellcheck(built):
     searcher, oracle, _, _ = built
-    word = max(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    word = max((t for _f, t in oracle.postings), key=lambda t: (oracle.doc_freq(t), t))
     typo = word[:-1] + ("x" if word[-1] != "x" else "y")
     out = C.spellcheck(searcher, typo, n=5)
     assert out and out[0][0] == word  # distance-1 high-df correction first

@@ -1,0 +1,127 @@
+"""Multi-field indexing + per-field scoring + edismax: Spark engine vs
+oracle rank/score identity (FieldInfo.java:31-71 per-field stats,
+ExtendedDismaxQParser.java role; VERDICT round-1 missing #1)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.components import edismax_query
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.parser import QueryParser
+from lucene_solr_spark.search.queries import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    FieldExistsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+N_DOCS = 100
+
+
+def _title_expr(lang, path):
+    # a few tokens, varies per doc, includes stopword + shared words
+    return f"{lang} file of {path.split('/')[-1].split('.')[0]}"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index_mf"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4).withColumn(
+        "title",
+        F.concat_ws(" ", F.col("lang"), F.lit("file"), F.lit("of"),
+                    F.element_at(F.split(F.element_at(
+                        F.split(F.col("path"), "/"), -1), "\\."), 1)),
+    )
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS,
+                         n_buckets=8, fields=("title", "content"))
+    searcher = IndexSearcher(tables, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    docs = []
+    for _, r in pdf.iterrows():
+        docs.append({"title": _title_expr(r["lang"], r["path"]),
+                     "content": r["content"]})
+    oracle.add_all(docs)
+    return searcher, oracle
+
+
+def _identical(searcher, oracle, q, k=10):
+    exp = oracle.search(q, k)
+    got = searcher.search(q, k)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def test_per_field_term_scoring(built):
+    searcher, oracle = built
+    # title-field term: per-field df/avgdl/norms differ from content's
+    _identical(searcher, oracle, TermQuery("python", field="title"))
+    _identical(searcher, oracle, TermQuery("java", field="title"))
+    # same term text via content field scores differently (or empty)
+    _identical(searcher, oracle, TermQuery("python", field="content"))
+    # cross-field boolean
+    q = BooleanQuery.of(should=[TermQuery("python", field="title"),
+                                TermQuery("return", field="content")])
+    _identical(searcher, oracle, q)
+
+
+def test_field_stats_differ(built):
+    searcher, oracle = built
+    assert searcher.field_stats["title"]["sum_ttf"] != \
+        searcher.field_stats["content"]["sum_ttf"]
+    assert oracle.field_sum_ttf["title"] == \
+        searcher.field_stats["title"]["sum_ttf"]
+    assert oracle.field_doc_count["title"] == \
+        searcher.field_stats["title"]["doc_count"]
+
+
+def test_title_phrase_and_prefix(built):
+    searcher, oracle = built
+    # "python file" adjacent in titles (stopword 'of' leaves a gap after)
+    _identical(searcher, oracle, PhraseQuery(("python", "file"), field="title"))
+    _identical(searcher, oracle,
+               PrefixQuery("jav", rewrite="scoring_boolean", field="title"))
+
+
+def test_field_exists(built):
+    searcher, oracle = built
+    got = searcher.search(FieldExistsQuery("title"), None if False else 200)
+    exp = oracle.search(FieldExistsQuery("title"), 200)
+    assert [(h.docid,) for h in got] == [(h.docid,) for h in exp]
+    assert len(got) == N_DOCS
+    assert searcher.search(FieldExistsQuery("nosuchfield"), 10) == []
+
+
+def test_edismax_identity(built):
+    searcher, oracle = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    q = edismax_query("python return", {"title": 2.0, "content": 1.0},
+                      tie=0.3, analyzer=an)
+    _identical(searcher, oracle, q)
+    q2 = edismax_query("+java scan", {"title": 1.5, "content": 1.0},
+                       analyzer=an)
+    _identical(searcher, oracle, q2)
+
+
+def test_dismax_cross_field(built):
+    searcher, oracle = built
+    q = DisjunctionMaxQuery(
+        (TermQuery("python", boost=2.0, field="title"),
+         TermQuery("python", field="content")),
+        tie_breaker=0.1)
+    _identical(searcher, oracle, q)
+
+
+def test_parser_field_syntax(built):
+    searcher, oracle = built
+    p = QueryParser(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS),
+                    fields=("content", "title"))
+    q = p.parse("title:python AND return")
+    _identical(searcher, oracle, q)

@@ -41,7 +41,7 @@ def _identical(searcher, oracle, q, k=10):
 
 def _common_terms(oracle, lo=2, hi=30):
     """A frequent and some mid-frequency terms from the corpus."""
-    by_df = sorted(oracle.postings, key=lambda t: (-oracle.doc_freq(t), t))
+    by_df = sorted((t for _f, t in oracle.postings), key=lambda t: (-oracle.doc_freq(t), t))
     hi_t = by_df[0]
     mids = [t for t in by_df if lo <= oracle.doc_freq(t) <= hi]
     return hi_t, mids

@@ -95,7 +95,7 @@ def test_regexp_query(built):
 
 def test_fuzzy_query(built):
     searcher, oracle = built
-    vocab = sorted(oracle.postings)
+    vocab = sorted(t for _f, t in oracle.postings)
     target = vocab[len(vocab) // 3]
     _identical(searcher, oracle, FuzzyQuery(target))
     _identical(searcher, oracle, FuzzyQuery(target, max_edits=1,
@@ -113,7 +113,7 @@ def test_term_range_query(built):
 
 def test_term_in_set_query(built):
     searcher, oracle = built
-    vocab = sorted(oracle.postings)
+    vocab = sorted(t for _f, t in oracle.postings)
     picks = tuple(vocab[:: max(len(vocab) // 5, 1)][:5]) + ("nosuchterm",)
     _identical(searcher, oracle, TermInSetQuery(picks))
 
@@ -130,14 +130,14 @@ def test_multiterm_inside_boolean(built):
 
 def test_synonym_query(built):
     searcher, oracle = built
-    vocab = sorted(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    vocab = sorted((t for _f, t in oracle.postings), key=lambda t: oracle.doc_freq(t))
     q = SynonymQuery((vocab[-1], vocab[len(vocab) // 2], "nosuchterm"))
     _identical(searcher, oracle, q)
 
 
 def test_dismax_query(built):
     searcher, oracle = built
-    vocab = sorted(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    vocab = sorted((t for _f, t in oracle.postings), key=lambda t: oracle.doc_freq(t))
     subs = (TermQuery(vocab[-1]), TermQuery(vocab[len(vocab) // 2]),
             PhraseQuery((vocab[-1], vocab[-2])))
     _identical(searcher, oracle, DisjunctionMaxQuery(subs, tie_breaker=0.0))
@@ -158,7 +158,7 @@ def test_parser_ast():
 
 def test_filter_plus_should_matches_filter_only_docs(built):
     searcher, oracle = built
-    vocab = sorted(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    vocab = sorted((t for _f, t in oracle.postings), key=lambda t: oracle.doc_freq(t))
     rare, common = vocab[0], vocab[-1]
     q = BooleanQuery(
         (BooleanClause(TermQuery(common), "FILTER"),

@@ -31,7 +31,7 @@ def built(spark, tmp_path_factory):
 
 
 def _terms_by_df(oracle, n=6):
-    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    by_df = sorted((t for _f, t in oracle.postings), key=lambda t: (oracle.doc_freq(t), t))
     step = max(len(by_df) // n, 1)
     return [by_df[i] for i in range(0, len(by_df), step)][:n] + [by_df[-1]]
 
@@ -65,7 +65,7 @@ def test_block_keys_unique(built):
 def test_dict_matches_oracle(built):
     idx, _, oracle, _ = built
     rows = {r["term"]: (r["df"], r["ttf"]) for r in idx.dict().collect()}
-    assert set(rows) == set(oracle.postings)
+    assert set(rows) == {t for _f, t in oracle.postings}
     for t, (df, ttf) in rows.items():
         assert df == oracle.doc_freq(t), t
         assert ttf == oracle.total_term_freq(t), t

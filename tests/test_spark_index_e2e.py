@@ -42,7 +42,7 @@ def built(spark, tmp_path_factory):
 
 def _pick_terms(oracle):
     """Terms across the df spectrum (FIXTURES F8 style)."""
-    by_df = sorted(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    by_df = sorted((t for _f, t in oracle.postings), key=lambda t: (oracle.doc_freq(t), t))
     lo = by_df[0]
     mid = by_df[len(by_df) // 2]
     hi = by_df[-1]
@@ -59,7 +59,7 @@ def test_dict_invariants(built):
     tables, _, oracle, _ = built
     rows = tables.dict().collect()
     got = {r["term"]: (r["df"], r["ttf"]) for r in rows}
-    exp = {t: (len(pl), sum(tf for _, tf, _ in pl)) for t, pl in oracle.postings.items()}
+    exp = {t: (len(pl), sum(tf for _, tf, _ in pl)) for (_f, t), pl in oracle.postings.items()}
     assert got == exp
     # bucket column consistent with the Python-side hash
     for r in rows[:200]:
