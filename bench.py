@@ -24,14 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_BUILD_DOCS = int(os.environ.get("LSS_BENCH_DOCS", "8000"))
+N_BUILD_DOCS = int(os.environ.get("LSS_BENCH_DOCS", "40000"))
 N_QUERIES = int(os.environ.get("LSS_BENCH_QUERIES", "40"))
 
 
 def make_spark(cpus: int):
-    from lucene_solr_spark.util.env import configure_allocator
-
-    configure_allocator()
     from pyspark.sql import SparkSession
 
     return (
@@ -39,6 +36,9 @@ def make_spark(cpus: int):
         .appName("lss-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # warm daemon: workers fork with pandas/pyarrow/numpy already
+        # imported (COW) — no cold-import storms on pool churn
+        .config("spark.python.daemon.module", "lucene_solr_spark.warm_daemon")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

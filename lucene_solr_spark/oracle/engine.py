@@ -26,6 +26,7 @@ from ..search.queries import (
     DisjunctionMaxQuery,
     FieldExistsQuery,
     MatchAllDocsQuery,
+    MatchNoDocsQuery,
     MultiPhraseQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -146,6 +147,8 @@ class OracleIndex:
         if isinstance(q, MatchAllDocsQuery):
             return {d: float(np.float32(boost * q.boost)) for d in range(self.doc_count)}
 
+        if isinstance(q, MatchNoDocsQuery):
+            return {}
         if isinstance(q, FieldExistsQuery):
             c = float(np.float32(boost * q.boost))
             nl = self.field_norms.get(q.field, [])

@@ -833,3 +833,250 @@ def ann_cosine_knn(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Block join (parent/child), JoinUtil score modes, geo predicates
+# ---------------------------------------------------------------------------
+@register(
+    "block_join_parent",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(max(l.l_extendedprice), 2) AS best_child,
+           round(avg(l.l_extendedprice), 4) AS avg_child,
+           round(sum(l.l_extendedprice), 2) AS total_child,
+           count(*) AS n_children
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 45
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def block_join_parent(spark, sf_dir):
+    """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java:417):
+    parents whose CHILDREN match the child filter, with the Avg/Max/
+    Total child-score aggregation modes of ScoreMode — orders are the
+    parents, lineitems the nested children; the child score stands in
+    for l_extendedprice. One equi-join + groupBy(parent) — at scale a
+    co-partitioned (bucketed-by-orderkey) join, no index-time block
+    layout needed because Spark co-locates by key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.max("l_extendedprice"), 2).alias("best_child"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_child"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total_child"),
+             F.count("*").alias("n_children"))
+    )
+
+
+@register(
+    "block_join_child",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000
+    """,
+)
+def block_join_child(spark, sf_dir):
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java):
+    children whose PARENT matches the parent filter — a semi-join from
+    the parent match set into the child table."""
+    o = (load_table(spark, sf_dir, "orders")
+         .where((F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 300000)))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(o.select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"), "left_semi")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+@register(
+    "joinutil_score_modes",
+    """
+    WITH child_scores AS (
+      SELECT l_orderkey AS okey,
+             round(avg(l_discount), 4) AS avg_s,
+             round(max(l_discount), 4) AS max_s,
+             round(sum(l_discount), 4) AS total_s
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, c.avg_s, c.max_s, c.total_s
+    FROM orders o JOIN child_scores c ON c.okey = o.o_orderkey
+    """,
+)
+def joinutil_score_modes(spark, sf_dir):
+    """JoinUtil.createJoinQuery with ScoreMode Avg/Max/Total
+    (join/JoinUtil.java:516): the from-side query's scores aggregate
+    per join value and attach to the to-side docs (round-1 had only
+    the None/semi-join mode)."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .groupBy(F.col("l_orderkey").alias("okey"))
+          .agg(F.round(F.avg("l_discount"), 4).alias("avg_s"),
+               F.round(F.max("l_discount"), 4).alias("max_s"),
+               F.round(F.sum("l_discount"), 4).alias("total_s")))
+    o = load_table(spark, sf_dir, "orders")
+    return (o.join(li, o.o_orderkey == F.col("okey"))
+            .select("o_orderkey", "avg_s", "max_s", "total_s"))
+
+
+# deterministic synthetic coordinates from the customer key: identical
+# integer arithmetic in Spark SQL and DuckDB, so the geo entries are
+# oracle-checkable without external data
+_LAT = "(CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0)"
+_LON = "(CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0)"
+
+
+@register(
+    "geo_box",
+    f"""
+    SELECT c_custkey, round({_LAT}, 2) AS lat, round({_LON}, 2) AS lon
+    FROM customer
+    WHERE {_LAT} BETWEEN 10 AND 55 AND {_LON} BETWEEN -30 AND 40
+    """,
+)
+def geo_box(spark, sf_dir):
+    """LatLonPoint bounding-box query (document/LatLonPoint.java
+    newBoxQuery): pure column predicates — Parquet min/max pruning
+    plays the BKD tree's role at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = F.expr(_LAT), F.expr(_LON)
+    return (c.where(lat.between(10, 55) & lon.between(-30, 40))
+            .select("c_custkey", F.round(lat, 2).alias("lat"),
+                    F.round(lon, 2).alias("lon")))
+
+
+_HAVERSINE = (
+    "(2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(({lat} - {lat0}) / 2)), 2) + "
+    "cos(radians({lat0})) * cos(radians({lat})) * "
+    "pow(sin(radians(({lon} - {lon0}) / 2)), 2))))"
+)
+
+
+@register(
+    "geo_distance",
+    f"""
+    SELECT c_custkey,
+           round({_HAVERSINE.format(lat=_LAT, lon=_LON, lat0='48.85', lon0='2.35')}, 1)
+             AS km
+    FROM customer
+    WHERE {_HAVERSINE.format(lat=_LAT, lon=_LON, lat0='48.85', lon0='2.35')} <= 2000
+    """,
+)
+def geo_distance(spark, sf_dir):
+    """LatLonPoint distance query (document/LatLonPointDistanceQuery):
+    haversine (mean-earth-radius 6371.0088 km, Lucene SloppyMath.haversin
+    role) as JVM column math; at scale a bounding-box prefilter prunes
+    row groups before the trig."""
+    c = load_table(spark, sf_dir, "customer")
+    hav = F.expr(_HAVERSINE.format(lat=_LAT, lon=_LON,
+                                   lat0="48.85", lon0="2.35"))
+    return (c.where(hav <= 2000)
+            .select("c_custkey", F.round(hav, 1).alias("km")))
+
+
+# convex quadrilateral around central Europe; point-in-polygon via the
+# ray-casting parity test, expressed as pure arithmetic on both engines
+_POLY = [(35.0, -10.0), (60.0, -5.0), (55.0, 30.0), (38.0, 25.0)]
+
+
+def _pip_sql(lat: str, lon: str) -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        y1, x1 = _POLY[i]
+        y2, x2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+@register(
+    "geo_polygon",
+    f"""
+    SELECT c_custkey FROM customer WHERE {_pip_sql(_LAT, _LON)}
+    """,
+)
+def geo_polygon(spark, sf_dir):
+    """LatLonPoint polygon query (document/LatLonPointInPolygonQuery):
+    ray-casting parity test as column arithmetic (the tessellated-
+    triangle BKD walk of the reference is an index-side optimization;
+    a bbox prefilter serves that role at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.expr(_pip_sql(_LAT, _LON))).select("c_custkey")
+
+
+@register(
+    "facet_aggs_extended",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_quantity), 2) AS sumsq_qty,
+           count(*) - count(CASE WHEN l_linenumber <= 4 THEN l_tax END)
+             AS missing_tax,
+           count(CASE WHEN l_linenumber <= 4 THEN l_tax END)
+             AS countvals_tax,
+           round(variance(l_discount), 6) AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def facet_aggs_extended(spark, sf_dir):
+    """Remaining Solr JSON facet aggs (SumsqAgg, MissingAgg,
+    CountValsAgg, VarianceAgg — solr/core/.../search/facet/). The
+    testdata has no nullable column, so missing/countvals run over a
+    deterministically-NULLed view of l_tax (NULL when l_linenumber>4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sparse_tax = F.when(F.col("l_linenumber") <= 4, F.col("l_tax"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity") * F.col("l_quantity")), 2).alias("sumsq_qty"),
+        (F.count("*") - F.count(sparse_tax)).alias("missing_tax"),
+        F.count(sparse_tax).alias("countvals_tax"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@register(
+    "facet_relatedness",
+    """
+    WITH fg AS (SELECT count(DISTINCT o_custkey) AS f FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+    bg AS (SELECT count(DISTINCT o_custkey) AS b FROM orders),
+    seg AS (
+      SELECT c_mktsegment,
+             count(DISTINCT CASE WHEN o.o_orderpriority = '1-URGENT'
+                                 THEN o.o_custkey END) AS fg_c,
+             count(DISTINCT o.o_custkey) AS bg_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, fg_c, bg_c,
+           round((fg_c / (SELECT f FROM fg)::DOUBLE)
+                 - (bg_c / (SELECT b FROM bg)::DOUBLE), 6) AS relatedness
+    FROM seg
+    """,
+)
+def facet_relatedness(spark, sf_dir):
+    """RelatednessAgg (search/facet/RelatednessAgg.java role,
+    simplified foreground-vs-background lift): per bucket,
+    P(bucket|foreground) - P(bucket|background) over distinct keys."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = c.join(o, o.o_custkey == c.c_custkey)
+    seg = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct(F.when(F.col("o_orderpriority") == "1-URGENT",
+                               F.col("o_custkey"))).alias("fg_c"),
+        F.countDistinct("o_custkey").alias("bg_c"),
+    )
+    fg = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.countDistinct("o_custkey").alias("f"))
+    bg = o.agg(F.countDistinct("o_custkey").alias("b"))
+    return (seg.crossJoin(F.broadcast(fg)).crossJoin(F.broadcast(bg))
+            .select("c_mktsegment", "fg_c", "bg_c",
+                    F.round(F.col("fg_c") / F.col("f").cast("double")
+                            - F.col("bg_c") / F.col("b").cast("double"),
+                            6).alias("relatedness")))

@@ -257,3 +257,45 @@ def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
 
     return with_text.select("docid", "score", snip(F.col("content")).alias("snippet")) \
         .orderBy(F.desc("score"), F.asc("docid"))
+
+
+def percolate(queries: dict[str, Query], doc_fields,
+              analyzer: StandardAnalyzer | None = None,
+              k1: float = 1.2, b: float = 0.75) -> list[str]:
+    """MemoryIndex percolation (memory/MemoryIndex.java role): index
+    ONE document in-process and run every registered query against it,
+    returning the ids of matching queries — the alerting/percolator
+    pattern. Uses the oracle engine (single-doc, exact semantics);
+    score discipline identical to the distributed path."""
+    from ..oracle import OracleIndex
+
+    mi = OracleIndex(analyzer=analyzer, k1=k1, b=b)
+    mi.add(doc_fields)
+    return sorted(qid for qid, q in queries.items() if mi.count(q) > 0)
+
+
+def knn_classify(searcher: IndexSearcher, text: str, label_col: str = "lang",
+                 k: int = 10, max_query_terms: int = 25,
+                 analyzer: StandardAnalyzer | None = None) -> DataFrame:
+    """KNearestNeighborClassifier (classification/
+    KNearestNeighborClassifier.java role): MLT-style query from the
+    input text, then majority label (count-weighted) among the top-k
+    neighbors. Returns DataFrame(label, votes) descending."""
+    analyzer = analyzer or StandardAnalyzer()
+    terms, _ = analyzer.analyze(text)
+    if not terms:
+        return searcher.docs.select(
+            F.col(label_col).alias("label")).limit(0).withColumn(
+            "votes", F.lit(0).cast("long"))
+    # rank candidate terms by tf in the input (createQueue role)
+    tf: dict[str, int] = {}
+    for t in terms:
+        tf[t] = tf.get(t, 0) + 1
+    picked = [t for t, _n in sorted(tf.items(), key=lambda x: (-x[1], x[0]))
+              [:max_query_terms]]
+    q = BooleanQuery.of(should=[TermQuery(t) for t in picked])
+    hits = searcher.search_df(q, k).select("docid")
+    return (searcher.docs.join(hits, "docid", "left_semi")
+            .groupBy(F.col(label_col).alias("label"))
+            .agg(F.count("*").alias("votes"))
+            .orderBy(F.desc("votes"), F.asc("label")))

@@ -50,6 +50,7 @@ from .queries import (
     FieldExistsQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MatchNoDocsQuery,
     MultiPhraseQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -483,6 +484,8 @@ class IndexSearcher:
             return self.docs.select(
                 "docid", F.lit(float(np.float32(boost * q.boost))).cast("float").alias("score")
             )
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty_scored()
         if isinstance(q, FieldExistsQuery):
             # NormsFieldExistsQuery role: docs that indexed the field
             c = float(np.float32(boost * q.boost))

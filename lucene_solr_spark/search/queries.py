@@ -233,6 +233,14 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """Matches nothing (search/MatchNoDocsQuery.java) — the rewrite
+    target for empty booleans / unsatisfiable queries."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
     boost: float = 1.0

@@ -1,17 +1,16 @@
 """Process-environment tuning for the Arrow/numpy hot path.
 
-On memory-overcommitted hosts (VMs with lazy page backing), a minor
-page fault can cost hundreds of microseconds, and glibc's default
-malloc returns every >128 KB allocation to the OS on free — so each
-large numpy temporary in a long-lived Python worker faults fresh pages
-forever. Keeping freed pages in the process arena makes every build
-task after the first run on warm memory.
-
-Call :func:`configure_allocator` BEFORE creating the SparkSession: in
-local mode the JVM inherits the driver's environment and the
-pyspark.daemon (hence every Python worker) inherits it from the JVM.
-On a real cluster, ship the same variables via
-``spark.executorEnv.MALLOC_*``.
+DEPRECATED DEFAULT (round-2 finding): retaining every freed page
+(``MALLOC_TRIM_THRESHOLD_=-1``) interacts badly with THP — long-lived
+workers accumulate huge dirty arenas that khugepaged keeps
+collapsing/splitting, and repeated builds in one JVM degrade
+monotonically (42 s → 155 s by build 3 at 8 cores). The effective fix
+for worker-churn cost is the warm daemon
+(``spark.python.daemon.module=lucene_solr_spark.warm_daemon``), which
+makes forked workers inherit pandas/pyarrow/numpy copy-on-write; no
+benchmark or test path calls :func:`configure_allocator` anymore. The
+knobs remain for hosts where page-fault latency (not THP churn)
+dominates — measure before enabling.
 """
 
 from __future__ import annotations

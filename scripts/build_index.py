@@ -46,14 +46,13 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
-    from lucene_solr_spark.util.env import configure_allocator
-
-    configure_allocator()
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.appName(f"lss-build-{args.codec}")
         .config("spark.sql.adaptive.enabled", "true")
+        # workers fork with pandas/pyarrow/numpy pre-imported (COW)
+        .config("spark.python.daemon.module", "lucene_solr_spark.warm_daemon")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()

@@ -8,9 +8,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
-    from lucene_solr_spark.util.env import configure_allocator
-
-    configure_allocator()
     from pyspark.sql import SparkSession
 
     s = (
@@ -18,6 +15,9 @@ def spark():
         .appName("lucene_solr_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # workers fork with pandas/pyarrow/numpy pre-imported (COW) —
+        # no cold-import storms when the pool churns across test builds
+        .config("spark.python.daemon.module", "lucene_solr_spark.warm_daemon")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")

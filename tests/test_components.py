@@ -144,3 +144,42 @@ def test_token_spans_offsets(built):
     assert [t for t, _, _ in spans] == ["quick", "foo.bar", "baz", "code", "3.14"]
     for t, a, b in spans:
         assert text[a:b].lower() == t
+
+
+def test_percolate(built):
+    _, oracle, _, pdf = built
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    text = pdf["content"].iloc[0]
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    toks = an.analyze(text)[0]
+    queries = {
+        "has_first": TermQuery(toks[0]),
+        "phrase_first": PhraseQuery((toks[0], toks[1])),
+        "no_match": TermQuery("zzzznope"),
+        "bool": BooleanQuery.of(must=[TermQuery(toks[0])],
+                                must_not=[TermQuery("zzzznope")]),
+    }
+    got = C.percolate(queries, text, analyzer=an)
+    assert got == ["bool", "has_first", "phrase_first"]
+
+
+def test_knn_classify(built):
+    searcher, _, _, pdf = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    # classify a doc by its own text: its own language should lead
+    row = pdf.iloc[3]
+    out = C.knn_classify(searcher, row["content"], "lang", k=7,
+                         analyzer=an).collect()
+    assert out, "classifier returned no votes"
+    assert sum(r["votes"] for r in out) <= 7
+    labels = [r["label"] for r in out]
+    assert row["lang"] in labels
+
+
+def test_match_no_docs(built):
+    searcher, oracle, _, _ = built
+    from lucene_solr_spark.search.queries import MatchNoDocsQuery
+
+    assert searcher.search(MatchNoDocsQuery(), 5) == []
+    assert oracle.search(MatchNoDocsQuery(), 5) == []
