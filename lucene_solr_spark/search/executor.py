@@ -711,7 +711,9 @@ class IndexSearcher:
         Lucene/Solr reach QPS with many concurrent in-process searchers;
         the Spark-native equivalent is batch evaluation: all query
         clauses become one small broadcast table joined against the
-        postings scan, scored by a single vectorized UDF, aggregated by
+        postings scan, scored by pure JVM column math (float32
+        discipline preserved bit-exactly — see the norm-cache join
+        below), aggregated by
         (query, doc), and top-k'd with one window. Per-query cost is
         amortized to ~zero; the job does one postings pass regardless
         of query count.
@@ -733,8 +735,10 @@ class IndexSearcher:
             all_pairs |= _collect_terms(q)
         stats = self.term_stats(all_pairs)
 
-        clause_rows = []  # (qid, field, term, weight, occur flags)
-        req_rows = []  # (qid, n_must, n_filter, should_need)
+        qid_list = list(queries)  # int qidx on the wire, string out
+        qidx_of = {qid: i for i, qid in enumerate(qid_list)}
+        clause_rows = []  # (qidx, field, term, weight, occur flags)
+        req_rows = []  # (qidx, n_must, n_filter, should_need)
         for qid, q in queries.items():
             if isinstance(q, TermQuery):
                 clauses = [(q, "SHOULD")]
@@ -754,24 +758,27 @@ class IndexSearcher:
                 scoring = occur in ("MUST", "SHOULD")
                 w = (float(self.field_scorer(cq.field).weight(df, boost * cq.boost))
                      if df and scoring else 0.0)
+                # one long packs the occur counters (11 bits each —
+                # Lucene's max-clause default is 1024): summing the
+                # packed flags over a (query, doc) group yields all
+                # four clause counts in ONE aggregate / shuffle column
+                flags = {"MUST": 1, "SHOULD": 1 << 11,
+                         "FILTER": 1 << 22, "MUST_NOT": 1 << 33}[occur]
                 clause_rows.append(
-                    (qid, cq.field, cq.term, w,
-                     int(occur == "MUST"), int(occur == "SHOULD"),
-                     int(occur == "FILTER"), int(occur == "MUST_NOT"))
+                    (qidx_of[qid], cq.field, cq.term, w, flags)
                 )
                 n_must += occur == "MUST"
                 n_filter += occur == "FILTER"
                 n_should += occur == "SHOULD"
             need = (msm if n_must or n_filter else max(msm, 1)) if n_should else 0
-            req_rows.append((qid, n_must, n_filter, need))
+            req_rows.append((qidx_of[qid], n_must, n_filter, need))
 
         clause_df = spark.createDataFrame(
             clause_rows,
-            "qid string, field string, term string, weight float, is_must int, "
-            "is_should int, is_filter int, is_not int",
+            "qidx int, field string, term string, weight float, flags long",
         )
         req_df = spark.createDataFrame(
-            req_rows, "qid string, q_n_must int, q_n_filter int, q_should_need int"
+            req_rows, "qidx int, q_n_must int, q_n_filter int, q_should_need int"
         )
 
         pairs_present = [p for p in all_pairs if stats.get(p)]
@@ -784,45 +791,59 @@ class IndexSearcher:
             F.col("bucket").isin(buckets) & F.col("term").isin(terms_present)
             & F.col("field").isin(fields_present)
         ).join(F.broadcast(clause_df), ["field", "term"])
-        scorers = dict(self.scorers)
 
-        @F.pandas_udf(FloatType())
-        def score_w(field: pd.Series, tf: pd.Series, norm: pd.Series,
-                    weight: pd.Series) -> pd.Series:
-            out = np.empty(len(field), dtype=np.float32)
-            tfv, nv = tf.to_numpy(), norm.to_numpy()
-            wv = weight.to_numpy(dtype=np.float32)
-            for f, idx in field.groupby(field).groups.items():
-                ii = np.asarray(idx)
-                out[ii] = scorers[f].partial(tfv[ii], nv[ii], wv[ii])
-            return pd.Series(out)
-
+        # JVM-side float32 BM25 partial — NO Python in the hot path.
+        # The 256-entry norm cache per field (BM25Similarity.java:219)
+        # becomes a broadcast (field, norm) -> cache join; the float
+        # discipline of BM25Scorer.partial is preserved bit-exactly:
+        # freq/(freq+cache) divides in double and casts to float
+        # (double->float double-rounding is exact for float operands:
+        # 2*24+2 <= 53), then multiplies by the float weight in float.
+        norm_rows = [
+            (f, i, float(self.scorers[f].cache[i]))
+            for f in fields_present for i in range(256)
+        ]
+        norm_df = spark.createDataFrame(norm_rows,
+                                        "field string, _nb int, cache float")
+        matches = matches.withColumn(
+            "_nb", F.col("norm").cast("int").bitwiseAND(F.lit(255))
+        ).join(F.broadcast(norm_df), ["field", "_nb"])
+        tfd = F.col("tf").cast("double")
+        tf_part = (tfd / (tfd + F.col("cache").cast("double"))).cast("float")
         scored = matches.select(
-            "qid", "docid", "is_must", "is_should", "is_filter", "is_not",
-            score_w(F.col("field"), F.col("tf"), F.col("norm"),
-                    F.col("weight")).alias("s"),
+            "qidx", "docid", "flags",
+            (F.col("weight") * tf_part).cast("float").alias("s"),
         )
-        agg = scored.groupBy("qid", "docid").agg(
+        agg = scored.groupBy("qidx", "docid").agg(
             F.sum(F.col("s").cast("double")).alias("_s"),
-            F.sum("is_must").alias("_nmust"),
-            F.sum("is_should").alias("_nshould"),
-            F.sum("is_filter").alias("_nfilter"),
-            F.sum("is_not").alias("_nnot"),
+            F.sum("flags").alias("_flags"),
         )
+        mask = F.lit((1 << 11) - 1).cast("long")
+        fl = F.col("_flags")
         kept = (
-            self._live(agg).join(F.broadcast(req_df), "qid")
+            self._live(agg).join(F.broadcast(req_df), "qidx")
             .where(
-                (F.col("_nmust") == F.col("q_n_must"))
-                & (F.col("_nfilter") == F.col("q_n_filter"))
-                & (F.col("_nnot") == 0)
-                & (F.col("_nshould") >= F.col("q_should_need"))
+                (fl.bitwiseAND(mask) == F.col("q_n_must"))
+                & (F.shiftrightunsigned(fl, 22).bitwiseAND(mask)
+                   == F.col("q_n_filter"))
+                & (F.shiftrightunsigned(fl, 33) == 0)
+                & (F.shiftrightunsigned(fl, 11).bitwiseAND(mask)
+                   >= F.col("q_should_need"))
             )
-            .select("qid", "docid", F.col("_s").cast("float").alias("score"))
+            .select("qidx", "docid", F.col("_s").cast("float").alias("score"))
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return kept.select(
-            "qid", "docid", "score", F.row_number().over(w).alias("rn")
-        ).where(F.col("rn") <= k)
+        w = Window.partitionBy("qidx").orderBy(F.desc("score"), F.asc("docid"))
+        qid_lookup = F.array(*[F.lit(q) for q in qid_list])
+        return (
+            kept.select(
+                "qidx", "docid", "score", F.row_number().over(w).alias("rn")
+            )
+            .where(F.col("rn") <= k)
+            .select(
+                F.element_at(qid_lookup, F.col("qidx") + 1).alias("qid"),
+                "docid", "score", "rn",
+            )
+        )
 
     def search_many(self, queries: dict[str, Query], k: int = 10) -> dict[str, list[TopDoc]]:
         rows = self.search_many_df(queries, k).collect()

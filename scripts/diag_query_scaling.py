@@ -62,7 +62,7 @@ def query_level(cpus: int, root: str, queries: int) -> None:
 
     out = {"cpus": cpus}
     t0 = time.time()
-    tables = IndexTables(spark, root)
+    tables = IndexTables(root, spark)
     searcher = IndexSearcher(tables, cache=True)
     out["init_sec"] = round(time.time() - t0, 2)
     out["postings_parts"] = searcher.postings.rdd.getNumPartitions()

@@ -1,0 +1,177 @@
+"""Filter zoo: Porter stemmer goldens, possessive/folding/length,
+ngram/edge-ngram/shingle position semantics, CustomAnalyzer identity
+between the Python chain and the Spark column twin."""
+
+import pytest
+
+from lucene_solr_spark.analysis.filters import (
+    CustomAnalyzer,
+    ascii_fold,
+    ascii_folding_filter,
+    edge_ngram_filter,
+    english_analyzer,
+    english_possessive_filter,
+    filter_tokens_column,
+    length_filter,
+    ngram_filter,
+    porter_stem,
+    porter_stem_filter,
+    shingle_filter,
+    stop_filter,
+)
+from lucene_solr_spark.analysis.tokenizer import ENGLISH_STOP_WORDS
+
+
+# Golden pairs from Porter's 1980 paper examples (+ the Lucene
+# DEPARTURE cases bli→ble / logi→log).
+PORTER_GOLDENS = {
+    # step 1a
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    # step 1b
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file",
+    # step 1c
+    "happy": "happi", "sky": "sky",
+    # step 2
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform",  # bli→ble (DEPARTURE), then step4 able (m>1)
+    "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+    "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope",
+    "callousness": "callous", "formaliti": "formal",
+    "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # short words unchanged
+    "a": "a", "is": "is", "be": "be",
+}
+
+
+def test_porter_goldens():
+    bad = {w: (porter_stem(w), want)
+           for w, want in PORTER_GOLDENS.items() if porter_stem(w) != want}
+    assert not bad, f"porter mismatches (got, want): {bad}"
+
+
+def test_possessive():
+    terms, pos = english_possessive_filter(
+        ["john's", "dogs", "o’neill’s"], [0, 1, 2])
+    assert terms == ["john", "dogs", "o’neill"]
+    assert pos == [0, 1, 2]
+
+
+def test_ascii_folding():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("über") == "uber"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("plain") == "plain"
+    t, p = ascii_folding_filter(["naïve", "façade"], [0, 1])
+    assert t == ["naive", "facade"]
+
+
+def test_length_filter_keeps_gaps():
+    t, p = length_filter(2, 5)(["a", "abc", "toolongtoken", "de"], [0, 1, 2, 3])
+    assert t == ["abc", "de"]
+    assert p == [1, 3]  # gap where dropped tokens were
+
+
+def test_ngram_filter_positions():
+    t, p = ngram_filter(2, 3)(["abcd"], [5])
+    assert t == ["ab", "bc", "cd", "abc", "bcd"]
+    assert p == [5] * 5  # all grams stack at the source position
+
+
+def test_edge_ngram():
+    t, p = edge_ngram_filter(1, 3)(["spark"], [2])
+    assert t == ["s", "sp", "spa"]
+    assert p == [2, 2, 2]
+    t, _ = edge_ngram_filter(1, 3, preserve_original=True)(["spark"], [0])
+    assert t == ["s", "sp", "spa", "spark"]
+
+
+def test_shingles_with_filler():
+    # "please divide <stop> sentence" — stopword at position 2 leaves a
+    # gap, shingles crossing it use the _ filler (ShingleFilter.java)
+    terms = ["please", "divide", "sentence"]
+    positions = [0, 1, 3]
+    t, p = shingle_filter(2, 2)(terms, positions)
+    assert ("please divide", 0) in list(zip(t, p))
+    assert ("divide _", 1) in list(zip(t, p))  # gap filler
+    assert ("_ sentence", 2) in list(zip(t, p))  # filler participates
+    # unigrams present
+    for u in terms:
+        assert u in t
+    t2, _ = shingle_filter(2, 3, output_unigrams=False)(terms, positions)
+    assert "please divide" in t2 and "please divide _" in t2
+    assert all(" " in s for s in t2)
+
+
+def test_english_analyzer_pipeline():
+    an = english_analyzer()
+    terms, positions = an.analyze("The Dog's bones are running quickly")
+    # the(stop) dog's→dog→dog bones→bone are(stop) running→run quickly→quickli
+    assert terms == ["dog", "bone", "run", "quickli"]
+    assert positions == [1, 2, 4, 5]  # gaps at stopwords
+
+
+def test_oracle_with_custom_analyzer():
+    """CustomAnalyzer plugs into the oracle engine: stemmed index
+    matches stemmed queries regardless of surface form."""
+    from lucene_solr_spark.oracle import OracleIndex
+    from lucene_solr_spark.search.queries import TermQuery
+
+    an = english_analyzer()
+    idx = OracleIndex(analyzer=an)
+    idx.add("the dogs were running")
+    idx.add("a dog runs")
+    idx.add("cats sleep")
+    hits = idx.search(TermQuery(an.terms("running")[0]), 10)
+    assert sorted(h.docid for h in hits) == [0, 1]
+
+
+def test_spark_column_twin_matches_python(spark):
+    """filter_tokens_column(chain) ≡ CustomAnalyzer(chain) term output."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    texts = [
+        "The Dog's bones are running quickly",
+        "Stemming filters normalize tokenized words",
+        "café straße naïve",
+        "",
+    ]
+    chain = [english_possessive_filter, stop_filter(ENGLISH_STOP_WORDS),
+             ascii_folding_filter, porter_stem_filter]
+    an = CustomAnalyzer(chain)
+    sdf = spark.createDataFrame(pd.DataFrame({"id": range(len(texts)),
+                                              "text": texts}))
+    from lucene_solr_spark.analysis.jvm import analyzed_columns
+
+    tok = analyzed_columns(sdf, content_col="text", with_sha=False)
+    out = filter_tokens_column(tok, chain, "tokens", "filtered")
+    got = {r["id"]: r["filtered"] for r in out.select("id", "filtered").collect()}
+    for i, text in enumerate(texts):
+        assert got[i] == an.analyze(text)[0], f"row {i}"

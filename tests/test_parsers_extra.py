@@ -1,0 +1,157 @@
+"""SimpleQueryParser (never-throw grammar) + ComplexPhraseQueryParser
+(wildcard/fuzzy inside phrases → MultiPhraseQuery): parse-shape units
+and Spark-vs-oracle rank/score identity."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.multiterm import expand_terms
+from lucene_solr_spark.search.parsers_extra import (
+    ComplexPhraseQueryParser,
+    SimpleQueryParser,
+)
+from lucene_solr_spark.search.queries import (
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MultiPhraseQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index_pex"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4)
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS, n_buckets=8)
+    searcher = IndexSearcher(tables, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    return searcher, oracle
+
+
+def _identical(searcher, oracle, q, k=10):
+    exp = oracle.search(q, k)
+    got = searcher.search(q, k)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp], q
+
+
+AN = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+
+# ---- SimpleQueryParser units ------------------------------------------
+
+def test_simple_terms_default_or():
+    q = SimpleQueryParser(AN).parse("spark index")
+    assert isinstance(q, BooleanQuery)
+    assert {c.occur for c in q.clauses} == {"SHOULD"}
+    assert {c.query.term for c in q.clauses} == {"spark", "index"}
+
+
+def test_simple_plus_and_pipe():
+    q = SimpleQueryParser(AN).parse("spark + index | vector")
+    assert isinstance(q, BooleanQuery)  # (spark AND index) OR vector
+    assert {c.occur for c in q.clauses} == {"SHOULD"}
+    left = q.clauses[0].query
+    assert isinstance(left, BooleanQuery)
+    assert {c.occur for c in left.clauses} == {"MUST"}
+
+
+def test_simple_negation():
+    q = SimpleQueryParser(AN).parse("spark -vector")
+    assert isinstance(q, BooleanQuery)
+    occurs = sorted(c.occur for c in q.clauses)
+    assert occurs == ["MUST_NOT", "SHOULD"]
+
+
+def test_simple_phrase_prefix_fuzzy():
+    p = SimpleQueryParser(AN)
+    assert isinstance(p.parse('"big data engine"'), PhraseQuery)
+    assert isinstance(p.parse("spar*"), PrefixQuery)
+    f = p.parse("spark~1")
+    assert isinstance(f, FuzzyQuery) and f.max_edits == 1
+
+
+def test_simple_never_throws():
+    p = SimpleQueryParser(AN)
+    for bad in ['"unterminated', "((( ", ")( |", "+ | - ", "a + ( b",
+                '~~~', "-", "", "   ", '"a b', "x )))", "(((a"]:
+        q = p.parse(bad)  # must not raise
+        assert q is not None
+
+
+def test_simple_stopword_only():
+    assert isinstance(SimpleQueryParser(AN).parse("the and of"),
+                      MatchAllDocsQuery)
+
+
+# ---- ComplexPhraseQueryParser units -----------------------------------
+
+def _mk_cp(vocab):
+    return ComplexPhraseQueryParser(
+        expand=lambda q: expand_terms(iter(vocab), q), analyzer=AN)
+
+
+def test_complex_phrase_expansion_shapes():
+    vocab = ["spark", "sparse", "spawn", "index", "indexes", "vector"]
+    p = _mk_cp(vocab)
+    q = p.parse('"spar* index"')
+    assert isinstance(q, MultiPhraseQuery)
+    assert set(q.termss[0]) == {"spark", "sparse"}
+    assert q.termss[1] == ("index",)
+    # plain phrase stays a PhraseQuery
+    assert isinstance(p.parse('"spark index"'), PhraseQuery)
+    # group = one-slot alternatives
+    q = p.parse('"(spark vector) index"')
+    assert isinstance(q, MultiPhraseQuery)
+    assert set(q.termss[0]) == {"spark", "vector"}
+    # slop carried through
+    assert p.parse('"spar* index"~2').slop == 2
+
+
+def test_complex_phrase_unmatchable_slot():
+    from lucene_solr_spark.search.queries import MatchNoDocsQuery
+
+    p = _mk_cp(["spark", "index"])
+    assert isinstance(p.parse('"zzz* index"'), MatchNoDocsQuery)
+
+
+# ---- engine identity ---------------------------------------------------
+
+SIMPLE_QUERIES = [
+    "spark index",
+    "spark + index",
+    "spark | vector -loop",
+    '"return value" | spark',
+    "spar* + index",
+    "sprak~1",
+    "(spark | vector) + index",
+]
+
+
+def test_simple_parser_identity(built):
+    searcher, oracle = built
+    p = SimpleQueryParser(AN)
+    for s in SIMPLE_QUERIES:
+        q = p.parse(s)
+        _identical(searcher, oracle, q, k=10)
+
+
+def test_complex_phrase_identity(built):
+    searcher, oracle = built
+    p = ComplexPhraseQueryParser(expand=searcher._expand, analyzer=AN)
+    for s in ['"spar* index"', '"(spark vector) index"~3',
+              '"retur* value"', '"the spark"']:
+        q = p.parse(s)
+        _identical(searcher, oracle, q, k=10)
