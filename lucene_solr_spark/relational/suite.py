@@ -210,6 +210,59 @@ def ft_bm25_scores(spark, sf_dir):
 
 
 @register(
+    "ft_sloppy",
+    f"""
+    WITH tokpos AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, term, pos FROM tokpos
+      WHERE term <> '' AND term NOT IN ({STOPS_SQL})
+    )
+    SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+    WHERE a.term = 'big' AND b.term = 'table'
+      AND abs(a.pos - (b.pos - 1)) <= 2
+    """,
+)
+def ft_sloppy(spark, sf_dir):
+    """Sloppy-phrase membership, "big table"~2.
+
+    For a two-slot phrase with distinct terms, SloppyPhraseMatcher's
+    greedy pq traversal (SloppyPhraseMatcher.java:119-152) records a
+    match iff the minimum |adjusted(a) - adjusted(b)| over position
+    pairs is <= slop (every locally-minimal gap is visited at a
+    pointer crossing), so membership reduces to a per-doc min over
+    the position pair distances — exactly the SQL twin. Positions are
+    assigned BEFORE stop filtering (StopFilter position gaps,
+    FilteringTokenFilter.java:47-57). Freq weighting (sloppy_freq
+    1/(1+matchLength)) is engine-side and pytest-verified
+    (search/sloppy.py); this row hard-checks the match set.
+
+    Scale: per-term filters before the join — two slim position sets
+    joined on doc_id, no corpus self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos0", "term"))
+        .where((F.col("term") != "")
+               & ~F.col("term").isin(*sorted(ENGLISH_STOP_WORDS)))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    a = tok.where(F.col("term") == "big").select(
+        "doc_id", F.col("pos").alias("pa"))
+    b = tok.where(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.abs(F.col("pa") - (F.col("pb") - F.lit(1))) <= 2)
+        .select("doc_id").distinct()
+    )
+
+
+@register(
     "ft_phrase",
     r"""
     SELECT doc_id FROM documents

@@ -144,6 +144,19 @@ def _phrase_verify_fn(offs, slop, nterms, w, scorer):
     return verify
 
 
+def _str_in(colname: str, values) -> "F.Column":
+    """``col IN (...)`` over a string list as ONE parsed SQL expression.
+
+    ``Column.isin`` pays one py4j round-trip per element (a 1024-term
+    batch costs ~2.5 s of driver time); a single ``F.expr`` string is
+    one call and yields the identical Catalyst ``In``/``InSet`` (same
+    pushdown / same plan)."""
+    vals = ", ".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values)
+    return F.expr(f"`{colname}` IN ({vals})") if vals else F.lit(False)
+
+
 def _collect_terms(q: Query) -> set[tuple[str, str]]:
     """(field, term) pairs needing TermStates resolution."""
     if isinstance(q, TermQuery):
@@ -221,6 +234,16 @@ class IndexSearcher:
             tables.spark.read.parquet(droot).select("docid").distinct()
             if _os.path.exists(droot) else None)
         self._df_map: dict[tuple[str, str], int] | None = None
+        self._norm_cache_cols: dict[str, object] = {}
+        self._batch_postings: DataFrame | None = None
+        #: batched-path top-k strategy: declarative groupBy+window
+        #: (False, default — all-JVM) vs partition-local numpy
+        #: collector (True). The collector eliminates the candidate
+        #: sort entirely, but on a single box the Arrow export of the
+        #: scored rows costs more than the JVM sort it replaces; on a
+        #: real cluster (per-executor Arrow streams) it is the
+        #: scale-out strategy.
+        self.batch_collector = False
         if cache:
             self.postings.persist()
             self.dict.persist()
@@ -229,6 +252,60 @@ class IndexSearcher:
                 pdf = self.dict.select("field", "term", "df").toPandas()
                 self._df_map = {(f, t): int(d) for f, t, d in
                                 zip(pdf["field"], pdf["term"], pdf["df"])}
+
+    def _batch_table(self) -> DataFrame:
+        """Slim DOCID-partitioned postings projection for the batched
+        path, built lazily once per searcher and persisted.
+
+        Two scale properties fall out of the layout:
+          * hash(docid) partitioning means every (query, doc) group is
+            partition-local, so the per-(query, doc) score aggregation
+            needs NO exchange (HashPartitioning(docid) satisfies
+            ClusteredDistribution(qidx, docid)) — the only shuffle left
+            in the batched plan is the tiny per-query top-k merge.
+          * the join key is one int64 (xxhash64 of field+term, computed
+            by the SAME Spark function on the clause side), so the hot
+            scan reads (tkey, docid, tf, norm) — no strings. A 64-bit
+            collision between two distinct index terms (~1e-8 at 1M
+            terms) is the accepted trade, as in Spark's own hash joins'
+            memory-format fallbacks.
+        """
+        if self._batch_postings is None:
+            spark = self.tables.spark
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # materialize the cache with AQE OFF: under AQE the cached
+            # plan is an unfinalized AdaptiveSparkPlan whose output
+            # partitioning reads as Unknown, and the downstream
+            # aggregation re-shuffles the whole table; with a plain
+            # Exchange in the cached plan, InMemoryTableScan reports
+            # HashPartitioning(docid) and the per-(query, doc) groupBy
+            # is exchange-free.
+            aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                bp = (
+                    self.postings
+                    .select(F.xxhash64("field", "term").alias("tkey"),
+                            "docid", "tf", "norm", "field")
+                    .repartition(n * 2, "docid")
+                    .persist()
+                )
+                bp.count()
+                self._batch_postings = bp
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        return self._batch_postings
+
+    def _norm_cache_col(self, field: str):
+        """256-entry float32 norm cache (BM25Similarity.java:219) as an
+        ARRAY LITERAL column, built once per searcher per field — a
+        plan-side lookup table (element_at) instead of a broadcast
+        join: no exchange, no per-batch py4j cost."""
+        col = self._norm_cache_cols.get(field)
+        if col is None:
+            col = F.lit([float(c) for c in self.field_scorer(field).cache])
+            self._norm_cache_cols[field] = col
+        return col
 
     def field_scorer(self, field: str):
         s = self.scorers.get(field)
@@ -335,8 +412,8 @@ class IndexSearcher:
         rows = (
             self.dict
             .where(F.col("bucket").isin(buckets)
-                   & F.col("term").isin(list(terms))
-                   & F.col("field").isin(list(fields)))
+                   & _str_in("term", terms)
+                   & _str_in("field", fields))
             .select("field", "term", "df")
             .collect()
         )
@@ -360,7 +437,7 @@ class IndexSearcher:
         buckets = sorted({term_bucket(t, self.n_buckets) for t in present})
         src = self.postings_full if with_positions else self.postings
         return src.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(present)
+            F.col("bucket").isin(buckets) & _str_in("term", present)
             & (F.col("field") == field)
         )
 
@@ -704,19 +781,116 @@ class IndexSearcher:
     def count(self, q: Query) -> int:
         return self.search_df(q, None).count()
 
+    @staticmethod
+    def _collect_topk(scored: DataFrame, req_rows, n_queries: int, k: int,
+                      unconstrained: bool, doc_bits: int) -> DataFrame:
+        """Partition-local exact top-k collector (TopScoreDocCollector.
+        java role) over docid-partitioned scored clause rows.
+
+        Every (qidx, docid) group is complete within its partition
+        (hash(docid) partitioning), so per-partition group sums and
+        per-query top-k selection are exact; the caller's global window
+        merges the <= partitions * queries * k survivors (TopDocs.merge
+        role). All numpy passes are O(n) radix / reduceat — no
+        comparison sort of the full candidate set, no hash map.
+        """
+        mask11 = (1 << 11) - 1
+        if not unconstrained:
+            n_must_a = np.zeros(n_queries, dtype=np.int64)
+            n_filter_a = np.zeros(n_queries, dtype=np.int64)
+            need_a = np.zeros(n_queries, dtype=np.int64)
+            for qi, m, fil, need in req_rows:
+                n_must_a[qi], n_filter_a[qi], need_a[qi] = m, fil, need
+
+        def collect(batches):
+            import pyarrow as pa
+
+            from lucene_solr_spark.util.env import retain_malloc
+
+            retain_malloc()  # this host stalls on fresh large mmaps
+            qis, dis, ss, fls = [], [], [], []
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                cols = {b.schema.names[i]: b.column(i)
+                        for i in range(b.num_columns)}
+                qis.append(cols["qidx"].to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                dis.append(cols["docid"].to_numpy(zero_copy_only=False))
+                ss.append(cols["s"].to_numpy(
+                    zero_copy_only=False).astype(np.float64))
+                if not unconstrained:
+                    fls.append(cols["flags"].to_numpy(zero_copy_only=False))
+            if not qis:
+                return
+            qi = np.concatenate(qis)
+            di = np.concatenate(dis)
+            s = np.concatenate(ss)
+            # group by packed (qidx, docid): radix argsort + reduceat.
+            # float64 accumulation, ONE float32 cast (BM25 discipline).
+            gkey = (qi << doc_bits) | di
+            order = np.argsort(gkey, kind="stable")
+            gk = gkey[order]
+            bounds = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+            sums = np.add.reduceat(s[order], bounds)
+            heads = gk[bounds]
+            gq = heads >> doc_bits
+            gd = heads & ((1 << doc_bits) - 1)
+            score32 = sums.astype(np.float32)
+            if not unconstrained:
+                flsum = np.add.reduceat(
+                    np.concatenate(fls)[order], bounds)
+                ok = (
+                    ((flsum & mask11) == n_must_a[gq])
+                    & (((flsum >> 22) & mask11) == n_filter_a[gq])
+                    & ((flsum >> 33) == 0)
+                    & (((flsum >> 11) & mask11) >= need_a[gq])
+                )
+                gq, gd, score32 = gq[ok], gd[ok], score32[ok]
+                if not len(gq):
+                    return
+            # top-k per qidx on (score desc, docid asc): groups arrive
+            # docid-ascending, so ONE stable radix pass on the packed
+            # (qidx, inverted-float32-bits) key orders each query's
+            # candidates score-desc with docid-asc tie-break (IEEE bits
+            # of non-negative floats are order-isomorphic; scores are
+            # sums of non-negative clause partials).
+            bits = score32.view(np.uint32).astype(np.uint64)
+            skey = ((gq.astype(np.uint64) << np.uint64(32))
+                    | (np.uint64(0xFFFFFFFF) - bits))
+            idx = np.argsort(skey, kind="stable")
+            sq = gq[idx]
+            starts = np.flatnonzero(np.r_[True, sq[1:] != sq[:-1]])
+            counts = np.diff(np.r_[starts, len(sq)])
+            ranks = np.arange(len(sq)) - np.repeat(starts, counts)
+            keep = idx[ranks < k]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(gq[keep].astype(np.int32)),
+                 pa.array(gd[keep]),
+                 pa.array(score32[keep])],
+                names=["qidx", "docid", "score"])
+
+        return scored.mapInArrow(
+            collect, "qidx int, docid long, score float")
+
     # -- batched execution ------------------------------------------------
-    def search_many_df(self, queries: dict[str, Query], k: int = 10) -> DataFrame:
+    def search_many_df(self, queries: dict[str, Query], k: int = 10,
+                       _raw: bool = False) -> DataFrame:
         """Evaluate MANY queries in ONE Spark plan — the throughput path.
 
         Lucene/Solr reach QPS with many concurrent in-process searchers;
         the Spark-native equivalent is batch evaluation: all query
-        clauses become one small broadcast table joined against the
-        postings scan, scored by pure JVM column math (float32
-        discipline preserved bit-exactly — see the norm-cache join
-        below), aggregated by
-        (query, doc), and top-k'd with one window. Per-query cost is
-        amortized to ~zero; the job does one postings pass regardless
-        of query count.
+        clauses become one small broadcast table hash-joined (int64
+        term-key) against the docid-partitioned slim postings cache
+        (see _batch_table), scored by pure JVM column math (float32
+        discipline preserved bit-exactly — see the norm-cache lookup
+        below), aggregated per (query, doc) WITHOUT an exchange (the
+        partitioning already clusters the groups), and top-k'd with a
+        window whose partial WindowGroupLimit keeps the only shuffle
+        at queries*k rows per partition. Per-query cost is amortized
+        to ~zero; the job does one postings pass regardless of query
+        count. `batch_collector` selects the alternative
+        collector strategy (_collect_topk).
 
         Supports flat term queries and single-level BooleanQuery over
         TermQuery clauses (MUST/SHOULD/FILTER/MUST_NOT + msm) — the
@@ -773,83 +947,133 @@ class IndexSearcher:
             need = (msm if n_must or n_filter else max(msm, 1)) if n_should else 0
             req_rows.append((qidx_of[qid], n_must, n_filter, need))
 
-        clause_df = spark.createDataFrame(
-            clause_rows,
-            "qidx int, field string, term string, weight float, flags long",
-        )
-        req_df = spark.createDataFrame(
-            req_rows, "qidx int, q_n_must int, q_n_filter int, q_should_need int"
-        )
+        # pure disjunction batch? (no MUST/FILTER/MUST_NOT anywhere and
+        # msm <= 1): every aggregated (query, doc) row trivially matches
+        # >=1 SHOULD clause, so the occur-flag aggregate, requirement
+        # join and filter all drop out — BooleanWeight's specialization
+        # to DisjunctionSumScorer (BooleanWeight.java optional-only
+        # path). Halves the shuffled bytes per row.
+        unconstrained = all(
+            m == 0 and f == 0 and need <= 1
+            for _qi, m, f, need in req_rows
+        ) and not any(r[4] & (1 << 33) for r in clause_rows)
 
         pairs_present = [p for p in all_pairs if stats.get(p)]
         if not pairs_present:
-            return spark.createDataFrame([], "qid string, docid long, score float, rn int")
-        terms_present = sorted({t for _f, t in pairs_present})
+            return spark.createDataFrame(
+                [], ("qidx int" if _raw else "qid string")
+                    + ", docid long, score float, rn int")
+        clause_df = spark.createDataFrame(pd.DataFrame(
+            clause_rows,
+            columns=["qidx", "field", "term", "weight", "flags"]).astype(
+            {"qidx": "int32", "weight": "float32", "flags": "int64"}))
         fields_present = sorted({f for f, _t in pairs_present})
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms_present})
-        matches = self.postings.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms_present)
-            & F.col("field").isin(fields_present)
-        ).join(F.broadcast(clause_df), ["field", "term"])
+        clause_cols = (["qidx", "weight"] if unconstrained
+                       else ["qidx", "weight", "flags"])
+        # the broadcast hash join IS the term filter: a non-matching
+        # row costs one int64 hash probe, the same as an InSet
+        # pre-filter would — so no pre-filter, and the scan reads no
+        # string columns at all (single-field index: `field` pruned).
+        src = self._batch_table()
+        scan_cols = (["tkey", "docid", "tf", "norm"]
+                     if len(fields_present) == 1
+                     else ["tkey", "docid", "tf", "norm", "field"])
+        matches = src.select(*scan_cols).join(
+            F.broadcast(
+                clause_df.withColumn("tkey", F.xxhash64("field", "term"))
+                .select("tkey", *clause_cols)),
+            "tkey")
 
         # JVM-side float32 BM25 partial — NO Python in the hot path.
         # The 256-entry norm cache per field (BM25Similarity.java:219)
-        # becomes a broadcast (field, norm) -> cache join; the float
+        # is an array-literal lookup (see _norm_cache_col); the float
         # discipline of BM25Scorer.partial is preserved bit-exactly:
         # freq/(freq+cache) divides in double and casts to float
-        # (double->float double-rounding is exact for float operands:
-        # 2*24+2 <= 53), then multiplies by the float weight in float.
-        norm_rows = [
-            (f, i, float(self.scorers[f].cache[i]))
-            for f in fields_present for i in range(256)
-        ]
-        norm_df = spark.createDataFrame(norm_rows,
-                                        "field string, _nb int, cache float")
-        matches = matches.withColumn(
-            "_nb", F.col("norm").cast("int").bitwiseAND(F.lit(255))
-        ).join(F.broadcast(norm_df), ["field", "_nb"])
+        # (exact: a float32 cache value is exact in double, and
+        # double->float rounding of a double quotient of floats is the
+        # correctly-rounded float quotient), then multiplies by the
+        # float weight in float.
+        nb = F.col("norm").cast("int").bitwiseAND(F.lit(255)) + 1
+        cache_d = F.element_at(self._norm_cache_col(fields_present[0]), nb)
+        for f in fields_present[1:]:
+            cache_d = F.when(F.col("field") == f,
+                             F.element_at(self._norm_cache_col(f), nb)
+                             ).otherwise(cache_d)
         tfd = F.col("tf").cast("double")
-        tf_part = (tfd / (tfd + F.col("cache").cast("double"))).cast("float")
+        tf_part = (tfd / (tfd + cache_d)).cast("float")
         scored = matches.select(
-            "qidx", "docid", "flags",
+            *clause_cols[:1], "docid", *clause_cols[2:],
             (F.col("weight") * tf_part).cast("float").alias("s"),
         )
-        agg = scored.groupBy("qidx", "docid").agg(
-            F.sum(F.col("s").cast("double")).alias("_s"),
-            F.sum("flags").alias("_flags"),
-        )
-        mask = F.lit((1 << 11) - 1).cast("long")
-        fl = F.col("_flags")
-        kept = (
-            self._live(agg).join(F.broadcast(req_df), "qidx")
-            .where(
-                (fl.bitwiseAND(mask) == F.col("q_n_must"))
-                & (F.shiftrightunsigned(fl, 22).bitwiseAND(mask)
-                   == F.col("q_n_filter"))
-                & (F.shiftrightunsigned(fl, 33) == 0)
-                & (F.shiftrightunsigned(fl, 11).bitwiseAND(mask)
-                   >= F.col("q_should_need"))
+        # -- per-partition exact top-k collector ------------------------
+        # The declarative twin (groupBy + window below) hash-aggregates
+        # and comparison-sorts every scored row; profiled on this
+        # workload the 50M-row agg merges <0.1% of rows (multi-term
+        # docs are rare) and the sort dominates — both DRAM-bound, ~2.6x
+        # on 4x cores. Lucene instead streams postings through a
+        # 10-element heap per query (TopScoreDocCollector.java). The
+        # Spark-native rendering: docid partitioning makes every
+        # (query, doc) group partition-local, so ONE mapInPandas pass
+        # (numpy radix sort + reduceat group sums + packed-key top-k,
+        # all O(n)) emits <= queries*k candidate rows per partition;
+        # the tiny global window merge below stays exact. Float
+        # discipline unchanged: float64 clause sums, one float32 cast
+        # (same as BM25Scorer / the oracle).
+        doc_bits = max(1, int(self.doc_count).bit_length())
+        use_collector = (self.batch_collector and doc_bits + 19 <= 62
+                         and len(qid_list) < (1 << 19))
+        if use_collector:
+            kept = self._collect_topk(
+                self._live(scored), req_rows, len(qid_list), k,
+                unconstrained, doc_bits)
+        elif unconstrained:
+            agg = scored.groupBy("qidx", "docid").agg(
+                F.sum(F.col("s").cast("double")).alias("_s"))
+            kept = self._live(agg).select(
+                "qidx", "docid", F.col("_s").cast("float").alias("score"))
+        else:
+            req_df = spark.createDataFrame(pd.DataFrame(
+                req_rows, columns=["qidx", "q_n_must", "q_n_filter",
+                                   "q_should_need"]).astype("int32"))
+            agg = scored.groupBy("qidx", "docid").agg(
+                F.sum(F.col("s").cast("double")).alias("_s"),
+                F.sum("flags").alias("_flags"),
             )
-            .select("qidx", "docid", F.col("_s").cast("float").alias("score"))
-        )
+            mask = F.lit((1 << 11) - 1).cast("long")
+            fl = F.col("_flags")
+            kept = (
+                self._live(agg).join(F.broadcast(req_df), "qidx")
+                .where(
+                    (fl.bitwiseAND(mask) == F.col("q_n_must"))
+                    & (F.shiftrightunsigned(fl, 22).bitwiseAND(mask)
+                       == F.col("q_n_filter"))
+                    & (F.shiftrightunsigned(fl, 33) == 0)
+                    & (F.shiftrightunsigned(fl, 11).bitwiseAND(mask)
+                       >= F.col("q_should_need"))
+                )
+                .select("qidx", "docid", F.col("_s").cast("float").alias("score"))
+            )
         w = Window.partitionBy("qidx").orderBy(F.desc("score"), F.asc("docid"))
-        qid_lookup = F.array(*[F.lit(q) for q in qid_list])
-        return (
+        topk = (
             kept.select(
                 "qidx", "docid", "score", F.row_number().over(w).alias("rn")
             )
             .where(F.col("rn") <= k)
-            .select(
-                F.element_at(qid_lookup, F.col("qidx") + 1).alias("qid"),
-                "docid", "score", "rn",
-            )
         )
+        if _raw:  # internal: caller maps qidx -> qid driver-side
+            return topk
+        qmap_df = spark.createDataFrame(pd.DataFrame(
+            {"qidx": pd.array(range(len(qid_list)), dtype="int32"),
+             "qid": qid_list}))
+        return (topk.join(F.broadcast(qmap_df), "qidx")
+                .select("qid", "docid", "score", "rn"))
 
     def search_many(self, queries: dict[str, Query], k: int = 10) -> dict[str, list[TopDoc]]:
-        rows = self.search_many_df(queries, k).collect()
+        rows = self.search_many_df(queries, k, _raw=True).collect()
+        qid_list = list(queries)
         out: dict[str, list[TopDoc]] = {qid: [] for qid in queries}
-        for r in sorted(rows, key=lambda r: (r["qid"], r["rn"])):
-            out[r["qid"]].append(TopDoc(r["docid"], r["score"]))
+        for r in sorted(rows, key=lambda r: (r["qidx"], r["rn"])):
+            out[qid_list[r["qidx"]]].append(TopDoc(r["docid"], r["score"]))
         return out
 
     def search_after(self, q: Query, after: TopDoc, k: int = 10) -> list[TopDoc]:

@@ -7,11 +7,13 @@ two-cluster-size protocol per driver instruction).
 Each parallelism level runs in its OWN subprocess (fresh JVM — Spark
 can't change master in-process), measuring:
   * index-build throughput (docs/sec), codec v2 segment build
-  * batched BM25 query throughput (queries/sec), one plan per batch
+  * batched BM25 query throughput (queries/sec): block-max WAND over
+    the v2 compressed index, whole batch in ONE job (the north-star
+    query path), in-child median of 5 runs after 2 warmups
 
 Prints one JSON object and appends a row to BENCH_SCALING.json.
 
-Usage:  python scripts/bench_scaling.py [--docs 60000] [--queries 64]
+Usage:  python scripts/bench_scaling.py [--docs 60000] [--queries 2048]
         [--low 8] [--high 32] [--runs 1]
 """
 
@@ -60,7 +62,6 @@ def child(cpus: int, docs: int, queries: int) -> None:
     from lucene_solr_spark.corpus import corpus_df
     from lucene_solr_spark.index import build_index
     from lucene_solr_spark.index.segments import build_segment_index
-    from lucene_solr_spark.search.executor import IndexSearcher
     from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
 
     import shutil
@@ -69,7 +70,11 @@ def child(cpus: int, docs: int, queries: int) -> None:
     corpus = corpus_df(spark, docs, partitions=cpus * 2)
     corpus.persist().count()  # materialize input OUTSIDE the timed region
 
-    dps = max(docs // (cpus * 2), 512)
+    # level-INDEPENDENT segment layout (64 segments): both parallelism
+    # levels must query the identical index, and the build must produce
+    # the same physical output at both levels for the throughput
+    # comparison to be apples-to-apples
+    dps = max(docs // 64, 512)
     # WARM-UP build (untimed): first-build costs are one-off JVM/JIT/
     # worker-pool warmup that a long-lived executor pays once per
     # process lifetime; with the warm daemon successive builds are
@@ -83,15 +88,15 @@ def child(cpus: int, docs: int, queries: int) -> None:
 
     root = tempfile.mkdtemp(prefix=f"lss_scale_{cpus}_")
     t0 = time.time()
-    build_segment_index(corpus, root, docs_per_segment=dps,
-                        segments_per_chunk=10**9)  # one chunk: pure throughput
+    seg_idx = build_segment_index(corpus, root, docs_per_segment=dps,
+                                  segments_per_chunk=10**9)  # one chunk: pure throughput
     build_sec = time.time() - t0
     out["build_sec"] = round(build_sec, 2)
     out["build_docs_per_sec"] = round(docs / build_sec, 1)
 
-    # v1 term-bucketed index for the batched query path — quarter-size
-    # corpus (the query metric needs a realistic index, not the full
-    # scaling input; v2 above is the build-throughput metric)
+    # v1 term-bucketed index build (quarter-size corpus): kept as a
+    # secondary build-scaling metric — round 1 saw NEGATIVE v1 scaling
+    # (8->32 cores got slower); this row evidences the fix holds
     root1 = tempfile.mkdtemp(prefix=f"lss_scale1_{cpus}_")
     q_corpus = corpus.where("pmod(crc32(path), 4) = 1")
     n_q = q_corpus.count()
@@ -100,14 +105,21 @@ def child(cpus: int, docs: int, queries: int) -> None:
     out["build_v1_sec"] = round(time.time() - t0, 2)
     out["v1_docs"] = int(n_q)
 
-    searcher = IndexSearcher(tables, cache=True)
-    # stratified query-term sample WITHOUT collecting the whole dict
-    # (at 200k docs the dictionary is millions of terms — a full
-    # orderBy.collect is a single-threaded driver serialization wall)
+    # -- query scaling metric: batched block-max WAND over the v2
+    # compressed index just built (the north-star query path:
+    # "block-max WAND top-k evaluation over the compressed postings").
+    # One job evaluates the whole batch; leaf tasks are
+    # (segment-bucket x batch) pure-numpy decode/score work. 128
+    # output partitions at BOTH levels keep per-task segment counts
+    # balanced (level-independent task shapes).
     from pyspark.sql import functions as F
 
-    hi_rows = searcher.dict.orderBy(F.desc("df"), "term").limit(512).collect()
-    mid_rows = (searcher.dict.where(F.col("df").between(3, 50))
+    from lucene_solr_spark.search.wand import SegmentSearcher
+
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    seg_searcher = SegmentSearcher(seg_idx, cache=True)
+    hi_rows = seg_searcher.dict.orderBy(F.desc("df"), "term").limit(512).collect()
+    mid_rows = (seg_searcher.dict.where(F.col("df").between(3, 50))
                 .orderBy("term").limit(512).collect())
     hi = [r["term"] for r in hi_rows]
     mid = [r["term"] for r in mid_rows] or hi
@@ -116,12 +128,18 @@ def child(cpus: int, docs: int, queries: int) -> None:
         a, b = mid[(37 * i) % len(mid)], hi[(53 * i) % len(hi)]
         qs[f"q{i}"] = (TermQuery(b) if i % 3 == 0
                        else BooleanQuery.of(should=[TermQuery(a), TermQuery(b)]))
-    searcher.search_many({"w": qs["q0"]}, 10)  # warm the plan path
-    t0 = time.time()
-    searcher.search_many(qs, 10)
-    qsec = time.time() - t0
+    for _ in range(2):  # steady-state: worker pools + arenas + caches warm
+        seg_searcher.search_many(qs, 10)
+    qsecs = []
+    for _ in range(5):
+        t0 = time.time()
+        seg_searcher.search_many(qs, 10)
+        qsecs.append(time.time() - t0)
+    qsec = statistics.median(qsecs)
     out["query_sec"] = round(qsec, 2)
     out["query_qps"] = round(queries / qsec, 2)
+    out["query_runs"] = [round(x, 2) for x in qsecs]
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
     import shutil
 
@@ -153,7 +171,7 @@ def run_level(cpus: int, docs: int, queries: int, runs: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=int(os.environ.get("LSS_SCALE_DOCS", "60000")))
-    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--runs", type=int, default=1)

@@ -101,6 +101,34 @@ def test_wand_ab_identical(built):
             (d.docid, np.float32(d.score)) for d in b], k
 
 
+def test_search_many_identical_to_solo(built):
+    """Batched WAND (one job, shared decodes) must be rank/score-
+    identical to per-query search for every query in the batch."""
+    _, searcher, oracle, _ = built
+    terms = _terms_by_df(oracle, 6)
+    batch = {
+        "t0": TermQuery(terms[0]),
+        "t_hi": TermQuery(terms[-1]),
+        "dis2": BooleanQuery.of(should=[TermQuery(terms[1]),
+                                        TermQuery(terms[-1])]),
+        "dis4": BooleanQuery.of(should=[TermQuery(t) for t in terms[:4]]),
+        "msm2": BooleanQuery.of(should=[TermQuery(t) for t in terms[:4]],
+                                minimum_should_match=2),
+        "boost": BooleanQuery.of(should=[TermQuery(terms[2], boost=2.5),
+                                         TermQuery(terms[-1])]),
+        "absent": TermQuery("zz_not_a_term"),
+    }
+    got = searcher.search_many(batch, 12)
+    for qid, q in batch.items():
+        exp = searcher.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+        if qid != "absent":
+            oexp = oracle.search(q, 12)
+            assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+                (d.docid, np.float32(d.score)) for d in oexp], qid
+
+
 def test_msm_disjunction(built):
     _, searcher, oracle, _ = built
     terms = _terms_by_df(oracle, 4)

@@ -172,12 +172,18 @@ def test_search_many_rank_identical(built):
         "q6": BooleanQuery.of(must=[TermQuery(hi)], filter=[TermQuery(mid)]),
         "q7": TermQuery("zz_not_a_term"),
     }
-    got = searcher.search_many(batch, 12)
-    for qid, q in batch.items():
-        exp = oracle.search(q, 12)
-        assert [(h.docid, np.float32(h.score)) for h in got[qid]] == [
-            (h.docid, np.float32(h.score)) for h in exp
-        ], qid
+    # both batched strategies must be rank/score-identical to the
+    # oracle: the declarative groupBy+window plan (default) and the
+    # partition-local numpy collector (mapInArrow)
+    for collector in (False, True):
+        searcher.batch_collector = collector
+        got = searcher.search_many(batch, 12)
+        for qid, q in batch.items():
+            exp = oracle.search(q, 12)
+            assert [(h.docid, np.float32(h.score)) for h in got[qid]] == [
+                (h.docid, np.float32(h.score)) for h in exp
+            ], (qid, collector)
+    searcher.batch_collector = False
 
 
 def test_search_after(built):
