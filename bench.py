@@ -141,11 +141,24 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
         timings["bm25_closed_loop"] = round(qsec, 3)
         extras["bm25_closed_loop_qps"] = round(n_loop / qsec, 2)
         # batched: the whole query set in ONE plan (throughput path)
+        batch = {f"q{i}": q for i, q in enumerate(qs)}
+        searcher.search_many(dict(list(batch.items())[:4]), 10)  # warm
         t0 = time.time()
-        searcher.search_many({f"q{i}": q for i, q in enumerate(qs)}, 10)
+        searcher.search_many(batch, 10)
         bsec = time.time() - t0
         timings["bm25_batch"] = round(bsec, 3)
         extras["bm25_batch_qps"] = round(N_QUERIES / bsec, 2)
+        # batched WAND over the compressed index (north-star path):
+        # SHOULD-only subset (SegmentSearcher's algebra)
+        wbatch = {qid: q for qid, q in batch.items()
+                  if isinstance(q, TermQuery)
+                  or all(c.occur == "SHOULD" for c in q.clauses)}
+        wand.search_many(dict(list(wbatch.items())[:4]), 10)  # warm
+        t0 = time.time()
+        wand.search_many(wbatch, 10)
+        wsec = time.time() - t0
+        timings["wand_batch"] = round(wsec, 3)
+        extras["wand_batch_qps"] = round(len(wbatch) / wsec, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)

@@ -1133,3 +1133,70 @@ def facet_relatedness(spark, sf_dir):
                     F.round(F.col("fg_c") / F.col("f").cast("double")
                             - F.col("bg_c") / F.col("b").cast("double"),
                             6).alias("relatedness")))
+
+
+@register(
+    "stream_expr_rollup",
+    """
+    SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id HAVING count(*) > 5
+    """,
+)
+def stream_expr_rollup(spark, sf_dir):
+    """Solr streaming expression, compiled by the expression engine
+    (streaming/expressions.py): search -> rollup -> having -> select,
+    the io/stream decorator pipeline (SearchStream, RollupStream,
+    HavingStream, SelectStream — solr/solrj/.../io/stream/*.java) with
+    io/eval evaluators (gt, round). The expression STRING is the
+    tested surface; it compiles to one Catalyst plan (scan+filter ->
+    groupBy agg -> having filter -> projection), so pushdown/partial
+    aggregation come for free where Solr streams tuples through
+    decorator iterators."""
+    from ..streaming.expressions import StreamFactory
+
+    factory = StreamFactory({"events": load_table(spark, sf_dir, "events")})
+    return factory.compile(
+        'select('
+        'having('
+        'rollup(search(events, q="event_type:click", fl="user_id,value"), '
+        'over="user_id", sum(value), count(*)), '
+        'gt(count(*), 5)), '
+        'user_id, "round(sum(value), 4) as sum_value", "count(*) as n")')
+
+
+@register(
+    "drill_sideways",
+    """
+    SELECT 'o_orderstatus' AS dim, o_orderstatus AS bucket, count(*) AS cnt
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'o_orderpriority' AS dim, o_orderpriority AS bucket, count(*) AS cnt
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def drill_sideways(spark, sf_dir):
+    """DrillSideways faceting (facet/DrillSideways.java:48-66 javadoc
+    semantics): for a drill-down on {status='O', priority='1-URGENT'},
+    each dimension's facet counts are computed with THAT dimension's
+    filter removed and every other dimension's filter kept — so the UI
+    can show the alternatives of each drilled dimension. One
+    filtered groupBy per dimension (both filters push to the scan;
+    Lucene's single-pass DrillSidewaysScorer is an IO optimization of
+    the same result set)."""
+    o = load_table(spark, sf_dir, "orders")
+    by_status = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("o_orderstatus").alias("dim"),
+                F.col("o_orderstatus").alias("bucket"), "cnt"))
+    by_prio = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("o_orderpriority").alias("dim"),
+                F.col("o_orderpriority").alias("bucket"), "cnt"))
+    return by_status.unionByName(by_prio)

@@ -1,0 +1,133 @@
+"""Solr function queries over the index (ValueSourceParser registry).
+
+Re-expresses the commonly used core of Solr's function-query surface
+(solr/core/src/java/org/apache/solr/search/ValueSourceParser.java,
+which registers ~101 parsers; lucene/queries/src/java/org/apache/
+lucene/queries/function/valuesource/*.java) as a compiler from the
+Solr function syntax — ``sum(termfreq(content,'spark'), log(docfreq(
+content,'spark')))`` — to a per-document Spark plan.
+
+Index-aware sources:
+  termfreq(f,t)   TermFreqValueSource      postings tf left-join
+  docfreq(f,t)    DocFreqValueSource       dict scalar (literal)
+  idf(f,t)        IDFValueSource           scorer idf (float32 literal)
+  norm(f)         NormValueSource          per-doc norm byte
+  dl(f)           (norms decode role)      per-doc Lucene length (dl)
+  numdocs()       NumDocsValueSource       doc_count literal
+  field(x) / x    FieldCacheSource         docs-table column
+
+Pure functions: sum sub product div min max abs log sqrt pow if exists
+(the io/eval twins; ValueSourceParser registers the same names).
+
+A FunctionQuery matches ALL documents, scoring each by the function
+(queries/function/FunctionQuery.java:71-116 AllScorer) — rendered as
+the docs table left-joined with each termfreq leaf's postings
+projection, evaluated as one Catalyst projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..streaming.expressions import ExprNode, _NUM, parse_expression
+
+
+class FunctionQueryCompiler:
+    """Compiles one function-query string against an IndexSearcher."""
+
+    def __init__(self, searcher):
+        self.searcher = searcher
+
+    def dataframe(self, expr: str, alias: str = "score") -> DataFrame:
+        """DataFrame(docid, <alias>) over ALL live docs (FunctionQuery
+        AllScorer semantics)."""
+        node = (parse_expression(expr) if "(" in expr else expr)
+        self._tf_cols: dict[tuple[str, str], str] = {}
+        col = self._compile(node)
+        df = self.searcher.docs.select("docid", "dl", "norm")
+        for (field, term), name in self._tf_cols.items():
+            sub = (self.searcher._postings_for([term], field=field)
+                   .select("docid", F.col("tf").alias(name)))
+            df = df.join(sub, "docid", "left")
+        if self.searcher.deletes is not None:
+            df = df.join(F.broadcast(self.searcher.deletes),
+                         "docid", "left_anti")
+        return df.select("docid", col.alias(alias))
+
+    # -- compilation ----------------------------------------------------
+    def _compile(self, node):
+        if isinstance(node, str):
+            t = node.strip("'\"")
+            if _NUM.match(t):
+                return F.lit(float(t) if "." in t else int(t))
+            return F.col(t)  # field(x) shorthand / docs-table column
+        assert isinstance(node, ExprNode)
+        name, args = node.name, node.args
+        if name == "termfreq":
+            f, t = self._ft(args)
+            cname = self._tf_cols.setdefault(
+                (f, t), f"_tf_{len(self._tf_cols)}")
+            return F.coalesce(F.col(cname), F.lit(0))
+        if name == "docfreq":
+            f, t = self._ft(args)
+            return F.lit(self.searcher.term_stats({(f, t)}).get((f, t), 0))
+        if name == "idf":
+            f, t = self._ft(args)
+            df_ = self.searcher.term_stats({(f, t)}).get((f, t), 0)
+            scorer = self.searcher.field_scorer(f)
+            return F.lit(float(scorer.idf(df_)) if df_ else 0.0)
+        if name == "norm":
+            return F.col("norm")
+        if name == "dl":
+            return F.col("dl")
+        if name == "numdocs":
+            return F.lit(self.searcher.doc_count)
+        if name == "field":
+            return F.col(str(args[0]))
+        if name == "exists":
+            return self._compile(args[0]).isNotNull()
+        if name == "if":
+            c, a, b = [self._compile(x) for x in args]
+            return F.when(c.cast("boolean"), a).otherwise(b)
+        cols = [self._compile(a) for a in args]
+        if name == "sum":
+            return _fold(cols, lambda x, y: x + y)
+        if name == "sub":
+            return cols[0] - cols[1]
+        if name in ("product", "mul"):
+            return _fold(cols, lambda x, y: x * y)
+        if name == "div":
+            return cols[0] / cols[1]
+        if name == "min":
+            return F.least(*cols)
+        if name == "max":
+            return F.greatest(*cols)
+        if name == "abs":
+            return F.abs(cols[0])
+        if name == "log":
+            return F.log10(cols[0])  # Solr log() is base-10
+        if name == "ln":
+            return F.log(cols[0])
+        if name == "sqrt":
+            return F.sqrt(cols[0])
+        if name == "pow":
+            return F.pow(cols[0], cols[1])
+        if name == "scale":
+            raise ValueError("scale() needs a two-pass min/max — use "
+                             "dataframe() output with an agg join")
+        raise ValueError(f"unknown function-query source {name}")
+
+    @staticmethod
+    def _ft(args):
+        if len(args) == 2:
+            f, t = args
+        else:
+            f, t = "content", args[0]
+        return str(f).strip("'\""), str(t).strip("'\"")
+
+
+def _fold(cols, op):
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out

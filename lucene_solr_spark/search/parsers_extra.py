@@ -33,6 +33,8 @@ from ..analysis.tokenizer import StandardAnalyzer
 from .queries import (
     BooleanClause,
     BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -42,6 +44,7 @@ from .queries import (
     PrefixQuery,
     Query,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
 )
 
@@ -269,3 +272,264 @@ class ComplexPhraseQueryParser:
                 return [PrefixQuery(body[:-1], field=f)]
             return [WildcardQuery(body, field=f)]
         return self.analyzer.analyze(w)[0]
+
+
+class SurroundQueryParser:
+    """Surround query language (queryparser/surround/parser/
+    QueryParser.jj): distance operators ``W`` (ordered) / ``N``
+    (unordered) in infix (``a W b``) and prefix (``3W(a, b)``) form,
+    boolean ``AND``/``OR``/``NOT``, parentheses, trailing-``*``
+    prefixes and ``?``/``*`` wildcards, ``^boost``.
+
+    Mapping to this engine (the reference compiles to SpanQuery —
+    surround/query/DistanceQuery.java:79-91 builds spanNear(slop =
+    opDistance - 1, inOrder = W)):
+
+      * ``a W b … W z`` / ``nW(...)``  → PhraseQuery(slop=(n-1)) —
+        slop 0 is exact ordered adjacency, identical to spanNear
+        inOrder; for n > 1 the engine's SloppyPhraseMatcher slop
+        budget stands in for the ordered-near slop (orderedness is
+        enforced only up to the transposition cost, a documented
+        approximation of the span semantics).
+      * ``nN(...)`` → PhraseQuery(slop=n) — unordered near; the sloppy
+        budget covers the reorder cost like spanNear(inOrder=false).
+      * wildcard/prefix elements inside a distance op expand against
+        the dictionary (``expand`` callable, as in
+        ComplexPhraseQueryParser) into MultiPhraseQuery slots —
+        surround/query/SrndTruncQuery.java's role.
+      * AND/OR/NOT → BooleanQuery (surround/query/AndQuery.java,
+        OrQuery.java, NotQuery.java).
+    """
+
+    _TOK = re.compile(
+        r"""\s*(
+            \(|\)|,
+          | \d+[WwNn]\b
+          | [Ww]\b | [Nn]\b
+          | [Aa][Nn][Dd]\b | [Oo][Rr]\b | [Nn][Oo][Tt]\b
+          | \^\d+(?:\.\d+)?
+          | [^\s(),^]+
+        )""",
+        re.VERBOSE,
+    )
+
+    def __init__(self, expand: Callable[[MultiTermQuery], Iterable[str]] | None = None,
+                 default_field: str = "content"):
+        self.expand = expand
+        self.default_field = default_field
+
+    def parse(self, s: str) -> Query:
+        toks = self._TOK.findall(s)
+        if not toks:
+            return MatchAllDocsQuery()
+        q, i = self._or_expr(toks, 0)
+        if i != len(toks):
+            raise ValueError(f"trailing tokens: {toks[i:]}")
+        return q
+
+    # or := and (OR and)* ; and := not (AND not)* ; not := dist (NOT dist)*
+    def _or_expr(self, toks, i):
+        q, i = self._and_expr(toks, i)
+        shoulds = [q]
+        while i < len(toks) and toks[i].upper() == "OR":
+            r, i = self._and_expr(toks, i + 1)
+            shoulds.append(r)
+        return (shoulds[0] if len(shoulds) == 1
+                else BooleanQuery.of(should=shoulds)), i
+
+    def _and_expr(self, toks, i):
+        q, i = self._not_expr(toks, i)
+        musts = [q]
+        while i < len(toks) and toks[i].upper() == "AND":
+            r, i = self._not_expr(toks, i + 1)
+            musts.append(r)
+        return (musts[0] if len(musts) == 1
+                else BooleanQuery.of(must=musts)), i
+
+    def _not_expr(self, toks, i):
+        q, i = self._dist_expr(toks, i)
+        while i < len(toks) and toks[i].upper() == "NOT":
+            r, i = self._dist_expr(toks, i + 1)
+            q = BooleanQuery.of(must=[q], must_not=[r])
+        return q, i
+
+    def _dist_expr(self, toks, i):
+        """Infix W/N chains: a W b W c (distance 1)."""
+        q, i = self._primary(toks, i)
+        elems, ops = [q], []
+        while i < len(toks) and toks[i].upper() in ("W", "N"):
+            ops.append(toks[i].upper())
+            r, i = self._primary(toks, i + 1)
+            elems.append(r)
+        if not ops:
+            return q, i
+        ordered = all(o == "W" for o in ops)
+        return self._near(elems, 1, ordered), i
+
+    def _primary(self, toks, i):
+        if i >= len(toks):
+            raise ValueError("unexpected end of query")
+        t = toks[i]
+        m = re.match(r"^(\d+)([WwNn])$", t)
+        if m:  # prefix distance op: 3W(a, b[, c])
+            n, op = int(m.group(1)), m.group(2).upper()
+            if i + 1 >= len(toks) or toks[i + 1] != "(":
+                raise ValueError(f"expected ( after {t}")
+            elems, i = self._list(toks, i + 2)
+            return self._boosted(self._near(elems, n, op == "W"), toks, i)
+        if t == "(":
+            q, i = self._or_expr(toks, i + 1)
+            if i >= len(toks) or toks[i] != ")":
+                raise ValueError("unbalanced (")
+            return self._boosted(q, toks, i + 1)
+        return self._boosted(self._atom(t), toks, i + 1)
+
+    def _list(self, toks, i):
+        elems = []
+        while True:
+            q, i = self._or_expr(toks, i)
+            elems.append(q)
+            if i < len(toks) and toks[i] == ",":
+                i += 1
+                continue
+            if i < len(toks) and toks[i] == ")":
+                return elems, i + 1
+            raise ValueError("expected , or ) in distance list")
+
+    def _boosted(self, q: Query, toks, i):
+        if i < len(toks) and toks[i].startswith("^"):
+            import dataclasses
+
+            q = dataclasses.replace(q, boost=q.boost * float(toks[i][1:]))
+            i += 1
+        return q, i
+
+    def _atom(self, t: str) -> Query:
+        f = self.default_field
+        w = t.lower()
+        if "*" in w or "?" in w:
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                return PrefixQuery(w[:-1], field=f)
+            return WildcardQuery(w, field=f)
+        return TermQuery(w, field=f)
+
+    def _near(self, elems: list[Query], n: int, ordered: bool) -> Query:
+        """Distance op over parsed elements → (Multi)PhraseQuery.
+        slop = n-1 for W (spanNear inOrder slop), n for N (reorder
+        budget included)."""
+        slop = (n - 1) if ordered else n
+        slots: list[tuple[str, ...]] = []
+        for e in elems:
+            if isinstance(e, TermQuery):
+                slots.append((e.term,))
+            elif isinstance(e, MultiTermQuery):
+                if self.expand is None:
+                    raise ValueError(
+                        "wildcard inside a distance op needs an expand "
+                        "callable (dictionary access)")
+                alts = tuple(dict.fromkeys(self.expand(e)))
+                if not alts:
+                    return MatchNoDocsQuery()
+                slots.append(alts)
+            else:
+                raise ValueError(
+                    f"distance op over {type(e).__name__} unsupported")
+        if all(len(s) == 1 for s in slots):
+            return PhraseQuery(tuple(s[0] for s in slots),
+                               tuple(range(len(slots))), slop,
+                               field=self.default_field)
+        return MultiPhraseQuery(tuple(slots), tuple(range(len(slots))),
+                                slop, field=self.default_field)
+
+
+class XmlQueryParser:
+    """Lucene XML query syntax (queryparser/xml/CoreParser.java and
+    its builders/*.java), over this engine's query algebra.
+
+    Supported elements (the core builder set): TermQuery,
+    TermsQuery (analyzed, OR semantics — TermsQueryBuilder.java),
+    BooleanQuery/Clause (occurs = must | should | mustNot | filter),
+    DisjunctionMaxQuery (tieBreaker), MatchAllDocsQuery,
+    ConstantScoreQuery, RangeQuery (TermRangeQuery via
+    RangeQueryBuilder.java), PhraseQuery (analyzed text), UserQuery
+    (delegates to the classic QueryParser — UserInputQueryBuilder.
+    java). ``boost`` attributes apply everywhere. Unknown elements
+    raise ValueError (ParserException role).
+    """
+
+    def __init__(self, classic_parser=None,
+                 analyzer: StandardAnalyzer | None = None,
+                 default_field: str = "content"):
+        self.classic = classic_parser
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.default_field = default_field
+
+    def parse(self, xml: str) -> Query:
+        import xml.etree.ElementTree as ET
+
+        return self._build(ET.fromstring(xml))
+
+    def _build(self, el) -> Query:
+        import dataclasses
+
+        tag = el.tag
+        f = el.get("fieldName", self.default_field)
+        boost = float(el.get("boost", "1.0"))
+
+        def b(q: Query) -> Query:
+            return dataclasses.replace(q, boost=q.boost * boost) \
+                if boost != 1.0 else q
+
+        if tag == "TermQuery":
+            return b(TermQuery((el.text or "").strip().lower(), field=f))
+        if tag == "TermsQuery":
+            terms = self.analyzer.analyze(el.text or "")[0]
+            if not terms:
+                return MatchNoDocsQuery()
+            return b(BooleanQuery.of(
+                should=[TermQuery(t, field=f) for t in terms]))
+        if tag == "PhraseQuery":
+            terms, positions = self.analyzer.analyze(el.text or "")
+            if not terms:
+                return MatchNoDocsQuery()
+            return b(PhraseQuery(tuple(terms), tuple(positions),
+                                 int(el.get("slop", "0")), field=f))
+        if tag == "BooleanQuery":
+            occur_map = {"must": "MUST", "should": "SHOULD",
+                         "mustNot": "MUST_NOT", "filter": "FILTER"}
+            clauses = []
+            for cl in el:
+                if cl.tag != "Clause":
+                    raise ValueError(f"BooleanQuery child {cl.tag}")
+                occ = occur_map.get(cl.get("occurs", "should"))
+                if occ is None:
+                    raise ValueError(f"bad occurs {cl.get('occurs')}")
+                subs = list(cl)
+                if len(subs) != 1:
+                    raise ValueError("Clause needs exactly one child")
+                clauses.append(BooleanClause(self._build(subs[0]), occ))
+            return b(BooleanQuery(
+                tuple(clauses),
+                int(el.get("minimumNumberShouldMatch", "0"))))
+        if tag == "DisjunctionMaxQuery":
+            return b(DisjunctionMaxQuery(
+                tuple(self._build(c) for c in el),
+                tie_breaker=float(el.get("tieBreaker", "0.0"))))
+        if tag == "MatchAllDocsQuery":
+            return MatchAllDocsQuery()
+        if tag == "ConstantScoreQuery":
+            subs = list(el)
+            if len(subs) != 1:
+                raise ValueError("ConstantScoreQuery needs one child")
+            return b(ConstantScoreQuery(self._build(subs[0])))
+        if tag == "RangeQuery":
+            return b(TermRangeQuery(
+                lower=el.get("lowerTerm"), upper=el.get("upperTerm"),
+                include_lower=el.get("includeLower", "true") == "true",
+                include_upper=el.get("includeUpper", "true") == "true",
+                field=f))
+        if tag == "UserQuery":
+            if self.classic is None:
+                raise ValueError("UserQuery needs a classic_parser")
+            return b(self.classic.parse((el.text or "").strip()))
+        raise ValueError(f"unsupported query element <{tag}>")

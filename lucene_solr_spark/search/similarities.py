@@ -74,7 +74,37 @@ class ClassicScorer:
         return (raw * n).astype(np.float32)
 
 
-SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer}
+class BooleanScorer:
+    """BooleanSimilarity (search/similarities/BooleanSimilarity.java):
+    every matching (term, doc) scores exactly the query boost — no tf,
+    no idf, no length norm (the javadoc's "simple similarity for
+    matching-only scoring"). Fits the 4-hook protocol exactly: weight
+    is the boost, partial broadcasts it."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int = 0,
+                 k1: float = 0.0, b: float = 0.0):
+        self.doc_count = int(doc_count)
+        self.sum_ttf = int(sum_total_term_freq)
+        self.cache = np.zeros(256, dtype=np.float32)  # unused (parity)
+
+    def idf(self, doc_freq):
+        return np.float32(np.ones_like(np.asarray(doc_freq, dtype=np.float32)))
+
+    def weight(self, doc_freq: int, boost: float = 1.0) -> np.float32:
+        return np.float32(boost)
+
+    def weight_from_idf_sum(self, idf_f32, boost: float = 1.0) -> np.float32:
+        return np.float32(boost)
+
+    def partial(self, freq, norm_byte, weight_f32) -> np.ndarray:
+        w = np.asarray(weight_f32, dtype=np.float32)
+        return np.broadcast_to(
+            w, np.asarray(freq).shape).astype(np.float32) \
+            if w.ndim == 0 else w.astype(np.float32)
+
+
+SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
+                "boolean": BooleanScorer}
 
 
 def make_scorer(name: str, doc_count: int, sum_ttf: int):

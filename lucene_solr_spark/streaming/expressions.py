@@ -1,0 +1,363 @@
+"""Solr streaming expressions compiled to Spark DataFrames.
+
+Re-expresses the core of Solr's streaming-expression language
+(solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/*.java and
+eval/*.java): the expression text parses into the same
+function-tree shape StreamExpressionParser produces
+(io/stream/expr/StreamExpressionParser.java), and each stream function
+compiles to the DataFrame operator with the same semantics, evaluated
+lazily by Catalyst instead of tuple-at-a-time iterators:
+
+  stream source     reference (io/stream/)         Spark rendering
+  -----------------------------------------------------------------
+  search(...)       SearchStream / CloudSolrStream  table scan (+ fq
+                                                    filters, fl
+                                                    projection, sort)
+  -----------------------------------------------------------------
+  decorators
+  select(...)       SelectStream                    select + aliases +
+                                                    evaluator columns
+  innerJoin         InnerJoinStream                 join(..., "inner")
+  leftOuterJoin     LeftOuterJoinStream             join(..., "left")
+  hashJoin          HashJoinStream                  broadcast join
+  rollup(...)       RollupStream                    groupBy().agg()
+  facet(...)        FacetStream                     groupBy().agg()
+  unique(...)       UniqueStream                    dropDuplicates(over)
+  top(...)          RankStream                      orderBy().limit(n)
+  sort(...)         SortStream                      orderBy()
+  merge(...)        MergeStream                     unionByName + sort
+  having(...)       HavingStream                    where(evaluator)
+  -----------------------------------------------------------------
+  metrics: sum/min/max/avg/count  (io/stream/metrics/*.java)
+  evaluators: add sub mult div abs if gt gteq lt lteq eq and or not
+              raw values and field refs (io/eval/*Evaluator.java)
+
+Collections resolve through a caller-supplied ``tables`` mapping
+(collection name -> DataFrame), the role of the SolrClientCache.
+``q``/``fq`` accept ``field:value``, ``field:[a TO b]`` and ``*:*``
+(the subset FacetStream/SearchStream pass through to the /select
+handler); richer full-text q strings belong to the engine's searchers.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# -- expression parsing (StreamExpressionParser.java role) ---------------
+
+class ExprNode:
+    """function(args...) node; leaves are strings/numbers."""
+
+    __slots__ = ("name", "args", "kwargs")
+
+    def __init__(self, name, args, kwargs):
+        self.name, self.args, self.kwargs = name, args, kwargs
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        parts = [repr(a) for a in self.args]
+        parts += [f"{k}={v!r}" for k, v in self.kwargs.items()]
+        return f"{self.name}({', '.join(parts)})"
+
+
+_TOKEN = re.compile(r'''\s*(
+      "(?:[^"\\]|\\.)*"      # double-quoted string
+    | '(?:[^'\\]|\\.)*'      # single-quoted string
+    | [(),=]
+    | [^\s(),=]+             # bare word / number / identifier
+)''', re.VERBOSE)
+
+
+def parse_expression(s: str) -> ExprNode:
+    toks = _TOKEN.findall(s)
+    node, i = _parse_node(toks, 0)
+    if i != len(toks):
+        raise ValueError(f"trailing tokens: {toks[i:]}")
+    return node
+
+
+def _unquote(t: str) -> str:
+    if len(t) >= 2 and t[0] in "\"'" and t[-1] == t[0]:
+        return re.sub(r"\\(.)", r"\1", t[1:-1])
+    return t
+
+
+def _parse_node(toks, i):
+    name = toks[i]
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        raise ValueError(f"expected ( after {name}")
+    i += 2
+    args, kwargs = [], {}
+    while toks[i] != ")":
+        # key=value | nested(...) | bare value
+        if i + 1 < len(toks) and toks[i + 1] == "=":
+            key = _unquote(toks[i])
+            if i + 3 < len(toks) and toks[i + 3] == "(":
+                val, i = _parse_node(toks, i + 2)
+            else:
+                val, i = _unquote(toks[i + 2]), i + 3
+            kwargs[key] = val
+        elif i + 1 < len(toks) and toks[i + 1] == "(":
+            val, i = _parse_node(toks, i)
+            args.append(val)
+        else:
+            args.append(_unquote(toks[i]))
+            i += 1
+        if toks[i] == ",":
+            i += 1
+    return ExprNode(name, args, kwargs), i + 1
+
+
+# -- evaluators (io/eval/*Evaluator.java) --------------------------------
+
+_EVALS: dict[str, Callable] = {
+    "add": lambda a: _fold(a, lambda x, y: x + y),
+    "sub": lambda a: _fold(a, lambda x, y: x - y),
+    "mult": lambda a: _fold(a, lambda x, y: x * y),
+    "div": lambda a: _fold(a, lambda x, y: x / y),
+    "abs": lambda a: F.abs(a[0]),
+    "if": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
+    "gt": lambda a: a[0] > a[1],
+    "gteq": lambda a: a[0] >= a[1],
+    "lt": lambda a: a[0] < a[1],
+    "lteq": lambda a: a[0] <= a[1],
+    "eq": lambda a: a[0] == a[1],
+    "and": lambda a: _fold(a, lambda x, y: x & y),
+    "or": lambda a: _fold(a, lambda x, y: x | y),
+    "not": lambda a: ~a[0],
+}
+
+
+def _fold(cols, op):
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out
+
+
+_NUM = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def compile_evaluator(node) -> "F.Column":
+    """Expression leaf/tree -> Column (BooleanEvaluator /
+    NumberEvaluator roles)."""
+    if isinstance(node, str):
+        if _NUM.match(node):
+            return F.lit(float(node) if "." in node else int(node))
+        return F.col(node)
+    if isinstance(node, (int, float)):
+        return F.lit(node)
+    if node.name == "round":  # io/eval/RoundEvaluator.java (+precision)
+        prec = int(node.args[1]) if len(node.args) > 1 else 0
+        return F.round(compile_evaluator(node.args[0]), prec)
+    if node.name in ("sum", "min", "max", "avg", "count"):
+        # reference to a rollup/facet METRIC OUTPUT field ("sum(x)"),
+        # as HavingStream sees it tuple-side
+        arg = node.args[0] if node.args else "*"
+        return F.col(f"`{node.name}({arg})`")
+    fn = _EVALS.get(node.name)
+    if fn is None:
+        raise ValueError(f"unknown evaluator {node.name}")
+    return fn([compile_evaluator(a) for a in node.args])
+
+
+# -- metrics (io/stream/metrics/*.java) ----------------------------------
+
+def _metric(node: ExprNode):
+    (arg,) = node.args or ("*",)
+    name = node.name.lower()
+    out_name = f"{name}({arg})"
+    if name == "count":
+        return (F.count(F.lit(1)) if arg == "*"
+                else F.count(arg)).alias(out_name)
+    agg = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}.get(name)
+    if agg is None:
+        raise ValueError(f"unknown metric {node.name}")
+    return agg(arg).alias(out_name)
+
+
+# -- the stream factory (io/stream/expr/StreamFactory.java role) ---------
+
+class StreamFactory:
+    """Compiles a streaming expression to a DataFrame.
+
+    tables: collection name -> DataFrame (SolrClientCache role).
+    """
+
+    def __init__(self, tables: dict[str, DataFrame]):
+        self.tables = tables
+
+    def compile(self, expr: str | ExprNode) -> DataFrame:
+        node = parse_expression(expr) if isinstance(expr, str) else expr
+        return self._stream(node)
+
+    # -- dispatch -------------------------------------------------------
+    def _stream(self, node: ExprNode) -> DataFrame:
+        fn = getattr(self, f"_s_{node.name}", None)
+        if fn is None:
+            raise ValueError(f"unknown stream function {node.name}")
+        return fn(node)
+
+    @staticmethod
+    def _sort_cols(spec: str):
+        cols = []
+        for part in spec.split(","):
+            bits = part.split()
+            c = F.col(bits[0])
+            cols.append(c.desc() if len(bits) > 1
+                        and bits[1].lower() == "desc" else c.asc())
+        return cols
+
+    def _apply_q(self, df: DataFrame, q: str) -> DataFrame:
+        """``field:value`` / ``field:[a TO b]`` / ``*:*`` filter — the
+        subset SearchStream forwards verbatim as q/fq."""
+        q = q.strip()
+        if not q or q == "*:*":
+            return df
+        m = re.match(r"^(\w+):\[(\S+) TO (\S+)\]$", q)
+        if m:
+            f_, lo, hi = m.groups()
+            c = F.col(f_)
+            cond = F.lit(True)
+            if lo != "*":
+                cond = cond & (c >= _autocast(lo))
+            if hi != "*":
+                cond = cond & (c <= _autocast(hi))
+            return df.where(cond)
+        m = re.match(r"^(\w+):(\S+)$", q)
+        if m:
+            return df.where(F.col(m.group(1)) == _autocast(m.group(2)))
+        raise ValueError(f"unsupported q syntax: {q!r}")
+
+    # -- sources --------------------------------------------------------
+    def _s_search(self, node: ExprNode) -> DataFrame:
+        coll = node.args[0]
+        df = self.tables.get(coll)
+        if df is None:
+            raise ValueError(f"unknown collection {coll}")
+        for key in ("q", "fq"):
+            if key in node.kwargs:
+                df = self._apply_q(df, node.kwargs[key])
+        if "fl" in node.kwargs:
+            df = df.select(*[c.strip()
+                             for c in node.kwargs["fl"].split(",")])
+        if "sort" in node.kwargs:
+            df = df.orderBy(*self._sort_cols(node.kwargs["sort"]))
+        if "rows" in node.kwargs:
+            df = df.limit(int(node.kwargs["rows"]))
+        return df
+
+    # -- decorators -----------------------------------------------------
+    def _s_select(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        # re-join bare `x as y` arg triplets the tokenizer split up
+        # (quoted "expr as alias" args arrive whole)
+        raw, i = [], 1
+        args = node.args
+        while i < len(args):
+            if (i + 2 < len(args) + 1 and i + 2 < len(args)
+                    and args[i + 1] == "as"):
+                left = args[i]
+                left_s = (f"{left.name}({', '.join(map(str, left.args))})"
+                          if isinstance(left, ExprNode) else str(left))
+                raw.append(f"{left_s} as {args[i + 2]}")
+                i += 3
+            else:
+                raw.append(args[i])
+                i += 1
+        cols = []
+        for a in raw:
+            if isinstance(a, ExprNode):
+                cols.append(compile_evaluator(a))
+                continue
+            m = re.match(r"^(.*?)\s+as\s+(\w+)$", a)
+            if m:
+                src, alias = m.groups()
+                src = src.strip()
+                col = (compile_evaluator(parse_expression(src))
+                       if "(" in src else F.col(src))
+                cols.append(col.alias(alias))
+            else:
+                cols.append(F.col(a.strip()))
+        return df.select(*cols)
+
+    def _join(self, node: ExprNode, how: str, broadcast=False) -> DataFrame:
+        left = self._stream(node.args[0])
+        right = self._stream(node.args[1])
+        on = [c.strip() for c in node.kwargs["on"].split(",")]
+        if broadcast:
+            right = F.broadcast(right)
+        return left.join(right, on, how)
+
+    def _s_innerJoin(self, node):
+        return self._join(node, "inner")
+
+    def _s_leftOuterJoin(self, node):
+        return self._join(node, "left")
+
+    def _s_hashJoin(self, node):
+        # HashJoinStream reads the hashed stream fully into memory —
+        # the broadcast-join analogue
+        return self._join(node, "inner", broadcast=True)
+
+    def _s_rollup(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        over = [c.strip() for c in node.kwargs["over"].split(",")]
+        metrics = [_metric(a) for a in node.args[1:]]
+        return df.groupBy(*over).agg(*metrics)
+
+    def _s_facet(self, node: ExprNode) -> DataFrame:
+        coll = node.args[0]
+        df = self.tables.get(coll)
+        if df is None:
+            raise ValueError(f"unknown collection {coll}")
+        if "q" in node.kwargs:
+            df = self._apply_q(df, node.kwargs["q"])
+        buckets = [c.strip() for c in node.kwargs["buckets"].split(",")]
+        metrics = [_metric(a) for a in node.args[1:]]
+        out = df.groupBy(*buckets).agg(*metrics)
+        if "bucketSorts" in node.kwargs:
+            out = out.orderBy(*self._sort_cols(node.kwargs["bucketSorts"]))
+        if "bucketSizeLimit" in node.kwargs:
+            out = out.limit(int(node.kwargs["bucketSizeLimit"]))
+        return out
+
+    def _s_unique(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        over = [c.strip() for c in node.kwargs["over"].split(",")]
+        return df.dropDuplicates(over)
+
+    def _s_top(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        n = int(node.kwargs["n"])
+        return df.orderBy(*self._sort_cols(node.kwargs["sort"])).limit(n)
+
+    def _s_sort(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        return df.orderBy(*self._sort_cols(node.kwargs["by"]))
+
+    def _s_merge(self, node: ExprNode) -> DataFrame:
+        streams = [self._stream(a) for a in node.args
+                   if isinstance(a, ExprNode)]
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        if "on" in node.kwargs:
+            out = out.orderBy(*self._sort_cols(node.kwargs["on"]))
+        return out
+
+    def _s_having(self, node: ExprNode) -> DataFrame:
+        df = self._stream(node.args[0])
+        conds = [a for a in node.args[1:] if isinstance(a, ExprNode)]
+        if len(conds) != 1:
+            raise ValueError("having needs exactly one boolean evaluator")
+        return df.where(compile_evaluator(conds[0]))
+
+
+def _autocast(v: str):
+    if _NUM.match(v):
+        return float(v) if "." in v else int(v)
+    return v

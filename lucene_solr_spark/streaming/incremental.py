@@ -303,8 +303,75 @@ class IncrementalIndexer:
         return w.start()
 
 
+def tiered_merge_plan(seg_sizes: dict[int, int],
+                      segs_per_tier: int = 10,
+                      max_merged_docs: int | None = None,
+                      floor_docs: int = 1) -> list[list[int]]:
+    """TieredMergePolicy.findMerges (index/TieredMergePolicy.java) over
+    segment DOC counts (our size unit; Lucene's is bytes).
+
+    Faithful shape: (1) the allowed segment budget comes from the tier
+    geometry — segsPerTier segments per level, level size growing by
+    the merge factor (== segsPerTier; TieredMergePolicy.java:386-403
+    allowedSegCount loop, floored at `floor_docs` like floorSegmentMB);
+    (2) while over budget, candidate merges are windows of up to
+    segsPerTier consecutive segments in size-descending order, capped
+    at `max_merged_docs` (maxMergedSegmentMB role), scored by
+    skew * totAfterMerge^0.05 (java:519-547 score()) and the
+    LOWEST-scoring window merges first (smaller + more uniform wins).
+
+    Returns groups of segment ids to merge (possibly several)."""
+    import math
+
+    if not seg_sizes:
+        return []
+    sizes = sorted(seg_sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(n for _, n in sizes)
+    # allowed segment budget from tier geometry
+    allowed, remaining, level = 0, total, max(floor_docs, 1)
+    while True:
+        count_at_level = remaining / level
+        if count_at_level < segs_per_tier:
+            allowed += math.ceil(count_at_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level *= segs_per_tier
+    plan: list[list[int]] = []
+    pool = sizes
+    while len(pool) > max(allowed, 1):
+        best, best_score = None, None
+        for lo in range(len(pool)):
+            group, tot = [], 0
+            for seg, n in pool[lo:lo + segs_per_tier]:
+                if max_merged_docs and tot + n > max_merged_docs and group:
+                    break
+                group.append((seg, n))
+                tot += n
+            if len(group) < 2:
+                continue
+            skew = group[0][1] / tot  # windows are size-desc: [0] is max
+            score = skew * (tot ** 0.05)
+            if best_score is None or score < best_score:
+                best, best_score = group, score
+        if best is None:
+            break
+        merged_ids = [s for s, _ in best]
+        plan.append(sorted(merged_ids))
+        chosen = set(merged_ids)
+        pool = [(s, n) for s, n in pool if s not in chosen]
+        # the merged result occupies one slot in the budget accounting
+        pool.append((-len(plan), sum(n for _, n in best)))
+        pool.sort(key=lambda kv: (-kv[1], kv[0]))
+    # drop placeholder ids (negative) from any later group — they are
+    # results of this very plan, not real segments
+    return [[s for s in g if s >= 0] for g in plan if any(s >= 0 for s in g)]
+
+
 def compact_segments(idx: SegmentIndex, min_fill: float = 0.5,
-                     apply_deletes: bool = True) -> int:
+                     apply_deletes: bool = True,
+                     policy: str = "min_fill",
+                     segs_per_tier: int = 10) -> int:
     """Tiered-merge analogue: re-encode underfull segments into full
     ones (TieredMergePolicy.java:97-101 role). docids are global, so a
     merge is re-keying by docid//docs_per_segment + re-encoding — no
@@ -323,7 +390,16 @@ def compact_segments(idx: SegmentIndex, min_fill: float = 0.5,
             F.count("*").alias("n")).collect()
     }
     deletes = idx.deletes() if apply_deletes else None
-    small = sorted(s for s, n in seg_sizes.items() if n < dps * min_fill)
+    if policy == "tiered":
+        # budget + skew-scored windows (TieredMergePolicy.findMerges);
+        # all planned groups rewrite together — the docid//dps re-key
+        # merges adjacent ranges, so one rewrite realizes every group
+        plan = tiered_merge_plan(seg_sizes, segs_per_tier=segs_per_tier,
+                                 max_merged_docs=dps,
+                                 floor_docs=max(dps // 50, 1))
+        small = sorted({s for g in plan for s in g})
+    else:
+        small = sorted(s for s, n in seg_sizes.items() if n < dps * min_fill)
     if deletes is not None:
         # segments holding tombstoned docs must be rewritten too
         docmap_all = idx.docmap()

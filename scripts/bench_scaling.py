@@ -183,26 +183,40 @@ def main() -> int:
         child(args.cpus, args.docs, args.queries)
         return 0
 
-    # interleave levels (lo,hi,lo,hi,…) so slow host drift cancels
-    lo_rs, hi_rs = [], []
+    # PAIRED protocol: this host's delivered throughput drifts 2-4x
+    # over tens of minutes (shared VM; measured: the same 8-proc
+    # pure-CPU probe swings 60-81 Mops/s, and one 400k-doc 8-core
+    # build ran FASTER than the best-ever 32-core build an hour
+    # later). A low/high pair runs back-to-back (minutes apart), the
+    # efficiency is computed WITHIN each pair, and the median of the
+    # pair efficiencies is reported — between-pair drift cancels,
+    # within-pair drift is bounded by the pair's short wall time.
+    lo_rs, hi_rs, pair_eff_b, pair_eff_q = [], [], [], []
+    ratio = args.high / args.low
     for _ in range(args.runs):
-        lo_rs.append(run_level(args.low, args.docs, args.queries, 1))
-        hi_rs.append(run_level(args.high, args.docs, args.queries, 1))
+        lo = run_level(args.low, args.docs, args.queries, 1)
+        hi = run_level(args.high, args.docs, args.queries, 1)
+        lo_rs.append(lo)
+        hi_rs.append(hi)
+        pair_eff_b.append(
+            (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio)
+        pair_eff_q.append((hi["query_qps"] / lo["query_qps"]) / ratio)
     med = lambda rs: {k: (statistics.median(r[k] for r in rs)
                           if isinstance(rs[0][k], (int, float)) else rs[0][k])
                       for k in rs[0]}
     lo, hi = med(lo_rs), med(hi_rs)
-    ratio = args.high / args.low
-    eff_build = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
-    eff_query = (hi["query_qps"] / lo["query_qps"]) / ratio
     result = {
         "protocol": f"local[{args.low}] vs local[{args.high}], same input "
-                    f"({args.docs} docs), fresh JVM per level, median of "
-                    f"{args.runs} run(s)",
+                    f"({args.docs} docs), fresh JVM per level, "
+                    f"{args.runs} back-to-back pair(s), median of "
+                    f"within-pair efficiencies (shared-host drift "
+                    f"cancellation)",
         "low": lo, "high": hi,
         "core_ratio": ratio,
-        "scaling_efficiency_build": round(eff_build, 3),
-        "scaling_efficiency_query": round(eff_query, 3),
+        "pair_efficiencies_build": [round(x, 3) for x in pair_eff_b],
+        "pair_efficiencies_query": [round(x, 3) for x in pair_eff_q],
+        "scaling_efficiency_build": round(statistics.median(pair_eff_b), 3),
+        "scaling_efficiency_query": round(statistics.median(pair_eff_q), 3),
         "target": 0.8,
     }
     print(json.dumps(result, indent=1))

@@ -74,3 +74,31 @@ def test_classic_differs_from_bm25(built):
     a = s_classic.search(TermQuery(hot), 5)
     b = s_bm25.search(TermQuery(hot), 5)
     assert [np.float32(h.score) for h in a] != [np.float32(h.score) for h in b]
+
+
+def test_boolean_similarity_identity(built, spark, tmp_path_factory):
+    """BooleanSimilarity (BooleanSimilarity.java): matching docs score
+    exactly the boost; engine vs oracle identity through the same
+    pluggable interface."""
+    s_classic, _, _ = built
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    s_bool = IndexSearcher(s_classic.tables, cache=True,
+                           similarity="boolean")
+    o_bool = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS),
+        similarity="boolean")
+    pdf = corpus_pandas(N_DOCS).sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    o_bool.add_all(pdf["content"])
+    terms = sorted(t for _f, t in o_bool.postings)
+    hot = max(terms, key=lambda t: o_bool.doc_freq(t))
+    mid = terms[len(terms) // 2]
+    _identical(s_bool, o_bool, TermQuery(hot))
+    _identical(s_bool, o_bool, TermQuery(mid, boost=2.5))
+    _identical(s_bool, o_bool,
+               BooleanQuery.of(should=[TermQuery(hot, boost=3.0),
+                                       TermQuery(mid)]))
+    # every matching doc scores exactly the boost
+    hits = s_bool.search(TermQuery(hot, boost=2.5), 5)
+    assert {np.float32(h.score) for h in hits} == {np.float32(2.5)}

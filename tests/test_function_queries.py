@@ -1,0 +1,81 @@
+"""Function-query compiler vs hand-computed values
+(ValueSourceParser registry roles; queries/function/FunctionQuery.java
+AllScorer = all-docs scoring)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.function_queries import FunctionQueryCompiler
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fqidx"))
+    tables = build_index(corpus_df(spark, N_DOCS, partitions=4), root)
+    return IndexSearcher(tables, cache=True)
+
+
+def _common_term(searcher):
+    from pyspark.sql import functions as F
+
+    return searcher.dict.orderBy(F.desc("df"), "term").limit(1).collect()[0]
+
+
+def test_termfreq_matches_postings(spark, searcher):
+    row = _common_term(searcher)
+    t = row["term"]
+    fq = FunctionQueryCompiler(searcher)
+    got = {r["docid"]: r["score"]
+           for r in fq.dataframe(f"termfreq(content,'{t}')").collect()}
+    assert len(got) == N_DOCS  # AllScorer: every doc scored
+    from pyspark.sql import functions as F
+
+    exp = {r["docid"]: r["tf"] for r in
+           searcher.postings.where(F.col("term") == t).collect()}
+    for d, tf in exp.items():
+        assert got[d] == tf
+    assert sum(1 for v in got.values() if v == 0) == N_DOCS - len(exp)
+
+
+def test_docfreq_and_idf_literals(spark, searcher):
+    row = _common_term(searcher)
+    t, df_ = row["term"], int(row["df"])
+    fq = FunctionQueryCompiler(searcher)
+    vals = {r["score"] for r in
+            fq.dataframe(f"docfreq(content,'{t}')").collect()}
+    assert vals == {df_}
+    idf = {r["score"] for r in fq.dataframe(f"idf(content,'{t}')").collect()}
+    exp_idf = float(np.float32(math.log(
+        1 + (searcher.doc_count - df_ + 0.5) / (df_ + 0.5))))
+    assert idf == {pytest.approx(exp_idf)}
+
+
+def test_composed_arithmetic(spark, searcher):
+    row = _common_term(searcher)
+    t = row["term"]
+    fq = FunctionQueryCompiler(searcher)
+    got = {r["docid"]: r["score"] for r in fq.dataframe(
+        f"sum(product(termfreq(content,'{t}'), 2), dl)").collect()}
+    tfs = {r["docid"]: r["tf"] for r in
+           fq.searcher.postings.where(
+               fq.searcher.postings.term == t).collect()}
+    dls = {r["docid"]: r["dl"] for r in
+           searcher.docs.select("docid", "dl").collect()}
+    for d in dls:
+        assert got[d] == tfs.get(d, 0) * 2 + dls[d]
+
+
+def test_if_exists_and_log(spark, searcher):
+    row = _common_term(searcher)
+    t = row["term"]
+    fq = FunctionQueryCompiler(searcher)
+    got = {r["docid"]: r["score"] for r in fq.dataframe(
+        f"if(exists(field(dl)), log(100), 0)").collect()}
+    assert set(got.values()) == {pytest.approx(2.0)}

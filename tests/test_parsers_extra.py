@@ -155,3 +155,119 @@ def test_complex_phrase_identity(built):
               '"retur* value"', '"the spark"']:
         q = p.parse(s)
         _identical(searcher, oracle, q, k=10)
+
+
+# -- SurroundQueryParser -------------------------------------------------
+from lucene_solr_spark.search.parsers_extra import (  # noqa: E402
+    SurroundQueryParser,
+    XmlQueryParser,
+)
+from lucene_solr_spark.search.queries import (  # noqa: E402
+    DisjunctionMaxQuery,
+    MultiPhraseQuery,
+    TermRangeQuery,
+)
+
+
+def _expand_vocab(q):
+    vocab = ["table", "tables", "tabulate", "tap"]
+    from lucene_solr_spark.search.queries import PrefixQuery, WildcardQuery
+    import re as _re
+
+    if isinstance(q, PrefixQuery):
+        return [t for t in vocab if t.startswith(q.prefix)]
+    if isinstance(q, WildcardQuery):
+        rx = _re.compile(q.pattern.replace("?", ".").replace("*", ".*") + "$")
+        return [t for t in vocab if rx.match(t)]
+    return []
+
+
+class TestSurround:
+    def test_infix_w_exact_phrase(self):
+        q = SurroundQueryParser().parse("big W table")
+        assert isinstance(q, PhraseQuery) and q.slop == 0
+        assert q.terms == ("big", "table")
+
+    def test_prefix_distance_ordered(self):
+        q = SurroundQueryParser().parse("3W(big, data, table)")
+        assert isinstance(q, PhraseQuery) and q.slop == 2
+        assert q.terms == ("big", "data", "table")
+
+    def test_unordered_near(self):
+        q = SurroundQueryParser().parse("2N(big, table)")
+        assert isinstance(q, PhraseQuery) and q.slop == 2
+
+    def test_wildcard_expansion_to_multiphrase(self):
+        q = SurroundQueryParser(_expand_vocab).parse("2W(big, tab*)")
+        assert isinstance(q, MultiPhraseQuery)
+        assert q.termss == (("big",), ("table", "tables", "tabulate"))
+
+    def test_boolean_and_boost(self):
+        q = SurroundQueryParser().parse("(a OR b) AND c^2")
+        assert isinstance(q, BooleanQuery)
+        assert q.clauses[1].query.boost == 2.0
+
+    def test_not(self):
+        q = SurroundQueryParser().parse("fast NOT slow")
+        occs = [c.occur for c in q.clauses]
+        assert occs == ["MUST", "MUST_NOT"]
+
+    def test_wildcard_without_expand_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            SurroundQueryParser().parse("W(big, tab*)" if False else "2W(big, tab*)")
+
+
+class TestXmlParser:
+    def test_boolean_with_clauses(self):
+        q = XmlQueryParser().parse(
+            '<BooleanQuery minimumNumberShouldMatch="1">'
+            '<Clause occurs="must"><TermQuery>Big</TermQuery></Clause>'
+            '<Clause occurs="should"><PhraseQuery slop="1">big table</PhraseQuery></Clause>'
+            '<Clause occurs="mustNot"><RangeQuery lowerTerm="a" upperTerm="c"/></Clause>'
+            "</BooleanQuery>")
+        assert isinstance(q, BooleanQuery)
+        assert q.minimum_should_match == 1
+        assert q.clauses[0].query == TermQuery("big")
+        assert isinstance(q.clauses[1].query, PhraseQuery)
+        assert isinstance(q.clauses[2].query, TermRangeQuery)
+
+    def test_dismax_and_boost(self):
+        q = XmlQueryParser().parse(
+            '<DisjunctionMaxQuery tieBreaker="0.1">'
+            '<TermQuery boost="2">x</TermQuery><MatchAllDocsQuery/>'
+            "</DisjunctionMaxQuery>")
+        assert isinstance(q, DisjunctionMaxQuery)
+        assert q.tie_breaker == 0.1
+        assert q.disjuncts[0].boost == 2.0
+
+    def test_terms_query_analyzed(self):
+        from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+
+        q = XmlQueryParser(
+            analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)).parse(
+            '<TermsQuery fieldName="content">The Quick Fox</TermsQuery>')
+        assert isinstance(q, BooleanQuery)
+        assert {c.query.term for c in q.clauses} == {"quick", "fox"}
+
+    def test_user_query_delegates(self):
+        from lucene_solr_spark.search.parser import QueryParser
+
+        q = XmlQueryParser(classic_parser=QueryParser()).parse(
+            "<UserQuery>big AND table</UserQuery>")
+        assert isinstance(q, BooleanQuery)
+
+    def test_constant_score(self):
+        from lucene_solr_spark.search.queries import ConstantScoreQuery
+
+        q = XmlQueryParser().parse(
+            '<ConstantScoreQuery boost="3"><TermQuery>x</TermQuery>'
+            "</ConstantScoreQuery>")
+        assert isinstance(q, ConstantScoreQuery) and q.boost == 3.0
+
+    def test_unknown_element_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            XmlQueryParser().parse("<SpanNear/>")

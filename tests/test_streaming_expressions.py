@@ -1,0 +1,118 @@
+"""Streaming-expression compiler: parse shapes + DataFrame semantics
+vs the equivalent hand-built DataFrame queries (SURVEY §2.9 io/stream
++ io/eval coverage; reference solr/solrj/.../io/stream/*.java)."""
+
+import pytest
+
+from lucene_solr_spark.streaming.expressions import (
+    ExprNode,
+    StreamFactory,
+    compile_evaluator,
+    parse_expression,
+)
+
+
+def test_parse_nested_kwargs():
+    n = parse_expression(
+        'rollup(search(tbl, q="a:1", fl="a,b", sort="a asc"), '
+        'over="a", sum(b), count(*))')
+    assert n.name == "rollup"
+    assert isinstance(n.args[0], ExprNode) and n.args[0].name == "search"
+    assert n.args[0].kwargs["q"] == "a:1"
+    assert [a.name for a in n.args[1:]] == ["sum", "count"]
+    assert n.kwargs["over"] == "a"
+
+
+def test_parse_quoted_escapes():
+    n = parse_expression('select(s(t), "add(a, 1) as b")')
+    assert n.args[1] == "add(a, 1) as b"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "a"), (4, 40, "c")],
+        "id int, amount int, cat string")
+    custs = spark.createDataFrame(
+        [("a", "us"), ("b", "de"), ("c", "us")], "cat string, country string")
+    return {"orders": orders, "custs": custs}
+
+
+def test_search_q_fl_sort(spark, tables):
+    df = StreamFactory(tables).compile(
+        'search(orders, q="cat:a", fl="id,amount", sort="id desc")')
+    assert [tuple(r) for r in df.collect()] == [(3, 30), (1, 10)]
+
+
+def test_search_range_q(spark, tables):
+    df = StreamFactory(tables).compile(
+        'search(orders, q="amount:[20 TO 30]", fl="id", sort="id asc")')
+    assert [r.id for r in df.collect()] == [2, 3]
+
+
+def test_rollup_metrics(spark, tables):
+    df = StreamFactory(tables).compile(
+        'rollup(search(orders, q="*:*"), over="cat", sum(amount), count(*))')
+    got = {r["cat"]: (r["sum(amount)"], r["count(*)"])
+           for r in df.collect()}
+    assert got == {"a": (40, 2), "b": (20, 1), "c": (40, 1)}
+
+
+def test_inner_join_and_select_evaluator(spark, tables):
+    df = StreamFactory(tables).compile(
+        'select(innerJoin(search(orders, q="*:*"), search(custs, q="*:*"), '
+        'on="cat"), id, "mult(amount, 2) as dbl")')
+    got = {r.id: r.dbl for r in df.collect()}
+    assert got == {1: 20, 2: 40, 3: 60, 4: 80}
+
+
+def test_hash_join_broadcast(spark, tables):
+    df = StreamFactory(tables).compile(
+        'hashJoin(search(orders, q="*:*"), search(custs, q="*:*"), on="cat")')
+    assert df.count() == 4
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_left_outer_join(spark, tables):
+    t2 = dict(tables)
+    t2["custs"] = tables["custs"].where("country = 'us'")
+    df = StreamFactory(t2).compile(
+        'leftOuterJoin(search(orders, q="*:*"), search(custs, q="*:*"), on="cat")')
+    rows = {r.id: r.country for r in df.collect()}
+    assert rows[2] is None and rows[1] == "us"
+
+
+def test_top_unique_sort_merge(spark, tables):
+    f = StreamFactory(tables)
+    top = f.compile('top(search(orders, q="*:*"), n="2", sort="amount desc")')
+    assert [r.id for r in top.collect()] == [4, 3]
+    uniq = f.compile('unique(sort(search(orders, q="*:*"), by="id asc"), over="cat")')
+    assert uniq.count() == 3
+    merged = f.compile(
+        'merge(search(orders, q="cat:a", fl="id"), '
+        'search(orders, q="cat:b", fl="id"), on="id asc")')
+    assert [r.id for r in merged.collect()] == [1, 2, 3]
+
+
+def test_having_on_rollup_metric(spark, tables):
+    df = StreamFactory(tables).compile(
+        'having(rollup(search(orders, q="*:*"), over="cat", sum(amount)), '
+        'gt(sum(amount), 25))')
+    assert sorted(r["cat"] for r in df.collect()) == ["a", "c"]
+
+
+def test_facet(spark, tables):
+    df = StreamFactory(tables).compile(
+        'facet(orders, q="*:*", buckets="cat", bucketSorts="count(*) desc, cat asc", '
+        'bucketSizeLimit="2", count(*))')
+    assert [r["cat"] for r in df.collect()] == ["a", "b"]
+
+
+def test_evaluator_tree():
+    col = compile_evaluator(parse_expression("if(gt(add(a, 1), 5), a, 0)"))
+    assert "CASE WHEN" in str(col) or "when" in str(col).lower()
+
+
+def test_unknown_stream_raises(tables):
+    with pytest.raises(ValueError):
+        StreamFactory(tables).compile("frobnicate(x)")

@@ -91,3 +91,29 @@ def test_compaction_preserves_results(spark, streamed):
     assert before == after
     # doc set unchanged
     assert streamed.docs().count() == N_DOCS
+
+
+def test_tiered_merge_plan_pure():
+    """TieredMergePolicy planner (index/TieredMergePolicy.java
+    findMerges shape): tier budget + skew-scored windows."""
+    from lucene_solr_spark.streaming.incremental import tiered_merge_plan
+
+    sizes = {i: 10 for i in range(20)} | {100: 1000, 101: 900}
+    plan = tiered_merge_plan(sizes, segs_per_tier=10,
+                             max_merged_docs=1000, floor_docs=10)
+    assert plan and all(2 <= len(g) <= 10 for g in plan)
+    assert all(s < 20 for g in plan for s in g)  # big segments stay
+    # under budget -> no merges
+    assert tiered_merge_plan({0: 1000, 1: 900}, 10, 1000, 10) == []
+    # max_merged_docs caps group size
+    capped = tiered_merge_plan({i: 10 for i in range(40)}, 10, 25, 1)
+    assert capped and all(sum(10 for _ in g) <= 30 for g in capped)
+
+
+def test_tiered_compaction_preserves_results(spark, streamed):
+    q = BooleanQuery.of(should=[TermQuery("return"), TermQuery("class")])
+    before = _topdocs_by_sha(spark, streamed, q, N_DOCS)
+    compact_segments(streamed, policy="tiered", segs_per_tier=4)
+    after = _topdocs_by_sha(spark, streamed, q, N_DOCS)
+    assert before == after
+    assert streamed.docs().count() == N_DOCS
