@@ -275,7 +275,10 @@ def edge_ngram_filter(min_gram: int = 1, max_gram: int = 2,
             for n in range(min_gram, min(max_gram, len(t)) + 1):
                 out_t.append(t[:n])
                 out_p.append(p)
-            if preserve_original and len(t) > max_gram:
+            # EdgeNGramTokenFilter.java:104-109 keeps the original both
+            # when it is LONGER than max_gram and when it is SHORTER
+            # than min_gram (which emitted no grams at all)
+            if preserve_original and (len(t) > max_gram or len(t) < min_gram):
                 out_t.append(t)
                 out_p.append(p)
         return out_t, out_p

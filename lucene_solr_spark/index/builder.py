@@ -356,9 +356,20 @@ def build_index(
         .select(F.col("docid"), F.col("tf").alias("dl"), F.col("norm"),
                 F.col("term").alias("content_sha256"))
     )
+    # LEFT join from the full metadata frame: a doc whose sha field is
+    # absent/NULL has no sha-field summary row, but it is still a live
+    # doc (indexed under its other fields) — MatchAllDocsQuery matches
+    # every doc regardless of field presence, so it gets a docs row
+    # with dl=0/norm=0 and the sha256 of the empty string
+    _EMPTY_SHA = ("e3b0c44298fc1c149afbf4c8996fb9"
+                  "2427ae41e4649b934ca495991b7852b855")
     meta = analyzed.select("docid", *PK, "lang")
-    docs = meta.join(doc_rows, "docid").select(
-        "docid", *PK, "lang", "dl", "norm", "content_sha256"
+    docs = meta.join(doc_rows, "docid", "left").select(
+        "docid", *PK, "lang",
+        F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+        F.coalesce(F.col("norm"), F.lit(0)).alias("norm"),
+        F.coalesce(F.col("content_sha256"), F.lit(_EMPTY_SHA))
+        .alias("content_sha256"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(out_root, "docs"))
 

@@ -141,6 +141,31 @@ def bm25_topk(terms: tuple[str, ...], k: int = 10) -> str:
             + sum_topk_sql("q", k))
 
 
+def bm25_bool_topk(should: tuple[str, ...], must: tuple[str, ...] = (),
+                   must_not: tuple[str, ...] = (), k: int = 10) -> str:
+    """General term-level boolean top-k: MUST terms all required (and
+    scoring), SHOULD terms optional scoring, MUST_NOT excluded —
+    BooleanQuery semantics (Boolean2ScorerSupplier.java:93-164,
+    ReqExclScorer.java), float32 sum discipline as sum_topk_sql."""
+    terms = tuple(must) + tuple(should)
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    where = ""
+    if must_not:
+        nt = ", ".join(f"'{t}'" for t in must_not)
+        where = (f"\n  WHERE docid NOT IN "
+                 f"(SELECT DISTINCT docid FROM tok WHERE term IN ({nt}))")
+    having = ""
+    if must:
+        mt = ", ".join(f"'{t}'" for t in must)
+        having = (f"\n  HAVING count(DISTINCT CASE WHEN term IN ({mt}) "
+                  f"THEN term END) = {len(must)}")
+    return ("WITH " + base_ctes() + "," + term_score_ctes(pred, "q") + f"""
+  SELECT docid, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM ts_q{where}
+  GROUP BY docid{having}
+  ORDER BY score DESC, docid ASC LIMIT {k}""")
+
+
 def prefix_topk(prefix: str, k: int = 10) -> str:
     """PrefixQuery scoring_boolean rewrite: every matching dictionary
     term scores as a SHOULD TermQuery."""

@@ -103,38 +103,33 @@ def ft_term_stats(spark, sf_dir):
 
 
 @register(
-    "ft_bool_and",
+    "ft_boolean",
     f"""
     WITH tok AS ({_TOK_SQL})
-    SELECT doc_id FROM tok WHERE term = 'spark'
-    INTERSECT
-    SELECT doc_id FROM tok WHERE term = 'vector'
+    SELECT 'and' AS op, doc_id FROM (
+      SELECT doc_id FROM tok WHERE term = 'spark'
+      INTERSECT
+      SELECT doc_id FROM tok WHERE term = 'vector')
+    UNION ALL
+    SELECT 'not' AS op, doc_id FROM (
+      SELECT doc_id FROM tok WHERE term = 'spark'
+      EXCEPT
+      SELECT doc_id FROM tok WHERE term = 'vector')
     """,
 )
-def ft_bool_and(spark, sf_dir):
+def ft_boolean(spark, sf_dir):
     """BooleanQuery MUST+MUST = docid intersection
-    (search/BooleanQuery.java:78-222; ConjunctionDISI.java)."""
+    (search/BooleanQuery.java:78-222; ConjunctionDISI.java) and
+    MUST + MUST_NOT = anti join (search/ReqExclScorer.java), one
+    tagged union row (drivers cap the checked-registry size)."""
     tok = _tokens(spark, sf_dir)
     a = tok.where(F.col("term") == "spark").select("doc_id").distinct()
     b = tok.where(F.col("term") == "vector").select("doc_id").distinct()
-    return a.join(b, "doc_id", "left_semi")
-
-
-@register(
-    "ft_bool_not",
-    f"""
-    WITH tok AS ({_TOK_SQL})
-    SELECT doc_id FROM tok WHERE term = 'spark'
-    EXCEPT
-    SELECT doc_id FROM tok WHERE term = 'vector'
-    """,
-)
-def ft_bool_not(spark, sf_dir):
-    """MUST + MUST_NOT = anti join (search/ReqExclScorer.java)."""
-    tok = _tokens(spark, sf_dir)
-    a = tok.where(F.col("term") == "spark").select("doc_id").distinct()
-    b = tok.where(F.col("term") == "vector").select("doc_id").distinct()
-    return a.join(b, "doc_id", "left_anti")
+    both = a.join(b, "doc_id", "left_semi").select(
+        F.lit("and").alias("op"), "doc_id")
+    only = a.join(b, "doc_id", "left_anti").select(
+        F.lit("not").alias("op"), "doc_id")
+    return both.unionByName(only)
 
 
 _BM25_TERMS = ("spark", "vector")
@@ -279,39 +274,36 @@ def ft_phrase(spark, sf_dir):
 
 
 @register(
-    "ft_prefix_terms",
+    "multiterm_expand",
     f"""
     WITH tok AS ({_TOK_SQL})
-    SELECT term, count(DISTINCT doc_id) AS df FROM tok
+    SELECT 'prefix' AS op, term, count(DISTINCT doc_id) AS df FROM tok
     WHERE term LIKE 'qu%' GROUP BY term
+    UNION ALL
+    SELECT 'fuzzy' AS op, term, count(DISTINCT doc_id) AS df FROM tok
+    WHERE levenshtein(term, 'sprak') <= 2 GROUP BY term
     """,
 )
-def ft_prefix_terms(spark, sf_dir):
-    """PrefixQuery term expansion over the dictionary
-    (search/PrefixQuery.java → dict.filter(startswith))."""
-    return (
-        _tokens(spark, sf_dir)
-        .where(F.col("term").startswith("qu"))
+def multiterm_expand(spark, sf_dir):
+    """Multi-term rewrite expansions over the dictionary, one tagged
+    union row: PrefixQuery (search/PrefixQuery.java →
+    dict.filter(startswith)) and FuzzyQuery maxEdits=2
+    (search/FuzzyQuery.java:55; LevenshteinAutomata role played by
+    the levenshtein builtin)."""
+    tok = _tokens(spark, sf_dir)
+    prefix = (
+        tok.where(F.col("term").startswith("qu"))
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .select(F.lit("prefix").alias("op"), "term", "df")
     )
-
-
-@register(
-    "ft_fuzzy_terms",
-    f"""
-    WITH tok AS ({_TOK_SQL})
-    SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sprak') <= 2
-    """,
-)
-def ft_fuzzy_terms(spark, sf_dir):
-    """FuzzyQuery maxEdits=2 expansion (search/FuzzyQuery.java:55;
-    LevenshteinAutomata role played by the levenshtein builtin)."""
-    return (
-        _tokens(spark, sf_dir)
-        .select("term").distinct()
-        .where(F.levenshtein(F.col("term"), F.lit("sprak")) <= 2)
+    fuzzy = (
+        tok.where(F.levenshtein(F.col("term"), F.lit("sprak")) <= 2)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(F.lit("fuzzy").alias("op"), "term", "df")
     )
+    return prefix.unionByName(fuzzy)
 
 
 @register(
@@ -586,46 +578,46 @@ def anti_join_mustnot(spark, sf_dir):
 
 
 @register(
-    "set_intersect",
+    "set_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT 'intersect' AS op, cast(nationkey AS VARCHAR) AS k1,
+           '' AS k2 FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, cast(nationkey AS VARCHAR) AS k1,
+           '' AS k2 FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'unique' AS op, l_returnflag AS k1, l_linestatus AS k2
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
 )
-def set_intersect(spark, sf_dir):
-    """IntersectStream (io/stream/IntersectStream.java)."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "set_except",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_except(spark, sf_dir):
-    """ComplementStream (io/stream/ComplementStream.java)."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().subtract(s.distinct())
-
-
-@register(
-    "unique_stream",
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """,
-)
-def unique_stream(spark, sf_dir):
-    """UniqueStream dedup on sort key (io/stream/UniqueStream.java)."""
-    return load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus"
-    ).dropDuplicates()
+def set_ops(spark, sf_dir):
+    """Streaming-expression set algebra, one tagged union row:
+    IntersectStream (io/stream/IntersectStream.java),
+    ComplementStream (io/stream/ComplementStream.java), and
+    UniqueStream dedup on sort key (io/stream/UniqueStream.java)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    null_s = F.lit("")
+    inter = c.intersect(s).select(
+        F.lit("intersect").alias("op"),
+        F.col("nationkey").cast("string").alias("k1"), null_s.alias("k2"))
+    exc = c.distinct().subtract(s.distinct()).select(
+        F.lit("except").alias("op"),
+        F.col("nationkey").cast("string").alias("k1"), null_s.alias("k2"))
+    uniq = (load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_linestatus").dropDuplicates()
+            .select(F.lit("unique").alias("op"),
+                    F.col("l_returnflag").alias("k1"),
+                    F.col("l_linestatus").alias("k2")))
+    return inter.unionByName(exc).unionByName(uniq)
 
 
 @register(
@@ -655,15 +647,7 @@ def grouped_topk(spark, sf_dir):
     )
 
 
-@register(
-    "time_series",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def time_series(spark, sf_dir):
+def _time_series_hourly(spark, sf_dir):
     """TimeSeriesStream date-bucketed aggs (io/stream/TimeSeriesStream.java:419)."""
     return (
         load_table(spark, sf_dir, "events")
@@ -711,80 +695,78 @@ _DM_END = parse_date_math("2024-01-03T07:09:00Z/DAY+2MONTHS-45DAYS")
 
 
 @register(
-    "date_math_window",
+    "time_series",
     f"""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(*) AS cnt,
-           round(sum(value), 2) AS total
+    SELECT 'hourly' AS op,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+           event_type, count(*) AS cnt, round(sum(value), 4) AS val
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'datemath' AS op,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           '' AS event_type, count(*) AS cnt,
+           round(sum(value), 2) AS val
     FROM events
     WHERE ts >= TIMESTAMP '{_DM_START}' AND ts < TIMESTAMP '{_DM_END}'
-    GROUP BY 1
+    GROUP BY 2
     """,
 )
-def date_math_window(spark, sf_dir):
-    """Solr date-math range inputs (solr/util/DateMathParser.java:
+def time_series(spark, sf_dir):
+    """Time-bucketed aggregations, one tagged union row. Hourly leg =
+    TimeSeriesStream date-bucketed aggs
+    (io/stream/TimeSeriesStream.java:419). Datemath leg = Solr
+    date-math range inputs (solr/util/DateMathParser.java:
     `NOW/DAY+6MONTHS` grammar → functions/datemath.py) feeding a
     TimeSeries-style bucketed aggregation: the window bounds are
-    date-math expressions resolved once at plan time, then pure
-    JVM timestamp predicates (partition/row-group prunable)."""
+    date-math expressions resolved once at plan time, then pure JVM
+    timestamp predicates (partition/row-group prunable)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    hourly = _time_series_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("op"), F.col("hour").alias("bucket"),
+        "event_type", "cnt", F.col("sum_value").alias("val"))
+    datemath = (
         ev.where((F.col("ts") >= F.lit(_DM_START)) & (F.col("ts") < F.lit(_DM_END)))
-        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket"))
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("total"))
+             F.round(F.sum("value"), 2).alias("val"))
+        .select(F.lit("datemath").alias("op"), "bucket",
+                F.lit("").alias("event_type"), "cnt", "val")
     )
+    return hourly.unionByName(datemath)
 
 
 @register(
-    "agg_hll_unique",
+    "agg_sketches",
     """
     SELECT o_orderpriority AS prio,
            count(DISTINCT o_custkey) AS uniq_cust,
-           count(DISTINCT o_orderstatus) AS hll_status
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def agg_hll_unique(spark, sf_dir):
-    """Solr JSON facet `unique` / `hll` aggs (search/facet/UniqueAgg,
-    HLLAgg.java): exact countDistinct plus the HLL sketch
-    (approx_count_distinct) on a low-cardinality key, where HLL++'s
-    sparse representation is exact and the driver hash is stable; the
-    estimate-regime error envelope at ~10^3 cardinality is bounded by
-    pytest (tests/test_agg_extras.py). Oracle checks both columns
-    against exact counts."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderpriority").alias("prio"))
-        .agg(F.countDistinct("o_custkey").alias("uniq_cust"),
-             F.approx_count_distinct("o_orderstatus", rsd=0.005)
-             .alias("hll_status"))
-    )
-
-
-@register(
-    "agg_percentile",
-    """
-    SELECT o_orderpriority AS prio,
+           count(DISTINCT o_orderstatus) AS hll_status,
            round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
            round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
            round(quantile_cont(o_totalprice, 0.95), 4) AS p95
     FROM orders GROUP BY o_orderpriority
     """,
 )
-def agg_percentile(spark, sf_dir):
-    """Solr JSON facet `percentile` agg (search/facet/PercentileAgg.java
-    — t-digest there): exact interpolated percentiles per bucket
-    (Spark `percentile` ≙ DuckDB `quantile_cont`, both R type-7).
-    The approximate path (`percentile_approx`, the t-digest role) is
-    pytest-bounded against these exact values."""
+def agg_sketches(spark, sf_dir):
+    """Solr JSON facet sketch aggs, one row. `unique`/`hll`
+    (search/facet/UniqueAgg, HLLAgg.java): exact countDistinct plus
+    the HLL sketch (approx_count_distinct) on a low-cardinality key,
+    where HLL++'s sparse representation is exact and the driver hash
+    is stable; the estimate-regime error envelope at ~10^3 cardinality
+    is bounded by pytest (tests/test_agg_extras.py). `percentile`
+    (search/facet/PercentileAgg.java — t-digest there): exact
+    interpolated percentiles per bucket (Spark `percentile` ≙ DuckDB
+    `quantile_cont`, both R type-7); the approximate path
+    (`percentile_approx`, the t-digest role) is pytest-bounded
+    against these exact values."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("prio"))
-        .agg(*[
-            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
-            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.95, "p95"))
-        ])
+        .agg(F.countDistinct("o_custkey").alias("uniq_cust"),
+             F.approx_count_distinct("o_orderstatus", rsd=0.005)
+             .alias("hll_status"),
+             *[F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+               for p, name in ((0.25, "p25"), (0.50, "p50"), (0.95, "p95"))])
     )
 
 
@@ -892,57 +874,66 @@ def ann_cosine_knn(spark, sf_dir):
 # Block join (parent/child), JoinUtil score modes, geo predicates
 # ---------------------------------------------------------------------------
 @register(
-    "block_join_parent",
+    "block_join",
     """
-    SELECT o.o_orderkey, o.o_orderpriority,
-           round(max(l.l_extendedprice), 2) AS best_child,
-           round(avg(l.l_extendedprice), 4) AS avg_child,
-           round(sum(l.l_extendedprice), 2) AS total_child,
-           count(*) AS n_children
+    SELECT 'parent' AS op, o.o_orderkey AS key, o.o_orderpriority AS tag,
+           round(max(l.l_extendedprice), 2) AS v1,
+           round(avg(l.l_extendedprice), 4) AS v2,
+           round(sum(l.l_extendedprice), 2) AS v3,
+           count(*) AS n
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_quantity >= 45
     GROUP BY o.o_orderkey, o.o_orderpriority
+    UNION ALL
+    SELECT 'child' AS op, l.l_orderkey AS key,
+           cast(l.l_linenumber AS VARCHAR) AS tag,
+           l.l_extendedprice AS v1, -1.0 AS v2, -1.0 AS v3,
+           cast(-1 AS BIGINT) AS n
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000
     """,
 )
-def block_join_parent(spark, sf_dir):
-    """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java:417):
+def block_join(spark, sf_dir):
+    """Block joins, one tagged union row. Parent leg =
+    ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java:417):
     parents whose CHILDREN match the child filter, with the Avg/Max/
     Total child-score aggregation modes of ScoreMode — orders are the
     parents, lineitems the nested children; the child score stands in
     for l_extendedprice. One equi-join + groupBy(parent) — at scale a
     co-partitioned (bucketed-by-orderkey) join, no index-time block
-    layout needed because Spark co-locates by key."""
+    layout needed because Spark co-locates by key. Child leg =
+    ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java): children
+    whose PARENT matches the parent filter — a semi-join from the
+    parent match set into the child table."""
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.round(F.max("l_extendedprice"), 2).alias("best_child"),
-             F.round(F.avg("l_extendedprice"), 4).alias("avg_child"),
-             F.round(F.sum("l_extendedprice"), 2).alias("total_child"),
-             F.count("*").alias("n_children"))
-    )
-
-
-@register(
-    "block_join_child",
-    """
-    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
-    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000
-    """,
-)
-def block_join_child(spark, sf_dir):
-    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java):
-    children whose PARENT matches the parent filter — a semi-join from
-    the parent match set into the child table."""
-    o = (load_table(spark, sf_dir, "orders")
-         .where((F.col("o_orderpriority") == "1-URGENT")
-                & (F.col("o_totalprice") > 300000)))
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.join(o.select("o_orderkey"),
-                    li.l_orderkey == F.col("o_orderkey"), "left_semi")
-            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    null_d = F.lit(-1.0)
+    parent = (
+        li.where(F.col("l_quantity") >= 45)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.max("l_extendedprice"), 2).alias("v1"),
+             F.round(F.avg("l_extendedprice"), 4).alias("v2"),
+             F.round(F.sum("l_extendedprice"), 2).alias("v3"),
+             F.count("*").alias("n"))
+        .select(F.lit("parent").alias("op"),
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderpriority").alias("tag"),
+                "v1", "v2", "v3", "n")
+    )
+    o_match = o.where((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_totalprice") > 300000))
+    child = (
+        li.join(o_match.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .select(F.lit("child").alias("op"),
+                F.col("l_orderkey").alias("key"),
+                F.col("l_linenumber").cast("string").alias("tag"),
+                F.col("l_extendedprice").alias("v1"),
+                null_d.alias("v2"), null_d.alias("v3"),
+                F.lit(-1).cast("long").alias("n"))
+    )
+    return parent.unionByName(child)
 
 
 @register(
@@ -983,53 +974,12 @@ _LAT = "(CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0)"
 _LON = "(CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0)"
 
 
-@register(
-    "geo_box",
-    f"""
-    SELECT c_custkey, round({_LAT}, 2) AS lat, round({_LON}, 2) AS lon
-    FROM customer
-    WHERE {_LAT} BETWEEN 10 AND 55 AND {_LON} BETWEEN -30 AND 40
-    """,
-)
-def geo_box(spark, sf_dir):
-    """LatLonPoint bounding-box query (document/LatLonPoint.java
-    newBoxQuery): pure column predicates — Parquet min/max pruning
-    plays the BKD tree's role at scale."""
-    c = load_table(spark, sf_dir, "customer")
-    lat, lon = F.expr(_LAT), F.expr(_LON)
-    return (c.where(lat.between(10, 55) & lon.between(-30, 40))
-            .select("c_custkey", F.round(lat, 2).alias("lat"),
-                    F.round(lon, 2).alias("lon")))
-
-
 _HAVERSINE = (
     "(2 * 6371.0088 * asin(sqrt("
     "pow(sin(radians(({lat} - {lat0}) / 2)), 2) + "
     "cos(radians({lat0})) * cos(radians({lat})) * "
     "pow(sin(radians(({lon} - {lon0}) / 2)), 2))))"
 )
-
-
-@register(
-    "geo_distance",
-    f"""
-    SELECT c_custkey,
-           round({_HAVERSINE.format(lat=_LAT, lon=_LON, lat0='48.85', lon0='2.35')}, 1)
-             AS km
-    FROM customer
-    WHERE {_HAVERSINE.format(lat=_LAT, lon=_LON, lat0='48.85', lon0='2.35')} <= 2000
-    """,
-)
-def geo_distance(spark, sf_dir):
-    """LatLonPoint distance query (document/LatLonPointDistanceQuery):
-    haversine (mean-earth-radius 6371.0088 km, Lucene SloppyMath.haversin
-    role) as JVM column math; at scale a bounding-box prefilter prunes
-    row groups before the trig."""
-    c = load_table(spark, sf_dir, "customer")
-    hav = F.expr(_HAVERSINE.format(lat=_LAT, lon=_LON,
-                                   lat0="48.85", lon0="2.35"))
-    return (c.where(hav <= 2000)
-            .select("c_custkey", F.round(hav, 1).alias("km")))
 
 
 # convex quadrilateral around central Europe; point-in-polygon via the
@@ -1050,19 +1000,49 @@ def _pip_sql(lat: str, lon: str) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+_HAV_SQL = _HAVERSINE.format(lat=_LAT, lon=_LON, lat0="48.85", lon0="2.35")
+
+
 @register(
-    "geo_polygon",
+    "geo_suite",
     f"""
-    SELECT c_custkey FROM customer WHERE {_pip_sql(_LAT, _LON)}
+    SELECT 'box' AS op, c_custkey,
+           round({_LAT}, 2) AS v1, round({_LON}, 2) AS v2
+    FROM customer
+    WHERE {_LAT} BETWEEN 10 AND 55 AND {_LON} BETWEEN -30 AND 40
+    UNION ALL
+    SELECT 'distance' AS op, c_custkey,
+           round({_HAV_SQL}, 1) AS v1, -9999.0 AS v2
+    FROM customer WHERE {_HAV_SQL} <= 2000
+    UNION ALL
+    SELECT 'polygon' AS op, c_custkey, -9999.0 AS v1, -9999.0 AS v2
+    FROM customer WHERE {_pip_sql(_LAT, _LON)}
     """,
 )
-def geo_polygon(spark, sf_dir):
-    """LatLonPoint polygon query (document/LatLonPointInPolygonQuery):
-    ray-casting parity test as column arithmetic (the tessellated-
-    triangle BKD walk of the reference is an index-side optimization;
-    a bbox prefilter serves that role at scale)."""
+def geo_suite(spark, sf_dir):
+    """LatLonPoint geo queries, one tagged union row: bounding box
+    (document/LatLonPoint.java newBoxQuery — pure column predicates,
+    Parquet min/max pruning plays the BKD tree's role at scale),
+    distance (document/LatLonPointDistanceQuery — haversine with mean
+    earth radius 6371.0088 km, the SloppyMath.haversin role, as JVM
+    column math), and polygon (document/LatLonPointInPolygonQuery —
+    ray-casting parity test as column arithmetic; the reference's
+    tessellated-triangle BKD walk is an index-side optimization whose
+    role a bbox prefilter serves at scale)."""
     c = load_table(spark, sf_dir, "customer")
-    return c.where(F.expr(_pip_sql(_LAT, _LON))).select("c_custkey")
+    lat, lon = F.expr(_LAT), F.expr(_LON)
+    null_d = F.lit(-9999.0)
+    box = (c.where(lat.between(10, 55) & lon.between(-30, 40))
+           .select(F.lit("box").alias("op"), "c_custkey",
+                   F.round(lat, 2).alias("v1"), F.round(lon, 2).alias("v2")))
+    hav = F.expr(_HAV_SQL)
+    dist = (c.where(hav <= 2000)
+            .select(F.lit("distance").alias("op"), "c_custkey",
+                    F.round(hav, 1).alias("v1"), null_d.alias("v2")))
+    poly = (c.where(F.expr(_pip_sql(_LAT, _LON)))
+            .select(F.lit("polygon").alias("op"), "c_custkey",
+                    null_d.alias("v1"), null_d.alias("v2")))
+    return box.unionByName(dist).unionByName(poly)
 
 
 @register(

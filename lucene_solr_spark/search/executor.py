@@ -291,6 +291,24 @@ class IndexSearcher:
                     .persist()
                 )
                 bp.count()
+                # collision guard, once per searcher lifetime: verify
+                # xxhash64 is injective over THIS index's vocabulary.
+                # Clause probes are restricted to dictionary terms
+                # (df > 0 — see search_many), so dict-level injectivity
+                # makes every join match exact; a violation (~1e-8 at
+                # 1M terms) falls back loudly instead of silently
+                # merging two terms' postings into one score.
+                chk = self.dict.agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct(
+                        F.xxhash64("field", "term")).alias("nk")).collect()[0]
+                if int(chk["n"]) != int(chk["nk"]):
+                    bp.unpersist()
+                    raise RuntimeError(
+                        "xxhash64(field, term) collision in the index "
+                        "dictionary — the int64-keyed batched path is "
+                        "unsafe for this index; use search()/search_df "
+                        "(string-keyed) instead")
                 self._batch_postings = bp
             finally:
                 spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -938,9 +956,18 @@ class IndexSearcher:
                 # four clause counts in ONE aggregate / shuffle column
                 flags = {"MUST": 1, "SHOULD": 1 << 11,
                          "FILTER": 1 << 22, "MUST_NOT": 1 << 33}[occur]
-                clause_rows.append(
-                    (qidx_of[qid], cq.field, cq.term, w, flags)
-                )
+                # df == 0 ⇒ the term is not in the dictionary, so the
+                # clause can never legitimately match a posting — don't
+                # let its tkey probe the join (an absent term's hash
+                # colliding with a real index term would otherwise
+                # silently adopt that term's postings). Semantics are
+                # preserved driver-side: req_rows still counts the
+                # clause, so a MUST/FILTER on an absent term yields the
+                # empty result exactly as an empty scorer would.
+                if df:
+                    clause_rows.append(
+                        (qidx_of[qid], cq.field, cq.term, w, flags)
+                    )
                 n_must += occur == "MUST"
                 n_filter += occur == "FILTER"
                 n_should += occur == "SHOULD"

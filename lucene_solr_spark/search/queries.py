@@ -80,9 +80,14 @@ def build_common_terms(q: CommonTermsQuery, dfs: dict[str, int],
                        doc_count: int) -> Query:
     """CommonTermsQuery.buildQuery semantics: split by the df cutoff;
     low-freq-only or high-freq-only collapse to a single boolean;
-    otherwise MUST(lowFreq) + SHOULD(highFreq)."""
+    otherwise MUST(lowFreq) + SHOULD(highFreq). Fractional cutoffs are
+    ceil'd: CommonTermsQuery.java:158 compares
+    df > ceil(maxTermFrequency * maxDoc), so a term with df exactly at
+    the ceiling is LOW-frequency."""
+    import math
+
     cutoff = (q.max_term_frequency if q.max_term_frequency >= 1.0
-              else q.max_term_frequency * doc_count)
+              else math.ceil(q.max_term_frequency * doc_count))
     low = [t for t in q.terms if dfs.get(t, 0) <= cutoff]
     high = [t for t in q.terms if dfs.get(t, 0) > cutoff]
     low_q = BooleanQuery(

@@ -37,11 +37,29 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from dataclasses import dataclass
+
 from ..index import codec
 from ..index.segments import SegmentIndex
 from . import bm25
 from .executor import _str_in
 from .queries import BooleanQuery, Query, TermQuery, TopDoc
+
+
+@dataclass(frozen=True)
+class _SegPlan:
+    """Flattened term-level boolean plan (SegmentSearcher._flatten)."""
+
+    scoring: list  # [(term, boost)] — MUST + SHOULD clauses
+    must: frozenset  # MUST subset of the scoring terms
+    filters: frozenset  # FILTER terms (match, no score)
+    excludes: frozenset  # MUST_NOT terms
+    need: int  # resolved minimum SHOULD matches
+
+    @property
+    def all_terms(self) -> set:
+        return ({t for t, _ in self.scoring} | set(self.filters)
+                | set(self.excludes))
 
 
 class _TermBlocks:
@@ -100,10 +118,33 @@ def segment_topk(
     deleted: np.ndarray | None = None,
     tb_cache: dict | None = None,
     dec_cache: dict | None = None,
+    must: frozenset[str] | set[str] = frozenset(),
+    filters: frozenset[str] | set[str] = frozenset(),
+    excludes: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k (docids, float32 scores) for a scored disjunction
-    over one segment's block rows. Returns arrays sorted by
+    """Exact top-k (docids, float32 scores) for a scored boolean over
+    one segment's block rows. Returns arrays sorted by
     (score desc, docid asc), length ≤ k.
+
+    ``weights`` holds the SCORING clauses (MUST + SHOULD; terms listed
+    in ``must`` are the MUST subset). ``filters`` are non-scoring
+    required terms (FILTER occur), ``excludes`` are MUST_NOT terms.
+    Match semantics mirror IndexSearcher._compile_boolean exactly: a
+    doc matches iff it matches EVERY must term, EVERY filter term, at
+    least ``min_should_match`` SHOULD terms (caller pre-computes the
+    BooleanQuery "SHOULD required only when nothing else is" rule into
+    this value), and NO exclude term; score = float32(Σ float64 of the
+    float32 scoring partials) — FILTER contributes 0.
+
+    Conjunctions run under block-max pruning too, Lucene's
+    BlockMaxConjunctionScorer / Boolean2ScorerSupplier.java:93-164
+    role: a candidate window is skipped without decoding when (a) any
+    must/filter term has no block overlapping it — no doc in the
+    window can satisfy the conjunction — or (b) the sum of the
+    overlapping scoring blocks' max impacts is below the k-th score.
+    Windows advance block-at-a-time in docID order (boundary = min
+    last_docid over required+optional current blocks), so pruning
+    never changes results, only decode work.
 
     seg_blocks: the segment's block rows (DataFrame), or a prebuilt
     {term: rows} mapping. tb_cache/dec_cache (optional, per segment)
@@ -114,28 +155,68 @@ def segment_topk(
         groups = seg_blocks
     else:
         groups = {t: r for t, r in seg_blocks.groupby("term", sort=False)}
-    terms: list[_TermBlocks] = []
-    wts: list[np.float32] = []
-    for term, w in weights.items():
-        if not w:
-            continue
+
+    def get_tb(term: str) -> _TermBlocks | None:
         tb = tb_cache.get(term) if tb_cache is not None else None
         if tb is None:
             rows = groups.get(term)
             if rows is None or not len(rows):
-                continue
+                return None
             tb = _TermBlocks(rows, cache)
             if tb_cache is not None:
                 tb_cache[term] = tb
+        return tb
+
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+    n_must = len(must)
+    n_filt = len(filters)
+    need = int(min_should_match)
+
+    terms: list[_TermBlocks] = []   # scoring clauses present in segment
+    wts: list[np.float32] = []
+    is_must: list[bool] = []
+    n_should_present = 0
+    for term, w in weights.items():
+        tb = get_tb(term)
+        if tb is None:
+            if term in must:
+                return empty  # required term absent → segment matches nothing
+            continue
+        if term not in must and not w and need == 0:
+            # zero-weight SHOULD can neither score nor satisfy msm
+            continue
         terms.append(tb)
         wts.append(np.float32(w))
-    if not terms:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+        is_must.append(term in must)
+        n_should_present += term not in must
+    filt_tbs: list[_TermBlocks] = []
+    for term in sorted(filters):
+        tb = get_tb(term)
+        if tb is None:
+            return empty
+        filt_tbs.append(tb)
+    excl_tbs: list[_TermBlocks] = []
+    for term in sorted(excludes):
+        tb = get_tb(term)
+        if tb is not None:
+            excl_tbs.append(tb)
+
+    if sum(is_must) < n_must:        # a MUST term had weight 0 / df 0
+        return empty
+    if not terms and not filt_tbs:
+        return empty
+    if need > n_should_present:      # msm unsatisfiable in this segment
+        return empty
 
     T = len(terms)
+    NF = len(filt_tbs)
+    NX = len(excl_tbs)
     ptr = [0] * T
+    fptr = [0] * NF
+    xptr = [0] * NX
     decoded = dec_cache if dec_cache is not None else {}
     local_dec = dec_cache is None
+    pure_disjunction = n_must == 0 and NF == 0 and NX == 0
 
     top_d = np.zeros(0, dtype=np.int64)
     top_s = np.zeros(0, dtype=np.float32)
@@ -144,31 +225,74 @@ def segment_topk(
 
     while True:
         active = [t for t in range(T) if ptr[t] < terms[t].nblocks]
-        if not active:
+        f_active = [i for i in range(NF) if fptr[i] < filt_tbs[i].nblocks]
+        # a required stream exhausting ends the traversal: no doc past
+        # its last block can complete the conjunction
+        if any(not (ptr[t] < terms[t].nblocks)
+               for t in range(T) if is_must[t]):
             break
-        boundary = min(int(terms[t].last[ptr[t]]) for t in active)
-        overlap = [t for t in active if int(terms[t].first[ptr[t]]) <= boundary]
+        if len(f_active) < NF:
+            break
+        if not active and not f_active:
+            break
+        bounds = [int(terms[t].last[ptr[t]]) for t in active]
+        bounds += [int(filt_tbs[i].last[fptr[i]]) for i in f_active]
+        boundary = min(bounds)
+        overlap = [t for t in active
+                   if int(terms[t].first[ptr[t]]) <= boundary]
+        f_overlap = [i for i in f_active
+                     if int(filt_tbs[i].first[fptr[i]]) <= boundary]
 
-        skip = False
-        if use_wand and theta is not None and min_should_match <= 1:
+        # conjunction skip: a required term with no block in the window
+        # means no doc in the window matches (gap in its posting list)
+        conj_miss = (
+            sum(is_must[t] for t in overlap) < n_must
+            or len(f_overlap) < NF
+        )
+        skip = conj_miss
+        if not skip and use_wand and theta is not None and need <= 1:
             ub_sum = float(np.sum(np.asarray(
                 [np.float32(wts[t] * terms[t].ub_unit[ptr[t]])
                  for t in overlap], dtype=np.float64)))
             skip = ub_sum < float(theta)
 
-        if not skip and overlap:
+        if not skip and (overlap or f_overlap):
             all_d: list[np.ndarray] = []
             all_s: list[np.ndarray] = []
+            all_m: list[np.ndarray] = []   # 1 when the row is a MUST match
+            all_sh: list[np.ndarray] = []  # 1 when the row is a SHOULD match
+            all_f: list[np.ndarray] = []   # 1 when the row is a FILTER match
             for t in overlap:
                 key = (id(terms[t]), ptr[t])
                 if key not in decoded:
                     decoded[key] = terms[t].decode(ptr[t], cache)
                 d, u = decoded[key]
                 m = (d > cursor) & (d <= boundary)
-                all_d.append(d[m])
+                dm = d[m]
+                all_d.append(dm)
                 all_s.append((wts[t] * u[m]).astype(np.float32))
+                one = np.ones(dm.size, dtype=np.int64)
+                zero = np.zeros(dm.size, dtype=np.int64)
+                all_m.append(one if is_must[t] else zero)
+                all_sh.append(zero if is_must[t] else one)
+                all_f.append(zero)
+            for i in f_overlap:
+                tb = filt_tbs[i]
+                key = (id(tb), fptr[i])
+                if key not in decoded:
+                    decoded[key] = tb.decode(fptr[i], cache)
+                d, _u = decoded[key]
+                m = (d > cursor) & (d <= boundary)
+                dm = d[m]
+                all_d.append(dm)
+                all_s.append(np.zeros(dm.size, dtype=np.float32))
+                z = np.zeros(dm.size, dtype=np.int64)
+                all_m.append(z)
+                all_sh.append(z)
+                all_f.append(np.ones(dm.size, dtype=np.int64))
             d_cat = np.concatenate(all_d)
             s_cat = np.concatenate(all_s)
+            live = None
             if deleted is not None and deleted.size and d_cat.size:
                 live = ~np.isin(d_cat, deleted)  # liveDocs mask (.liv role)
                 d_cat, s_cat = d_cat[live], s_cat[live]
@@ -176,10 +300,47 @@ def segment_topk(
                 uds, inv = np.unique(d_cat, return_inverse=True)
                 sums = np.bincount(inv, weights=s_cat.astype(np.float64))
                 scores = sums.astype(np.float32)
-                if min_should_match > 1:
-                    hits = np.bincount(inv)
-                    keep = hits >= min_should_match
+                if pure_disjunction:
+                    if need > 1:
+                        hits = np.bincount(inv)
+                        keep = hits >= need
+                        uds, scores = uds[keep], scores[keep]
+                else:
+                    m_cat = np.concatenate(all_m)
+                    sh_cat = np.concatenate(all_sh)
+                    f_cat = np.concatenate(all_f)
+                    if live is not None:
+                        m_cat, sh_cat, f_cat = (m_cat[live], sh_cat[live],
+                                                f_cat[live])
+                    keep = np.ones(uds.size, dtype=bool)
+                    if n_must:
+                        keep &= np.bincount(inv, weights=m_cat) == n_must
+                    if NF:
+                        keep &= np.bincount(inv, weights=f_cat) == NF
+                    if need:
+                        keep &= np.bincount(inv, weights=sh_cat) >= need
                     uds, scores = uds[keep], scores[keep]
+                if uds.size and NX:
+                    # exclusion: decode MUST_NOT blocks overlapping the
+                    # window (ReqExclScorer.java role)
+                    ex: list[np.ndarray] = []
+                    for i in range(NX):
+                        tb = excl_tbs[i]
+                        while (xptr[i] < tb.nblocks
+                               and int(tb.last[xptr[i]]) <= cursor):
+                            xptr[i] += 1
+                        j = xptr[i]
+                        while (j < tb.nblocks
+                               and int(tb.first[j]) <= boundary):
+                            key = (id(tb), j)
+                            if key not in decoded:
+                                decoded[key] = tb.decode(j, cache)
+                            ex.append(decoded[key][0])
+                            j += 1
+                    if ex:
+                        excl_d = np.concatenate(ex)
+                        live = ~np.isin(uds, excl_d)
+                        uds, scores = uds[live], scores[live]
                 if uds.size:
                     cd = np.concatenate([top_d, uds])
                     cs = np.concatenate([top_s, scores])
@@ -195,6 +356,11 @@ def segment_topk(
                 if local_dec:
                     decoded.pop((id(terms[t]), ptr[t]), None)
                 ptr[t] += 1
+        for i in f_active:
+            if int(filt_tbs[i].last[fptr[i]]) <= boundary:
+                if local_dec:
+                    decoded.pop((id(filt_tbs[i]), fptr[i]), None)
+                fptr[i] += 1
 
     return top_d, top_s
 
@@ -202,6 +368,12 @@ def segment_topk(
 class SegmentSearcher:
     """IndexSearcher over the compressed segment index; flagship
     BM25 top-k path with block-max WAND."""
+
+    #: driver-side term→df cache cap: a real-corpus vocabulary can be
+    #: billions of terms — beyond this the searcher falls back to the
+    #: pushed-down dictionary scan per query (same guard as
+    #: IndexSearcher.DICT_CACHE_MAX, executor.py)
+    DICT_CACHE_MAX = 5_000_000
 
     def __init__(self, index: SegmentIndex, cache: bool = False):
         self.index = index
@@ -221,8 +393,10 @@ class SegmentSearcher:
         if cache:
             self.blocks.persist()
             self.blocks.count()
-            pdf = self.dict.select("term", "df").toPandas()
-            self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
+            self.dict.persist()
+            if self.dict.count() <= self.DICT_CACHE_MAX:
+                pdf = self.dict.select("term", "df").toPandas()
+                self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
 
     # -- planning -------------------------------------------------------
     def _stats(self, terms: set[str]) -> dict[str, int]:
@@ -234,48 +408,91 @@ class SegmentSearcher:
         return {r["term"]: int(r["df"]) for r in rows}
 
     @staticmethod
-    def _flatten(q: Query) -> tuple[list[tuple[str, float]], int]:
-        """(term, boost) clauses + msm for term/SHOULD-boolean queries."""
+    def _flatten(q: Query) -> "_SegPlan":
+        """Term-level boolean plan for the compressed path: scoring
+        (MUST+SHOULD) clauses with boosts, the MUST subset, FILTER and
+        MUST_NOT term sets, and the resolved minimum-SHOULD-match
+        ("SHOULD required only when nothing else is",
+        BooleanQuery semantics — same rule as
+        IndexSearcher._compile_boolean)."""
         if isinstance(q, TermQuery):
-            return [(q.term, q.boost)], 0
+            return _SegPlan([(q.term, q.boost)], frozenset(), frozenset(),
+                            frozenset(), 0)
         if isinstance(q, BooleanQuery):
-            out = []
+            scoring: list[tuple[str, float]] = []
+            must: set[str] = set()
+            filters: set[str] = set()
+            excludes: set[str] = set()
+            n_should = 0
             for c in q.clauses:
-                if c.occur != "SHOULD" or not isinstance(c.query, TermQuery):
+                if not isinstance(c.query, TermQuery):
                     raise TypeError(
-                        "SegmentSearcher supports term disjunctions "
-                        "(SHOULD-only boolean over terms); use IndexSearcher "
-                        "for the general boolean algebra"
+                        "SegmentSearcher supports term-level boolean "
+                        "algebra (MUST/SHOULD/FILTER/MUST_NOT over terms); "
+                        "use IndexSearcher for nested/compound clauses"
                     )
-                out.append((c.query.term, c.query.boost * q.boost))
-            return out, q.minimum_should_match
+                t = c.query.term
+                if c.occur in ("MUST", "SHOULD"):
+                    if any(t == s for s, _ in scoring):
+                        raise TypeError(
+                            "duplicate scoring term across clauses; use "
+                            "IndexSearcher")
+                    scoring.append((t, c.query.boost * q.boost))
+                    if c.occur == "MUST":
+                        must.add(t)
+                    else:
+                        n_should += 1
+                elif c.occur == "FILTER":
+                    filters.add(t)
+                elif c.occur == "MUST_NOT":
+                    excludes.add(t)
+                else:
+                    raise TypeError(f"unknown occur {c.occur}")
+            msm = q.minimum_should_match
+            need = (msm if (must or filters) else max(msm, 1)) if n_should else 0
+            return _SegPlan(scoring, frozenset(must), frozenset(filters),
+                            frozenset(excludes), need)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _weights(self, plan: _SegPlan) -> dict[str, float] | None:
+        """BM25 clause weights for a plan's scoring terms; None when
+        the query can match nothing (a MUST term absent from the
+        dictionary — empty scorer kills the conjunction)."""
+        stats = self._stats({t for t, _ in plan.scoring})
+        weights: dict[str, float] = {}
+        for t, b in plan.scoring:
+            df = stats.get(t, 0)
+            if not df:
+                if t in plan.must:
+                    return None
+                continue
+            weights[t] = float(self.scorer.weight(df, b))
+        return weights
 
     # -- execution ------------------------------------------------------
     def search_df(self, q: Query, k: int = 10, use_wand: bool = True) -> DataFrame:
-        clauses, msm = self._flatten(q)
-        stats = self._stats({t for t, _ in clauses})
-        weights = {
-            t: float(self.scorer.weight(stats[t], b))
-            for t, b in clauses if stats.get(t)
-        }
+        plan = self._flatten(q)
+        weights = self._weights(plan)
         spark = self.index.spark
-        if not weights:
+        if weights is None or (not weights and not plan.filters):
             return spark.createDataFrame([], "docid long, score float")
         cache = self.scorer.cache
-        need = max(msm, 1) if msm else 0
+        need = plan.need
+        must, filters, excludes = plan.must, plan.filters, plan.excludes
 
         deleted = self.deleted if self.deleted.size else None
 
         def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = segment_topk(pdf, weights, cache, k,
                                 min_should_match=need, use_wand=use_wand,
-                                deleted=deleted)
+                                deleted=deleted, must=must, filters=filters,
+                                excludes=excludes)
             return pd.DataFrame({"docid": d.astype(np.int64),
                                  "score": s.astype(np.float32)})
 
+        scan_terms = sorted(set(weights) | set(filters) | set(excludes))
         filtered = self.blocks.where(
-            _str_in("term", list(weights))
+            _str_in("term", scan_terms)
         ).select("segment", "term", "block_ord", "n", "first_docid",
                  "last_docid", "docids", "tfs", "norms", "imp_tfs", "imp_norms")
         per_seg = filtered.groupBy("segment").applyInPandas(
@@ -311,15 +528,28 @@ class SegmentSearcher:
         spark = self.index.spark
         qid_list = list(queries)
         flat = {qid: self._flatten(q) for qid, q in queries.items()}
-        term_set = {t for clauses, _ in flat.values() for t, _ in clauses}
+        term_set = {t for p in flat.values() for t, _ in p.scoring}
         stats = self._stats(term_set)
-        plans: list[tuple[dict[str, float], int]] = []
+        plans: list[tuple[dict[str, float], _SegPlan] | None] = []
+        scan_term_set: set[str] = set()
         for qid in qid_list:
-            clauses, msm = flat[qid]
-            w = {t: float(self.scorer.weight(stats[t], b))
-                 for t, b in clauses if stats.get(t)}
-            plans.append((w, max(msm, 1) if msm else 0))
-        terms_present = sorted({t for w, _ in plans for t in w})
+            p = flat[qid]
+            w: dict[str, float] = {}
+            dead = False
+            for t, b in p.scoring:
+                df = stats.get(t, 0)
+                if not df:
+                    if t in p.must:
+                        dead = True  # MUST on absent term → empty result
+                        break
+                    continue
+                w[t] = float(self.scorer.weight(df, b))
+            if dead or (not w and not p.filters):
+                plans.append(None)
+                continue
+            plans.append((w, p))
+            scan_term_set |= set(w) | set(p.filters) | set(p.excludes)
+        terms_present = sorted(scan_term_set)
         if not terms_present:
             return spark.createDataFrame(
                 [], ("qidx int" if _raw else "qid string")
@@ -336,13 +566,15 @@ class SegmentSearcher:
             tb_cache: dict = {}
             dec_cache: dict = {}
             out_q, out_d, out_s = [], [], []
-            for qi, (w, need) in enumerate(plans):
-                if not w:
+            for qi, entry in enumerate(plans):
+                if entry is None:
                     continue
+                w, p = entry
                 d, s = segment_topk(
-                    groups, w, cache, kk, min_should_match=need,
+                    groups, w, cache, kk, min_should_match=p.need,
                     use_wand=use_wand, deleted=deleted,
-                    tb_cache=tb_cache, dec_cache=dec_cache)
+                    tb_cache=tb_cache, dec_cache=dec_cache,
+                    must=p.must, filters=p.filters, excludes=p.excludes)
                 if d.size:
                     out_q.append(np.full(d.size, qi, dtype=np.int32))
                     out_d.append(d)

@@ -259,17 +259,28 @@ class IncrementalIndexer:
 
     # -- updates / deletes ----------------------------------------------
     def delete_by_key(self, spark, keys_df: DataFrame,
-                      key_cols: tuple[str, ...] = ("repo", "path")) -> int:
+                      key_cols: tuple[str, ...] = ("repo", "path"),
+                      max_docid: int | None = None) -> int:
         """Tombstone every indexed doc whose key matches a row of
         ``keys_df`` (delete-by-term, index/DocumentsWriter.java:476-494
         semantics): resolve docids from the docmap, append to the
         tombstone table. Deleted docs stop matching immediately
         (liveDocs anti-join/mask in both searchers); their postings are
-        physically dropped at the next compaction."""
+        physically dropped at the next compaction.
+
+        ``max_docid`` bounds the resolution to docids < max_docid —
+        upsert_batch passes the manifest's committed doc_count so a
+        retried half-applied batch never tombstones its own rows (a
+        crashed attempt may have moved docmap segment dirs into place
+        before committing; those rows carry docids >= the committed
+        doc_count)."""
         idx = SegmentIndex(self.root, spark)
         if not os.path.exists(idx.docmap_path):
             return 0
-        hits = (idx.docmap()
+        dm = idx.docmap()
+        if max_docid is not None:
+            dm = dm.where(F.col("docid") < int(max_docid))
+        hits = (dm
                 .join(keys_df.select(*key_cols).distinct(),
                       list(key_cols), "left_semi")
                 .select("docid").collect())
@@ -282,13 +293,18 @@ class IncrementalIndexer:
         `MERGE INTO` role keyed on ``key_cols``): tombstone any older
         version of each incoming doc, then flush the batch as new
         segments with fresh docids. Idempotent like process_batch —
-        a committed batch_id is skipped entirely (duplicate tombstone
-        rows from a retried half-applied batch are harmless: the
-        tombstone set is read distinct)."""
+        a committed batch_id is skipped entirely, and tombstone
+        resolution is bounded to docids below the COMMITTED doc_count:
+        a retry of a half-applied batch (crash after the docmap
+        segment dirs moved into place, before the manifest commit)
+        would otherwise resolve the batch's own just-ingested rows and
+        tombstone the very docids process_batch deterministically
+        re-assigns."""
         state = self._load_state()
         if batch_id <= int(state.get("last_batch_id", -1)):
             return
-        self.delete_by_key(batch_df.sparkSession, batch_df, key_cols)
+        self.delete_by_key(batch_df.sparkSession, batch_df, key_cols,
+                           max_docid=int(state.get("doc_count", 0)))
         self.process_batch(batch_df, batch_id)
 
     # -- stream wiring ---------------------------------------------------

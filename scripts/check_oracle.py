@@ -70,7 +70,9 @@ def main():
     oracles = entrymod.oracle_sql()
     ok = bad = weak = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        import re
+
+        if name_filter and not re.search(name_filter, name):
             continue
         t0 = time.time()
         try:

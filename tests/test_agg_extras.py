@@ -36,5 +36,4 @@ def test_percentile_approx_tracks_exact(spark):
 
 
 def test_suite_entries_registered():
-    assert "agg_hll_unique" in QUERIES
-    assert "agg_percentile" in QUERIES
+    assert "agg_sketches" in QUERIES

@@ -49,5 +49,5 @@ def test_errors():
 def test_suite_entry_registered():
     from lucene_solr_spark.relational.suite import ORACLES, QUERIES
 
-    assert "date_math_window" in QUERIES
-    assert "date_math_window" in ORACLES
+    assert "time_series" in QUERIES
+    assert "time_series" in ORACLES

@@ -51,10 +51,11 @@ def test_docfreq_and_idf_literals(spark, searcher):
     vals = {r["score"] for r in
             fq.dataframe(f"docfreq(content,'{t}')").collect()}
     assert vals == {df_}
-    idf = {r["score"] for r in fq.dataframe(f"idf(content,'{t}')").collect()}
+    idf = sorted({r["score"] for r in
+                  fq.dataframe(f"idf(content,'{t}')").collect()})
     exp_idf = float(np.float32(math.log(
         1 + (searcher.doc_count - df_ + 0.5) / (df_ + 0.5))))
-    assert idf == {pytest.approx(exp_idf)}
+    assert idf == [pytest.approx(exp_idf)]
 
 
 def test_composed_arithmetic(spark, searcher):
@@ -78,4 +79,4 @@ def test_if_exists_and_log(spark, searcher):
     fq = FunctionQueryCompiler(searcher)
     got = {r["docid"]: r["score"] for r in fq.dataframe(
         f"if(exists(field(dl)), log(100), 0)").collect()}
-    assert set(got.values()) == {pytest.approx(2.0)}
+    assert sorted(set(got.values())) == [pytest.approx(2.0)]

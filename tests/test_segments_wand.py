@@ -165,3 +165,88 @@ def test_kill_and_resume_identical(spark, tmp_path_factory, built):
     cps = idx2.checkpoints().where("stage = 'blocks'").collect()
     assert sorted(r["chunk"] for r in cps) == list(range(len(cps)))
     assert all(r["docs_per_sec"] > 0 for r in cps)
+
+
+def test_boolean_mixes_identical_to_oracle(built):
+    """MUST/FILTER/MUST_NOT on the compressed path (block-max
+    conjunction, Boolean2ScorerSupplier.java:93-164 /
+    BlockMaxConjunctionScorer.java role): rank/score identity vs the
+    pure-Python oracle AND vs exhaustive (WAND off) evaluation."""
+    _, searcher, oracle, _ = built
+    t = _terms_by_df(oracle, 6)
+    cases = {
+        "must2": BooleanQuery.of(must=[TermQuery(t[-1]), TermQuery(t[-2])]),
+        "must_should": BooleanQuery.of(
+            must=[TermQuery(t[-1])],
+            should=[TermQuery(t[1]), TermQuery(t[2])]),
+        "must_not": BooleanQuery.of(
+            should=[TermQuery(t[-1]), TermQuery(t[2])],
+            must_not=[TermQuery(t[1])]),
+        "must_and_not": BooleanQuery.of(
+            must=[TermQuery(t[-1])], must_not=[TermQuery(t[0])]),
+        "filter_should": BooleanQuery.of(
+            should=[TermQuery(t[2]), TermQuery(t[3])],
+            filter=[TermQuery(t[-1])]),
+        "filter_only": BooleanQuery.of(filter=[TermQuery(t[-2])]),
+        "must_msm": BooleanQuery.of(
+            must=[TermQuery(t[-1])],
+            should=[TermQuery(ti) for ti in t[:3]],
+            minimum_should_match=2),
+        "boosted_mix": BooleanQuery.of(
+            must=[TermQuery(t[-1], boost=1.5)],
+            should=[TermQuery(t[2], boost=0.5)],
+            must_not=[TermQuery(t[0])]),
+        "must_absent": BooleanQuery.of(must=[TermQuery("zz_not_a_term")],
+                                       should=[TermQuery(t[-1])]),
+        "not_absent": BooleanQuery.of(
+            must=[TermQuery(t[-1])],
+            must_not=[TermQuery("zz_not_a_term")]),
+    }
+    for name, q in cases.items():
+        exp = oracle.search(q, 12)
+        got = searcher.search(q, 12, use_wand=True)
+        exhaustive = searcher.search(q, 12, use_wand=False)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], name
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exhaustive], name
+
+
+def test_boolean_mixes_batched_identical(built):
+    """The batched (search_many) path must agree with solo search for
+    boolean mixes too — shared decode caches across queries."""
+    _, searcher, oracle, _ = built
+    t = _terms_by_df(oracle, 6)
+    batch = {
+        "conj": BooleanQuery.of(must=[TermQuery(t[-1]), TermQuery(t[-2])]),
+        "mixed": BooleanQuery.of(
+            must=[TermQuery(t[-1])],
+            should=[TermQuery(t[1]), TermQuery(t[2])],
+            must_not=[TermQuery(t[0])]),
+        "filt": BooleanQuery.of(
+            should=[TermQuery(t[2])], filter=[TermQuery(t[-1])]),
+        "plain": BooleanQuery.of(should=[TermQuery(t[1]), TermQuery(t[-1])]),
+    }
+    got = searcher.search_many(batch, 12)
+    for qid, q in batch.items():
+        exp = searcher.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+        oexp = oracle.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in oexp], qid
+
+
+def test_segment_dict_cache_guard(built, monkeypatch):
+    """A vocabulary larger than DICT_CACHE_MAX must not be pulled to
+    the driver: the searcher leaves _df_map unset and falls back to
+    the pushed-down dictionary scan (VERDICT r2 wrong #4)."""
+    idx, cached_searcher, oracle, _ = built
+    monkeypatch.setattr(SegmentSearcher, "DICT_CACHE_MAX", 1)
+    s = SegmentSearcher(idx, cache=True)
+    assert s._df_map is None
+    t = _terms_by_df(oracle, 2)[-1]
+    exp = oracle.search(TermQuery(t), 5)
+    got = s.search(TermQuery(t), 5)  # dictionary-scan _stats path
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
