@@ -189,6 +189,19 @@ def _engine_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docid", F.col("score").cast("double").alias("score"))
 
 
+def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms end-to-end: Solr-format rule parsing →
+    query expansion (QueryBuilder.newSynonymQuery role) → SynonymQuery
+    pseudo-term BM25 scoring; bit-exact DuckDB oracle."""
+    from lucene_solr_spark.analysis.synonym import SynonymMap, expand_query
+
+    s = _searcher(spark, sf_dir)
+    syn = SynonymMap.parse("vector, array, matrix\nspark => engine")
+    q = expand_query(TermQuery("vector"), syn)
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: tf-idf term extraction → disjunction query."""
     from lucene_solr_spark.search import components as C
@@ -222,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_suggest"] = _engine_suggest
     out["engine_mlt"] = _engine_mlt
     out["engine_edismax"] = _engine_edismax
+    out["engine_synonym"] = _engine_synonym
     out.update(QUERIES)
     return out
 
@@ -241,5 +255,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_suggest"] = sqlgen.suggest_sql()
     out["engine_mlt"] = sqlgen.mlt_sql()
     out["engine_edismax"] = sqlgen.edismax_topk()
+    out["engine_synonym"] = sqlgen.synonym_topk(("array", "matrix", "vector"))
     out.update(ORACLES)
     return out

@@ -124,8 +124,21 @@ class OracleIndex:
             if not plist:
                 return {}
             fscorer = self.scorer(q.field)
-            w = fscorer.weight(len(plist), boost * q.boost)
             out = {}
+            if getattr(fscorer, "needs_ttf", False):
+                # SimilarityBase family (LM/DFR): per-term collection
+                # stats, not a precomputed weight (SimilarityBase.java
+                # fillBasicStats → BasicSimScorer.score)
+                df = len(plist)
+                ttf = sum(tf for _, tf, _ in plist)
+                for docid, tf, _ in plist:
+                    s = fscorer.stats_partial(
+                        np.array([tf]),
+                        np.array([self._norm(q.field, docid)]),
+                        boost * q.boost, df, ttf)[0]
+                    out[docid] = float(s)
+                return out
+            w = fscorer.weight(len(plist), boost * q.boost)
             for docid, tf, _ in plist:
                 s = fscorer.partial(
                     np.array([tf]), np.array([self._norm(q.field, docid)]), w)[0]

@@ -166,6 +166,38 @@ def bm25_bool_topk(should: tuple[str, ...], must: tuple[str, ...] = (),
   ORDER BY score DESC, docid ASC LIMIT {k}""")
 
 
+def synonym_topk(members: tuple[str, ...], k: int = 10,
+                 boost: float = 1.0) -> str:
+    """SynonymQuery scored as ONE pseudo-term (SynonymQuery.java:
+    144-158, freq sum :446-455): per-doc freq = SUM of member tfs,
+    df = MAX of member dfs, one BM25 call — weight f32(k1p1*boost)*idf,
+    partial w * f32(freq/(freq+cache)), same float discipline as
+    term_score_ctes."""
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in members) + ")"
+    bf = float(np.float32(boost))
+    w1 = f"CAST(CAST({K1P1!r}::DOUBLE AS REAL) * {bf!r}::DOUBLE AS REAL)"
+    idf = (f"CAST(ln(1 + ((SELECT n FROM st) - df + 0.5)"
+           f" / (df + 0.5)) AS REAL)")
+    return ("WITH " + base_ctes() + f""",
+  mdf AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT docid, term FROM tok WHERE {pred})
+    GROUP BY term
+  ),
+  sdf AS (SELECT max(df) AS df FROM mdf),
+  sw AS (SELECT {w1} * {idf} AS w FROM sdf),
+  stf AS (
+    SELECT docid, count(*) AS tf FROM tok WHERE {pred} GROUP BY docid
+  )
+  SELECT t.docid,
+         CAST((SELECT w FROM sw)
+              * CAST(CAST(t.tf AS DOUBLE)
+                     / (CAST(t.tf AS DOUBLE) + CAST(c.cache AS DOUBLE))
+                AS REAL) AS DOUBLE) AS score
+  FROM stf t JOIN dc c ON c.docid = t.docid
+  ORDER BY score DESC, t.docid ASC LIMIT {k}""")
+
+
 def prefix_topk(prefix: str, k: int = 10) -> str:
     """PrefixQuery scoring_boolean rewrite: every matching dictionary
     term scores as a SHOULD TermQuery."""

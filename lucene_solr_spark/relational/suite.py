@@ -829,42 +829,75 @@ def cartesian_unnest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # ANN / embeddings
 # ---------------------------------------------------------------------------
-@register(
-    "ann_cosine_knn",
+def _ann_sql() -> str:
+    from .pipeline import _QE_DUCK, _SRP_BAND_UNION_DUCK, _srp_bits_duck
+
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             {_QE_DUCK} AS qe
+      FROM embeddings
+    ),
+    sk AS (SELECT vec_id, {_srp_bits_duck()} AS bits FROM n),
+    bands AS ({_SRP_BAND_UNION_DUCK}),
+    qb AS (SELECT band_id, band_hash FROM bands WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id FROM bands b
+      JOIN qb USING (band_id, band_hash) WHERE b.vec_id <> 0
+    ),
+    qv AS (SELECT e, nrm FROM n WHERE vec_id = 0)
+    SELECT c.vec_id,
+           round(list_dot_product(x.e, (SELECT e FROM qv))
+                 / (x.nrm * (SELECT nrm FROM qv)), 4) AS cos_sim
+    FROM cand c JOIN n x ON x.vec_id = c.vec_id
+    ORDER BY cos_sim DESC, c.vec_id ASC LIMIT 20
     """
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    sims AS (
-      SELECT e.vec_id AS vec_id,
-             round(
-               list_dot_product(e.embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product((SELECT qv FROM q)::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])))
-             , 4) AS cos_sim
-      FROM embeddings e WHERE e.vec_id <> 0
-    )
-    SELECT vec_id, cos_sim FROM sims
-    ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
-    """,
-)
+
+
+@register("ann_cosine_knn", _ann_sql())
 def ann_cosine_knn(spark, sf_dir):
-    """Brute-force cosine top-k over an embedding column (similarity
-    search baseline; training-data op). JVM-side F.aggregate/zip_with
-    dot products in double — no Python in the loop."""
+    """APPROXIMATE nearest neighbors over the embedding column
+    (similarity search; training-data op): the query vector probes the
+    sign-random-projection band table (the same deterministic SRP
+    sketch as embedding_near_dup, pipeline.py) for candidates sharing
+    >= 1 of 16 4-bit bands, then ONLY candidates get the exact cosine
+    + top-k rerank. Per query the work is a broadcast equi-join on
+    (band_id, band_hash) + O(candidates) math — no corpus-wide scan
+    per query (the banded sketch is the index; at scale it is
+    precomputed once and bucketed by band_hash, so a query touches
+    only its bands' buckets). Deterministic sketch → the DuckDB oracle
+    reproduces the identical candidate set, so this row stays
+    hash-exact despite being approximate."""
+    from .pipeline import _N_SRP_BANDS, _QE_SPARK, _DOT, SRP_BAND, _srp_bits_spark
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    dot = "aggregate(zip_with(ed, qd, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    nrm = "sqrt(aggregate(zip_with({0}, {0}, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        F.expr(_QE_SPARK).alias("qe"),
+    ).withColumn("nrm", F.sqrt(F.expr(_DOT.format("e", "e"))))
+    sk = n.select("vec_id", "e", "nrm", F.expr(_srp_bits_spark()).alias("bits"))
+    band_rows = ", ".join(
+        f"{b}, substring(bits, {b * SRP_BAND + 1}, {SRP_BAND})"
+        for b in range(_N_SRP_BANDS)
+    )
+    bands = sk.select(
+        "vec_id",
+        F.expr(f"stack({_N_SRP_BANDS}, {band_rows}) as (band_id, band_hash)"),
+    ).select("vec_id", "band_id", "band_hash")
+    qb = bands.where(F.col("vec_id") == 0).select("band_id", "band_hash")
+    cand = (
+        bands.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), ["band_id", "band_hash"])
+        .select("vec_id").distinct()
+    )
+    qv = n.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("q_e"), F.col("nrm").alias("q_nrm"))
+    cos = F.expr(_DOT.format("e", "q_e")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        emb.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn("ed", F.expr("transform(embedding, x -> cast(x as double))"))
-        .withColumn("qd", F.expr("transform(qv, x -> cast(x as double))"))
-        .select(
-            "vec_id",
-            F.round(
-                F.expr(dot) / (F.expr(nrm.format("ed")) * F.expr(nrm.format("qd"))), 4
-            ).alias("cos_sim"),
-        )
+        cand.join(n, "vec_id").crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(20)
     )

@@ -179,6 +179,90 @@ def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
             .orderBy(F.desc("weight"), F.asc("term")).limit(n))
 
 
+SEP_LABEL = "\u001f"  # AnalyzingSuggester.SEP_LABEL (PRESERVE_SEP key separator)
+
+
+def build_suggester(entries: DataFrame, analyzer=None,
+                    text_col: str = "text",
+                    weight_col: str = "weight") -> DataFrame:
+    """AnalyzingSuggester.build() role (suggest/analyzing/
+    AnalyzingSuggester.java:413-520): each (surface text, weight) entry
+    is ANALYZED and stored under its analyzed key — tokens joined by
+    SEP_LABEL '\\u001f' (PRESERVE_SEP, AnalyzingSuggester.java:163-167)
+    — so lookups match analyzed forms, not raw strings ("Foo-Bar" and
+    "foo bar" collide, the suggester's whole point). Returns
+    (key, text, weight); at scale this is the precomputed suggester
+    table, bucketable by key prefix."""
+    if analyzer is None:
+        from ..analysis import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+
+    import pandas as pd
+
+    def keyify(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["key"] = [SEP_LABEL.join(analyzer.terms(t))
+                          for t in pdf[text_col]]
+            yield pdf[["key", text_col, weight_col]].rename(
+                columns={text_col: "text", weight_col: "weight"})
+
+    return entries.mapInPandas(keyify, "key string, text string, weight long")
+
+
+def suggest_analyzing(sugg: DataFrame, query: str, n: int = 10,
+                      analyzer=None, exact_first: bool = True) -> DataFrame:
+    """AnalyzingSuggester.lookup() (AnalyzingSuggester.java:553-669):
+    analyze the query the same way, match stored keys by analyzed
+    PREFIX, exact key matches first (EXACT_FIRST), then weight desc.
+    One pushed-down startswith scan of the suggester table."""
+    if analyzer is None:
+        from ..analysis import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+    qkey = SEP_LABEL.join(analyzer.terms(query))
+    hits = sugg.where(F.col("key").startswith(qkey))
+    exact = (F.col("key") == qkey).cast("int") if exact_first else F.lit(0)
+    return (hits.select("text", "weight", exact.alias("is_exact"))
+            .orderBy(F.desc("is_exact"), F.desc("weight"), F.asc("text"))
+            .drop("is_exact").limit(n))
+
+
+def suggest_fuzzy(sugg: DataFrame, query: str, n: int = 10,
+                  analyzer=None, max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> DataFrame:
+    """FuzzySuggester.lookup() (suggest/analyzing/FuzzySuggester.java:
+    87-109 defaults: maxEdits=1, nonFuzzyPrefix=1, minFuzzyLength=3):
+    the analyzed query matches key prefixes within ``max_edits``
+    Levenshtein edits, the first ``non_fuzzy_prefix`` chars must match
+    exactly, and queries shorter than ``min_fuzzy_length`` fall back
+    to exact-prefix matching. The edit distance against the BEST key
+    prefix is the least over prefix lengths len(q)±max_edits — all
+    JVM ``levenshtein``/``substring`` expressions, no UDF."""
+    if analyzer is None:
+        from ..analysis import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+    qkey = SEP_LABEL.join(analyzer.terms(query))
+    if len(qkey) < min_fuzzy_length or max_edits == 0:
+        return suggest_analyzing(sugg, query, n, analyzer=analyzer)
+    qlen = len(qkey)
+    cand = sugg
+    if non_fuzzy_prefix > 0:
+        cand = cand.where(F.col("key").startswith(qkey[:non_fuzzy_prefix]))
+    dist = F.least(*[
+        F.levenshtein(F.substring(F.col("key"), 1, max(qlen + d, 1)),
+                      F.lit(qkey))
+        for d in range(-max_edits, max_edits + 1)
+    ])
+    return (cand.select("text", "weight", dist.alias("dist"))
+            .where(F.col("dist") <= max_edits)
+            .orderBy(F.asc("dist"), F.desc("weight"), F.asc("text"))
+            .drop("dist").limit(n))
+
+
 def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
                max_edits: int = 2) -> list[tuple[str, int, int]]:
     """DirectSpellChecker role: candidate corrections =  dictionary

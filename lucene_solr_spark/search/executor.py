@@ -234,6 +234,7 @@ class IndexSearcher:
             tables.spark.read.parquet(droot).select("docid").distinct()
             if _os.path.exists(droot) else None)
         self._df_map: dict[tuple[str, str], int] | None = None
+        self._ttf_map: dict[tuple[str, str], int] | None = None
         self._norm_cache_cols: dict[str, object] = {}
         self._batch_postings: DataFrame | None = None
         #: batched-path top-k strategy: declarative groupBy+window
@@ -249,9 +250,13 @@ class IndexSearcher:
             self.dict.persist()
             n_terms = self.dict.count()  # also materializes both caches lazily
             if n_terms <= self.DICT_CACHE_MAX:
-                pdf = self.dict.select("field", "term", "df").toPandas()
+                pdf = self.dict.select("field", "term", "df", "ttf").toPandas()
                 self._df_map = {(f, t): int(d) for f, t, d in
                                 zip(pdf["field"], pdf["term"], pdf["df"])}
+                if getattr(self.scorer, "needs_ttf", False):
+                    self._ttf_map = {(f, t): int(x) for f, t, x in
+                                     zip(pdf["field"], pdf["term"],
+                                         pdf["ttf"])}
 
     def _batch_table(self) -> DataFrame:
         """Slim DOCID-partitioned postings projection for the batched
@@ -470,12 +475,38 @@ class IndexSearcher:
 
         return score
 
+    def _ttf_for(self, pairs: set[tuple[str, str]]) -> dict:
+        """(field, term) → totalTermFreq for the SimilarityBase family
+        (LM/DFR); cached map when the dictionary fit the driver cap,
+        else one bucket-pruned dict scan."""
+        if self._ttf_map is not None:
+            return {p: self._ttf_map[p] for p in pairs if p in self._ttf_map}
+        terms = {t for _f, t in pairs}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (self.dict
+                .where(F.col("bucket").isin(buckets) & _str_in("term", terms)
+                       & _str_in("field", {f for f, _t in pairs}))
+                .select("field", "term", "ttf").collect())
+        return {(r["field"], r["term"]): int(r["ttf"]) for r in rows}
+
     def _term_leaf(self, q: TermQuery, stats, boost: float) -> DataFrame:
         """(docid, score float32) for one term."""
         df = stats.get((q.field, q.term), 0)
         if df == 0:
             return self._empty_scored()
         scorer = self.field_scorer(q.field)
+        if getattr(scorer, "needs_ttf", False):
+            ttf = self._ttf_for({(q.field, q.term)}).get((q.field, q.term), df)
+            bq = float(boost * q.boost)
+
+            @F.pandas_udf(FloatType())
+            def sscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                return pd.Series(scorer.stats_partial(
+                    tf.to_numpy(), norm.to_numpy(), bq, df, ttf))
+
+            return (self._postings_for([q.term], field=q.field)
+                    .select("docid",
+                            sscore(F.col("tf"), F.col("norm")).alias("score")))
         w = float(scorer.weight(df, boost * q.boost))
         udf = self._score_udf({q.term: w}, scorer)
         return (
@@ -658,14 +689,24 @@ class IndexSearcher:
         one per (field, term, doc) hit. Norm caches differ per field,
         so the UDF keys on "field\x00term" and resolves each row's
         cache from its field."""
+        needs_ttf = getattr(self.scorer, "needs_ttf", False)
+        ttfs = (self._ttf_for({(tq.field, tq.term) for tq, _m in term_clauses})
+                if needs_ttf else {})
         weights = {}
         is_must_map = {}
+        params: dict[str, tuple[float, float, float]] = {}
         for tq, is_must in term_clauses:
             df = stats.get((tq.field, tq.term), 0)
             if df:
                 key = tq.field + "\x00" + tq.term
-                weights[key] = float(
-                    self.field_scorer(tq.field).weight(df, boost * tq.boost))
+                if needs_ttf:
+                    # (boost, df, ttf) ride per-key for stats_partial
+                    params[key] = (float(boost * tq.boost), float(df),
+                                   float(ttfs.get((tq.field, tq.term), df)))
+                    weights[key] = 0.0
+                else:
+                    weights[key] = float(
+                        self.field_scorer(tq.field).weight(df, boost * tq.boost))
                 is_must_map[key] = is_must
         if not weights:
             return None
@@ -673,11 +714,23 @@ class IndexSearcher:
 
         @F.pandas_udf(FloatType())
         def score(key: pd.Series, tf: pd.Series, norm: pd.Series) -> pd.Series:
-            w = key.map(weights).to_numpy(dtype=np.float32)
             out = np.empty(len(key), dtype=np.float32)
             fields = key.str.split("\x00").str[0]
             tfv = tf.to_numpy()
             nv = norm.to_numpy()
+            if needs_ttf:
+                b = key.map({k: v[0] for k, v in params.items()}).to_numpy(
+                    dtype=np.float64)
+                d = key.map({k: v[1] for k, v in params.items()}).to_numpy(
+                    dtype=np.float64)
+                t3 = key.map({k: v[2] for k, v in params.items()}).to_numpy(
+                    dtype=np.float64)
+                for f, idx in fields.groupby(fields).groups.items():
+                    ii = np.asarray(idx)
+                    out[ii] = scorers[f].stats_partial(
+                        tfv[ii], nv[ii], b[ii], d[ii], t3[ii])
+                return pd.Series(out)
+            w = key.map(weights).to_numpy(dtype=np.float32)
             for f, idx in fields.groupby(fields).groups.items():
                 ii = np.asarray(idx)
                 out[ii] = scorers[f].partial(tfv[ii], nv[ii], w[ii])

@@ -103,8 +103,142 @@ class BooleanScorer:
             if w.ndim == 0 else w.astype(np.float32)
 
 
+class StatsScorer:
+    """Base for the SimilarityBase family
+    (search/similarities/SimilarityBase.java): per-(term, doc) scores
+    need the term's collection stats (df, totalTermFreq), not just a
+    precomputed scalar weight, so these scorers add a 5th hook:
+
+        stats_partial(freq, norm_byte, boost, df, ttf) -> float32[]
+
+    fully vectorized — ``boost``/``df``/``ttf`` may be scalars or
+    per-row arrays (the batched multi-term scan passes arrays). The
+    ``needs_ttf`` flag routes engines to this hook; queries whose
+    weight cannot be expressed per-term this way (phrase, multi-term
+    rewrites) raise — use bm25/classic there. Doc length is decoded
+    from the norm byte exactly like the reference
+    (SimilarityBase.BasicSimScorer.getLengthValue → LENGTH_TABLE),
+    and the final score is one float32 cast of the float64 formula
+    (BasicSimScorer.score's ``(float)`` cast)."""
+
+    needs_ttf = True
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int = 0,
+                 k1: float = 0.0, b: float = 0.0):
+        self.doc_count = max(int(doc_count), 1)
+        self.sum_ttf = max(int(sum_total_term_freq), 1)
+        # avgFieldLength = sumTotalTermFreq / docCount
+        # (SimilarityBase.fillBasicStats)
+        self.avg_dl = self.sum_ttf / self.doc_count
+        self.cache = np.zeros(256, dtype=np.float32)  # protocol parity
+
+    # float64 formula over (freq, dl) with per-row stats — subclass hook
+    def _score(self, freq, dl, boost, df, ttf):  # pragma: no cover
+        raise NotImplementedError
+
+    def stats_partial(self, freq, norm_byte, boost, df, ttf) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = LENGTH_TABLE[np.asarray(norm_byte, dtype=np.int64) & 0xFF
+                          ].astype(np.float64)
+        s = self._score(f, dl, np.asarray(boost, dtype=np.float64),
+                        np.asarray(df, dtype=np.float64),
+                        np.asarray(ttf, dtype=np.float64))
+        return s.astype(np.float32)
+
+    # -- 4-hook protocol: only idf is meaningful (explain/plan uses) --
+    def idf(self, doc_freq):
+        df = np.asarray(doc_freq, dtype=np.float64)
+        return np.log1p((self.doc_count - df + 0.5) / (df + 0.5)).astype(
+            np.float32)
+
+    def weight(self, doc_freq: int, boost: float = 1.0):
+        raise TypeError(
+            f"{type(self).__name__} scores from per-term collection stats "
+            "(needs_ttf); engines must call stats_partial — this query "
+            "shape is unsupported under LM/DFR similarities")
+
+    weight_from_idf_sum = weight
+
+    def partial(self, freq, norm_byte, weight_f32):
+        raise TypeError(
+            f"{type(self).__name__} needs per-term stats; use stats_partial")
+
+
+class LMDirichletScorer(StatsScorer):
+    """LMDirichletSimilarity (LMDirichletSimilarity.java:72-77), mu=2000
+    default; collection model = DefaultCollectionModel
+    (LMSimilarity.java:154-156): p_c = (ttf + 1) / (sumTotalTermFreq + 1).
+
+    score = boost * (ln(1 + freq / (mu * p_c)) + ln(mu / (dl + mu))),
+    clamped at 0 (the paper's negative scores are dropped)."""
+
+    MU = 2000.0
+
+    def _score(self, freq, dl, boost, df, ttf):
+        p_c = (ttf + 1.0) / (self.sum_ttf + 1.0)
+        s = boost * (np.log1p(freq / (self.MU * p_c))
+                     + np.log(self.MU / (dl + self.MU)))
+        return np.maximum(s, 0.0)
+
+
+class LMJelinekMercerScorer(StatsScorer):
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:63-68),
+    lambda=0.1 (short-query default per the class javadoc):
+    score = boost * ln(1 + ((1-λ) * freq / dl) / (λ * p_c))."""
+
+    LAMBDA = 0.1
+
+    def _score(self, freq, dl, boost, df, ttf):
+        p_c = (ttf + 1.0) / (self.sum_ttf + 1.0)
+        lam = self.LAMBDA
+        return boost * np.log1p(((1.0 - lam) * freq / dl) / (lam * p_c))
+
+
+_LOG2 = np.log(2.0)
+
+
+class DFRScorer(StatsScorer):
+    """DFRSimilarity with BasicModelG + AfterEffectB + NormalizationH2
+    (c=1) — the divergence-from-randomness composition
+    (DFRSimilarity.java:109-114):
+
+      tfn  = freq * log2(1 + c * avgFieldLength / dl)   (NormalizationH2.java:58-60)
+      ae   = (F + 1) / n, F = ttf+1, n = df+1            (AfterEffectB.java:32-36)
+      λ    = F / (N + F); A = log2(λ+1); B = log2((1+λ)/λ)
+      base = (B - (B - A) / (1 + tfn)) * ae              (BasicModelG.java:36-50)
+      score = boost * base
+    """
+
+    C = 1.0
+
+    def _score(self, freq, dl, boost, df, ttf):
+        tfn = freq * np.log1p(self.C * self.avg_dl / dl) / _LOG2
+        F = ttf + 1.0
+        n = df + 1.0
+        ae = (F + 1.0) / n
+        lam = F / (self.doc_count + F)
+        A = np.log1p(lam) / _LOG2
+        B = np.log((1.0 + lam) / lam) / _LOG2
+        return boost * (B - (B - A) / (1.0 + tfn)) * ae
+
+
+class DFRInLScorer(DFRScorer):
+    """DFRSimilarity with BasicModelIn + AfterEffectL + NormalizationH2:
+      ae = 1 (AfterEffectL.java:32-33)
+      A  = log2((N + 1) / (n + 0.5)); base = A * (1 - 1/(1+tfn))
+      (BasicModelIn.java:33-43)"""
+
+    def _score(self, freq, dl, boost, df, ttf):
+        tfn = freq * np.log1p(self.C * self.avg_dl / dl) / _LOG2
+        A = np.log2((self.doc_count + 1.0) / (df + 0.5))
+        return boost * A * (1.0 - 1.0 / (1.0 + tfn))
+
+
 SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
-                "boolean": BooleanScorer}
+                "boolean": BooleanScorer,
+                "lm_dirichlet": LMDirichletScorer,
+                "lm_jelinek_mercer": LMJelinekMercerScorer,
+                "dfr": DFRScorer, "dfr_in_l_h2": DFRInLScorer}
 
 
 def make_scorer(name: str, doc_count: int, sum_ttf: int):

@@ -12,9 +12,28 @@ heavy modules HERE, before the daemon starts forking, lets every
 worker inherit them copy-on-write: a fork costs pages, not imports.
 """
 
+import os
+
 import numpy  # noqa: F401
 import pandas  # noqa: F401
 import pyarrow  # noqa: F401
+
+if os.environ.get("LSS_THP_DISABLE") == "1":
+    # Opt-out of transparent hugepages for this process tree
+    # (PR_SET_THP_DISABLE, inherited across fork): this host's THP
+    # policy is madvise+defer and khugepaged compaction intermittently
+    # stalls fresh large mmaps ~0.75 s (see util/env.py); the numpy-
+    # heavy segment-builder workers allocate multi-MB temporaries per
+    # task, and at 32 concurrent workers the compaction contention
+    # serializes them. Per-process flag only — no system state touched.
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        PR_SET_THP_DISABLE = 41
+        libc.prctl(PR_SET_THP_DISABLE, 1, 0, 0, 0)
+    except Exception:  # pragma: no cover - non-linux/glibc
+        pass
 
 try:  # the engine's own worker-side imports, if resolvable
     from lucene_solr_spark.index import codec  # noqa: F401

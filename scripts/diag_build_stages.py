@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, docs: int) -> None:
+def child(cpus: int, docs: int, dps_override: int = 0) -> None:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -47,9 +47,13 @@ def child(cpus: int, docs: int) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        .config("spark.ui.enabled", os.environ.get("LSS_UI", "false"))
     )
+    for kv in os.environ.get("LSS_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark = spark.config(k.strip(), v.strip())
+    spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import shutil
@@ -73,7 +77,9 @@ def child(cpus: int, docs: int) -> None:
     corpus = corpus_df(spark, docs, partitions=cpus * 2)
     corpus.persist().count()
 
-    dps = max(docs // 64, 512)
+    dps = dps_override or max(docs // 64, 512)
+    out["dps"] = dps
+    out["thp_disabled"] = os.environ.get("LSS_THP_DISABLE") == "1"
     root = tempfile.mkdtemp(prefix=f"lss_diag_{cpus}_")
     idx = SegmentIndex(root, spark)
 
@@ -93,14 +99,28 @@ def child(cpus: int, docs: int) -> None:
     out["warmup_sec"] = round(time.time() - t, 2)
 
     # ---- timed stages, mirroring build_segment_index ----
+    # LSS_ANALYZE_MODE: "mem" (persist MEMORY_AND_DISK — the round-2
+    # shape), "parquet" (spill the analyzed frame to disk and re-read:
+    # no JVM cache pressure, page-cache backed), "none" (no
+    # materialization; downstream stages recompute the tokenize)
+    mode = os.environ.get("LSS_ANALYZE_MODE", "mem")
+    out["analyze_mode"] = mode
     t = time.time()
     base = assign_docids(corpus)
     parent = getattr(base, "_lss_persisted_parent", None)
     with_ids = base.withColumn(
         "segment", (F.col("docid") / dps).cast("int"))
     analyzed = analyzed_columns(with_ids, max_token_length=255).drop("content")
-    analyzed.persist(StorageLevel.MEMORY_AND_DISK)
-    n = analyzed.count()
+    if mode == "mem":
+        analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+        n = analyzed.count()
+    elif mode == "parquet":
+        ap = os.path.join(root, "analyzed_spill")
+        analyzed.write.mode("overwrite").parquet(ap)
+        analyzed = spark.read.parquet(ap)
+        n = analyzed.count()
+    else:
+        n = analyzed.count()
     if parent is not None:
         parent.unpersist()
     out["analyze_sec"] = round(time.time() - t, 2)
@@ -134,6 +154,33 @@ def child(cpus: int, docs: int) -> None:
     total = out["analyze_sec"] + out["docmap_sec"] + out["blocks_sec"] + out["derived_sec"]
     out["total_sec"] = round(total, 2)
     out["docs_per_sec"] = round(n / total, 1)
+
+    if os.environ.get("LSS_UI") == "true":
+        # aggregate task metrics per stage from the live UI REST API —
+        # jvmGcTime vs executorRunTime separates GC pressure from real
+        # work; executorDeserializeTime exposes task-launch overhead
+        try:
+            import urllib.request
+
+            app_id = spark.sparkContext.applicationId
+            url = (f"http://localhost:4040/api/v1/applications/{app_id}"
+                   f"/stages?status=complete")
+            stages = json.load(urllib.request.urlopen(url, timeout=10))
+            rows = []
+            for st in stages:
+                rows.append({
+                    "stage": st["stageId"],
+                    "name": st["name"].split("\n")[0][:60],
+                    "tasks": st["numCompleteTasks"],
+                    "runtime_s": round(st["executorRunTime"] / 1e3, 1),
+                    "gc_s": round(st["jvmGcTime"] / 1e3, 1),
+                    "deser_s": round(st["executorDeserializeTime"] / 1e3, 1),
+                    "cpu_s": round(st.get("executorCpuTime", 0) / 1e9, 1),
+                })
+            rows.sort(key=lambda r: -r["runtime_s"])
+            out["stages"] = rows[:12]
+        except Exception as e:  # pragma: no cover - diagnostics only
+            out["stages_err"] = str(e)
     analyzed.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     print("CHILD_RESULT " + json.dumps(out))
@@ -144,17 +191,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--docs", type=int, default=100000)
+    ap.add_argument("--dps", type=int, default=0,
+                    help="docs per segment (0 = docs//64 legacy sizing)")
     ap.add_argument("--pin", action="store_true",
                     help="taskset the child to cpus 0..n-1")
     ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
 
     if args.child:
-        child(args.cpus, args.docs)
+        child(args.cpus, args.docs, args.dps)
         return 0
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           "--cpus", str(args.cpus), "--docs", str(args.docs)]
+           "--cpus", str(args.cpus), "--docs", str(args.docs),
+           "--dps", str(args.dps)]
     env = dict(os.environ)
     if args.pin:
         cmd = ["taskset", "-c", f"0-{args.cpus - 1}"] + cmd

@@ -1,0 +1,78 @@
+"""AnalyzingSuggester / FuzzySuggester over a weighted entry table
+(suggest/analyzing/AnalyzingSuggester.java, FuzzySuggester.java;
+VERDICT round-2 missing #6): analyzed keys, weight-ordered lookups,
+exact-first, fuzzy prefix matching with the reference defaults."""
+
+import pytest
+
+from lucene_solr_spark.search.components import (
+    build_suggester,
+    suggest_analyzing,
+    suggest_fuzzy,
+)
+
+
+@pytest.fixture(scope="module")
+def sugg(spark):
+    entries = spark.createDataFrame(
+        [
+            ("Apache Spark", 100),
+            ("apache solr", 80),
+            ("Apache Lucene", 90),
+            ("sparkling water", 10),
+            ("spark plug", 5),
+            ("luce", 1),
+            ("Luce Grande", 50),
+        ],
+        "text string, weight long",
+    )
+    df = build_suggester(entries)
+    df.persist().count()
+    return df
+
+
+def test_keys_are_analyzed(sugg):
+    rows = {r["text"]: r["key"] for r in sugg.collect()}
+    # lowercased, tokens joined by the  separator (PRESERVE_SEP)
+    assert rows["Apache Spark"] == "apache\u001fspark"
+    assert rows["luce"] == "luce"
+
+
+def test_prefix_lookup_weight_ordered(spark, sugg):
+    got = [r["text"] for r in suggest_analyzing(sugg, "apache").collect()]
+    # all three apache* entries, by weight desc
+    assert got == ["Apache Spark", "Apache Lucene", "apache solr"]
+
+
+def test_lookup_is_analyzed_not_raw(spark, sugg):
+    # "APACHE  sp" analyzes to apache<sep>sp — matches "Apache Spark"
+    got = [r["text"] for r in suggest_analyzing(sugg, "APACHE sp").collect()]
+    assert got == ["Apache Spark"]
+
+
+def test_exact_first_beats_weight(spark, sugg):
+    # "luce" (weight 1) exact-matches and must outrank the
+    # higher-weighted prefix continuation "Luce Grande" (EXACT_FIRST)
+    got = [r["text"] for r in suggest_analyzing(sugg, "luce").collect()]
+    assert got == ["luce", "Luce Grande"]
+
+
+def test_fuzzy_one_edit(spark, sugg):
+    # "spakr" is 2 edits from "spark" as plain Levenshtein but 1
+    # transposition; our JVM levenshtein has no transpositions, so use
+    # a genuine 1-edit typo: "sparc"
+    got = [r["text"] for r in suggest_fuzzy(sugg, "sparc").collect()]
+    assert "spark plug" in got
+    assert "sparkling water" in got
+
+
+def test_fuzzy_respects_non_fuzzy_prefix(spark, sugg):
+    # first char must match exactly (nonFuzzyPrefix=1): "zparc" → no hits
+    got = suggest_fuzzy(sugg, "zparc").collect()
+    assert got == []
+
+
+def test_fuzzy_short_query_falls_back_to_exact(spark, sugg):
+    # len < minFuzzyLength(3) → exact prefix semantics
+    got = [r["text"] for r in suggest_fuzzy(sugg, "lu").collect()]
+    assert got == ["Luce Grande", "luce"]
