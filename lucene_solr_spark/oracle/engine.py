@@ -175,6 +175,11 @@ class OracleIndex:
         if isinstance(q, BooleanQuery):
             return self._match_boolean(q, scorer, boost)
 
+        from ..search.spans import SpanQuery
+
+        if isinstance(q, SpanQuery):
+            return self._match_spans(q, boost)
+
         if isinstance(q, MultiTermQuery):
             qfield = getattr(q, "field", "content")
             terms = expand_terms(
@@ -234,6 +239,41 @@ class OracleIndex:
             mx = ss.max()
             other = ss.sum() - mx
             out[d] = float(np.float32(mx + other * tb))
+        return out
+
+    def _match_spans(self, q, boost: float) -> dict[int, float]:
+        """Span-query scoring (spans/SpanScorer.java:118-141): per doc,
+        float32 freq = Σ 1/(1+width) over the span matches
+        (search/spans.py enumeration), weight from the float32 sum of
+        the idfs of every PRESENT term in the tree
+        (SpanWeight.buildSimWeight → idfExplain(termStats[]))."""
+        from ..search.spans import span_freq, span_terms
+
+        field = getattr(q, "field", "content")
+        scorer = self.scorer(field)
+        if getattr(scorer, "needs_ttf", False):
+            raise TypeError("span queries need a precomputed weight; "
+                            "unsupported under LM/DFR similarities")
+        terms = sorted(span_terms(q))
+        plists = {t: self.postings.get((field, t), ()) for t in terms}
+        dfs = [len(plists[t]) for t in terms if plists[t]]
+        if not dfs:
+            return {}
+        idfs = [scorer.idf(df) for df in dfs]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = scorer.weight_from_idf_sum(idf_sum, boost * q.boost)
+        # candidate docs: union of the tree's term postings
+        by_doc: dict[int, dict[str, np.ndarray]] = {}
+        for t in terms:
+            for docid, _tf, pp in plists[t]:
+                by_doc.setdefault(docid, {})[t] = np.asarray(pp, dtype=np.int64)
+        out = {}
+        for d, pos in by_doc.items():
+            freq = span_freq(q, pos)
+            if freq > 0:
+                s = scorer.partial(
+                    np.array([freq]), np.array([self._norm(field, d)]), w)[0]
+                out[d] = float(s)
         return out
 
     def _match_phrase(self, q: PhraseQuery, scorer, boost) -> dict[int, float]:

@@ -177,6 +177,11 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
         for d in q.disjuncts:
             out |= _collect_terms(d)
         return out
+    from .spans import SpanQuery, span_terms
+
+    if isinstance(q, SpanQuery):
+        f = getattr(q, "field", "content")
+        return {(f, t) for t in span_terms(q)}
     return set()
 
 
@@ -190,6 +195,8 @@ class IndexSearcher:
     #: bucket-pruned Spark lookup; below the threshold we hold
     #: term→df in driver RAM exactly like Lucene holds its FST.
     DICT_CACHE_MAX = 5_000_000
+    #: driver-safety cap on one multi-term dictionary expansion scan
+    MAX_EXPANSION_SCAN = 1_000_000
 
     def __init__(self, tables: IndexTables, cache: bool = False,
                  similarity: str = "bm25"):
@@ -414,10 +421,18 @@ class IndexSearcher:
             pred = col.isin(list(q.terms))
         else:
             raise TypeError(f"unknown multi-term query {type(q)}")
-        cands = [r["term"] for r in
-                 self.dict.where(pred & (F.col("field") == qfield))
-                 .select("term").collect()]
-        return expand_terms(cands, q)
+        scan = (self.dict.where(pred & (F.col("field") == qfield))
+                .select("term").limit(self.MAX_EXPANSION_SCAN + 1).collect())
+        if len(scan) > self.MAX_EXPANSION_SCAN:
+            # driver-safety valve at real-corpus vocabulary: a
+            # dialect-divergent regex (pred = True) or a degenerate
+            # range could otherwise pull the whole dictionary into the
+            # driver; fail loudly like BooleanQuery.TooManyClauses
+            # rather than OOM (BooleanQuery.java:44-57)
+            raise ValueError(
+                f"multi-term expansion scanned > {self.MAX_EXPANSION_SCAN} "
+                f"dictionary terms for {q!r}; narrow the pattern")
+        return expand_terms([r["term"] for r in scan], q)
 
     # -- planning -------------------------------------------------------
     def term_stats(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
@@ -555,6 +570,71 @@ class IndexSearcher:
             _phrase_verify_fn(offs, slop, nterms, w, scorer),
             schema="docid long, score float")
 
+    def _span_leaf(self, q, stats, boost: float) -> DataFrame:
+        """Span queries, two-phase like phrases: the doc-level boolean
+        skeleton prunes candidates (a MUST conjunction for SpanNear, a
+        SHOULD union for SpanOr — spans/SpanWeight approximation), the
+        tree's term positions are left-joined per candidate, and a
+        mapInPandas pass enumerates spans per doc (search/spans.py) and
+        scores float32 Σ 1/(1+width) with the idf-sum weight
+        (SpanScorer.java:118-141, SpanWeight.buildSimWeight)."""
+        from .spans import span_freq, span_terms, span_to_boolean
+
+        field = getattr(q, "field", "content")
+        scorer = self.field_scorer(field)
+        if getattr(scorer, "needs_ttf", False):
+            raise TypeError("span queries need a precomputed weight; "
+                            "unsupported under LM/DFR similarities")
+        terms = sorted(span_terms(q))
+        present = {t: stats.get((field, t), 0) for t in terms}
+        dfs = [df for df in present.values() if df]
+        if not dfs:
+            return self._empty_scored()
+        idfs = [scorer.idf(df) for df in dfs]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = float(scorer.weight_from_idf_sum(idf_sum, boost * q.boost))
+
+        skeleton = self.rewrite(span_to_boolean(q))
+        cand = self._compile(skeleton, stats, 1.0).select("docid").distinct()
+        base = cand.join(self.docs.select("docid", "norm"), "docid")
+        tlist = [t for t in terms if present[t]]
+        for i, t in enumerate(tlist):
+            p = (self._postings_for([t], with_positions=True, field=field)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            base = base.join(p, "docid", "left")
+
+        nterms = len(tlist)
+        qq = q
+
+        def verify(batches):
+            for pdf in batches:
+                nrows = len(pdf)
+                if nrows == 0:
+                    continue
+                docids = pdf["docid"].to_numpy(dtype=np.int64)
+                norms = pdf["norm"].to_numpy(dtype=np.int64)
+                cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
+                freqs = np.empty(nrows, dtype=np.float64)
+                for r in range(nrows):
+                    pos = {}
+                    for i in range(nterms):
+                        v = cols[i][r]
+                        if v is None or (isinstance(v, float)
+                                         and np.isnan(v)):
+                            continue  # left-join miss: term absent
+                        pos[tlist[i]] = np.asarray(v, dtype=np.int64)
+                    freqs[r] = span_freq(qq, pos)
+                hit = freqs > 0
+                if not hit.any():
+                    yield pd.DataFrame(
+                        {"docid": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float32")})
+                    continue
+                s = scorer.partial(freqs[hit], norms[hit], np.float32(w))
+                yield pd.DataFrame({"docid": docids[hit], "score": s})
+
+        return base.mapInPandas(verify, schema="docid long, score float")
+
     def _multi_phrase_leaf(self, q: MultiPhraseQuery, stats, boost: float) -> DataFrame:
         """MultiPhraseQuery (search/MultiPhraseQuery.java): per slot,
         the positional UNION of the slot terms' postings
@@ -629,6 +709,10 @@ class IndexSearcher:
             return inner.select("docid", F.lit(c).cast("float").alias("score"))
         if isinstance(q, BooleanQuery):
             return self._compile_boolean(q, stats, boost)
+        from .spans import SpanQuery
+
+        if isinstance(q, SpanQuery):
+            return self._span_leaf(q, stats, boost)
         if isinstance(q, SynonymQuery):
             return self._synonym_leaf(q, stats, boost)
         if isinstance(q, DisjunctionMaxQuery):

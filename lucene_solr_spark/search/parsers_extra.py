@@ -281,22 +281,16 @@ class SurroundQueryParser:
     boolean ``AND``/``OR``/``NOT``, parentheses, trailing-``*``
     prefixes and ``?``/``*`` wildcards, ``^boost``.
 
-    Mapping to this engine (the reference compiles to SpanQuery —
-    surround/query/DistanceQuery.java:79-91 builds spanNear(slop =
-    opDistance - 1, inOrder = W)):
+    Mapping to this engine — the same algebra as the reference
+    (surround compiles to SpanQuery):
 
-      * ``a W b … W z`` / ``nW(...)``  → PhraseQuery(slop=(n-1)) —
-        slop 0 is exact ordered adjacency, identical to spanNear
-        inOrder; for n > 1 the engine's SloppyPhraseMatcher slop
-        budget stands in for the ordered-near slop (orderedness is
-        enforced only up to the transposition cost, a documented
-        approximation of the span semantics).
-      * ``nN(...)`` → PhraseQuery(slop=n) — unordered near; the sloppy
-        budget covers the reorder cost like spanNear(inOrder=false).
+      * ``a W b … W z`` / ``nW(...)`` / ``nN(...)`` →
+        SpanNearQuery(slop = n-1, inOrder = W), exactly
+        surround/query/DistanceQuery.java:74-97; arbitrary nesting
+        (``3W(2W(a,b),c)``) composes through search/spans.py.
       * wildcard/prefix elements inside a distance op expand against
-        the dictionary (``expand`` callable, as in
-        ComplexPhraseQueryParser) into MultiPhraseQuery slots —
-        surround/query/SrndTruncQuery.java's role.
+        the dictionary (``expand`` callable) into a SpanOrQuery —
+        the SpanNearClauseFactory / SrndTruncQuery role.
       * AND/OR/NOT → BooleanQuery (surround/query/AndQuery.java,
         OrQuery.java, NotQuery.java).
     """
@@ -413,33 +407,59 @@ class SurroundQueryParser:
             return WildcardQuery(w, field=f)
         return TermQuery(w, field=f)
 
-    def _near(self, elems: list[Query], n: int, ordered: bool) -> Query:
-        """Distance op over parsed elements → (Multi)PhraseQuery.
-        slop = n-1 for W (spanNear inOrder slop), n for N (reorder
-        budget included)."""
-        slop = (n - 1) if ordered else n
-        slots: list[tuple[str, ...]] = []
-        for e in elems:
-            if isinstance(e, TermQuery):
-                slots.append((e.term,))
-            elif isinstance(e, MultiTermQuery):
-                if self.expand is None:
-                    raise ValueError(
-                        "wildcard inside a distance op needs an expand "
-                        "callable (dictionary access)")
-                alts = tuple(dict.fromkeys(self.expand(e)))
-                if not alts:
-                    return MatchNoDocsQuery()
-                slots.append(alts)
-            else:
+    def _to_span(self, e: Query):
+        """Element of a distance op → SpanQuery (the reference's
+        SpanNearClauseFactory role, surround/query/
+        SpanNearClauseFactory.java): terms → SpanTermQuery, truncated
+        terms expand against the dictionary into a SpanOrQuery, nested
+        distance ops are already SpanNearQuery, OR groups → SpanOr.
+        Returns None when an expansion is empty (distance op requires
+        all sub queries → MatchNoDocs, DistanceQuery.java:85-91)."""
+        from .spans import SpanNearQuery, SpanOrQuery, SpanQuery, SpanTermQuery
+
+        if isinstance(e, SpanQuery):
+            return e
+        if isinstance(e, TermQuery):
+            return SpanTermQuery(e.term, field=self.default_field)
+        if isinstance(e, MultiTermQuery):
+            if self.expand is None:
                 raise ValueError(
-                    f"distance op over {type(e).__name__} unsupported")
-        if all(len(s) == 1 for s in slots):
-            return PhraseQuery(tuple(s[0] for s in slots),
-                               tuple(range(len(slots))), slop,
-                               field=self.default_field)
-        return MultiPhraseQuery(tuple(slots), tuple(range(len(slots))),
-                                slop, field=self.default_field)
+                    "wildcard inside a distance op needs an expand "
+                    "callable (dictionary access)")
+            alts = tuple(dict.fromkeys(self.expand(e)))
+            if not alts:
+                return None
+            if len(alts) == 1:
+                return SpanTermQuery(alts[0], field=self.default_field)
+            return SpanOrQuery(
+                tuple(SpanTermQuery(t, field=self.default_field)
+                      for t in alts), field=self.default_field)
+        if isinstance(e, BooleanQuery) and e.clauses and all(
+                c.occur == "SHOULD" for c in e.clauses):
+            subs = [self._to_span(c.query) for c in e.clauses]
+            if any(s is None for s in subs):
+                return None
+            return SpanOrQuery(tuple(subs), field=self.default_field)
+        raise ValueError(
+            f"distance op over {type(e).__name__} unsupported")
+
+    def _near(self, elems: list[Query], n: int, ordered: bool) -> Query:
+        """Distance op → SpanNearQuery(clauses, slop = n-1, inOrder=W)
+        exactly like the reference (surround/query/DistanceQuery.java:
+        74-97 getSpanNearQuery: ``new SpanNearQuery(spanClauses,
+        getOpDistance() - 1, subQueriesOrdered())``). Nesting
+        (``3W(2W(a,b),c)``) and OR groups inside distance ops compose
+        through the span algebra (search/spans.py)."""
+        from .spans import SpanNearQuery
+
+        spans = []
+        for e in elems:
+            s = self._to_span(e)
+            if s is None:
+                return MatchNoDocsQuery()
+            spans.append(s)
+        return SpanNearQuery(tuple(spans), slop=n - 1, in_order=ordered,
+                             field=self.default_field)
 
 
 class XmlQueryParser:

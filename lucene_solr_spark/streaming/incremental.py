@@ -237,8 +237,27 @@ class IncrementalIndexer:
                 else:
                     os.rename(tmp, final)
 
-        docs = idx.docs()
-        agg = docs.agg(F.count("*").alias("c"), F.sum("dl").alias("s")).collect()[0]
+        if incremental:
+            # O(batch) stats maintenance: aggregate ONLY the delta and
+            # add to the manifest's committed running counters (the
+            # manifest is written atomically with last_batch_id below,
+            # so a retried half-applied batch always adds its delta to
+            # the PRE-batch committed base — never double-counts).
+            # Tombstoned docs keep counting until compaction (Lucene
+            # docCount-vs-liveDocs), so additive deltas stay exact;
+            # the compaction path below recomputes from scratch.
+            committed = self._load_state()
+            dagg = (spark.read.parquet(os.path.join(docs_root,
+                                                    f"batch={batch_id}"))
+                    .agg(F.count("*").alias("c"),
+                         F.sum("dl").alias("s")).collect()[0])
+            agg = {"c": int(committed.get("doc_count", 0)) + int(dagg["c"]),
+                   "s": (int(committed.get("sum_ttf", 0))
+                         + int(dagg["s"] or 0))}
+        else:
+            docs = idx.docs()
+            agg = docs.agg(F.count("*").alias("c"),
+                           F.sum("dl").alias("s")).collect()[0]
         if new_segments:
             n_segments = max(int(self._load_state().get("n_segments", 0)) - 1,
                              max(new_segments))

@@ -184,23 +184,48 @@ def _expand_vocab(q):
 
 class TestSurround:
     def test_infix_w_exact_phrase(self):
+        from lucene_solr_spark.search.spans import SpanNearQuery, SpanTermQuery
+
         q = SurroundQueryParser().parse("big W table")
-        assert isinstance(q, PhraseQuery) and q.slop == 0
-        assert q.terms == ("big", "table")
+        assert isinstance(q, SpanNearQuery) and q.slop == 0 and q.in_order
+        assert q.clauses == (SpanTermQuery("big"), SpanTermQuery("table"))
 
     def test_prefix_distance_ordered(self):
+        from lucene_solr_spark.search.spans import SpanNearQuery, SpanTermQuery
+
         q = SurroundQueryParser().parse("3W(big, data, table)")
-        assert isinstance(q, PhraseQuery) and q.slop == 2
-        assert q.terms == ("big", "data", "table")
+        # reference: SpanNearQuery(clauses, opDistance - 1, ordered)
+        assert isinstance(q, SpanNearQuery) and q.slop == 2 and q.in_order
+        assert [c.term for c in q.clauses] == ["big", "data", "table"]
 
     def test_unordered_near(self):
-        q = SurroundQueryParser().parse("2N(big, table)")
-        assert isinstance(q, PhraseQuery) and q.slop == 2
+        from lucene_solr_spark.search.spans import SpanNearQuery
 
-    def test_wildcard_expansion_to_multiphrase(self):
+        q = SurroundQueryParser().parse("2N(big, table)")
+        assert isinstance(q, SpanNearQuery) and q.slop == 1
+        assert not q.in_order
+
+    def test_wildcard_expansion_to_span_or(self):
+        from lucene_solr_spark.search.spans import (
+            SpanNearQuery,
+            SpanOrQuery,
+            SpanTermQuery,
+        )
+
         q = SurroundQueryParser(_expand_vocab).parse("2W(big, tab*)")
-        assert isinstance(q, MultiPhraseQuery)
-        assert q.termss == (("big",), ("table", "tables", "tabulate"))
+        assert isinstance(q, SpanNearQuery) and q.slop == 1
+        assert q.clauses[0] == SpanTermQuery("big")
+        assert isinstance(q.clauses[1], SpanOrQuery)
+        assert [c.term for c in q.clauses[1].clauses] == [
+            "table", "tables", "tabulate"]
+
+    def test_nested_distance_ops(self):
+        from lucene_solr_spark.search.spans import SpanNearQuery
+
+        q = SurroundQueryParser().parse("3W(2W(a, b), c)")
+        assert isinstance(q, SpanNearQuery) and q.slop == 2
+        inner = q.clauses[0]
+        assert isinstance(inner, SpanNearQuery) and inner.slop == 1
 
     def test_boolean_and_boost(self):
         q = SurroundQueryParser().parse("(a OR b) AND c^2")
