@@ -91,10 +91,12 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
         timings["index_build"] = round(build_sec, 3)
         extras["build_docs_per_sec"] = round(N_BUILD_DOCS / build_sec, 1)
 
-        # codec v2: compressed segment build (the flagship write path)
+        # codec v2: compressed segment build (the flagship write path);
+        # FIXED docs_per_segment — segment count scales with the
+        # corpus, segment size (= per-task memory) never does
         t0 = time.time()
         segidx = build_segment_index(corpus, root2,
-                                     docs_per_segment=max(N_BUILD_DOCS // 64, 512),
+                                     docs_per_segment=2048,
                                      segments_per_chunk=10**9)
         v2_sec = time.time() - t0
         timings["index_build_v2"] = round(v2_sec, 3)
@@ -149,16 +151,34 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
         timings["bm25_batch"] = round(bsec, 3)
         extras["bm25_batch_qps"] = round(N_QUERIES / bsec, 2)
         # batched WAND over the compressed index (north-star path):
-        # SHOULD-only subset (SegmentSearcher's algebra)
-        wbatch = {qid: q for qid, q in batch.items()
-                  if isinstance(q, TermQuery)
-                  or all(c.occur == "SHOULD" for c in q.clauses)}
-        wand.search_many(dict(list(wbatch.items())[:4]), 10)  # warm
+        # the full mix — term-level MUST/SHOULD boolean algebra runs
+        # on the compressed path since round 3
+        wand.search_many(dict(list(batch.items())[:4]), 10)  # warm
         t0 = time.time()
-        wand.search_many(wbatch, 10)
+        wand.search_many(batch, 10)
         wsec = time.time() - t0
         timings["wand_batch"] = round(wsec, 3)
-        extras["wand_batch_qps"] = round(len(wbatch) / wsec, 2)
+        extras["wand_batch_qps"] = round(N_QUERIES / wsec, 2)
+
+        # crossover regime (VERDICT r2 perf #4): at small batches the
+        # per-job overhead dominates the compressed path; measure BOTH
+        # engines on one LARGE batch to show where decode-once-per-term
+        # block-max WAND pays off
+        big = {}
+        for i in range(512):
+            a = mid[(37 * i) % len(mid)]
+            b = hi[(53 * i) % len(hi)]
+            big[f"b{i}"] = (TermQuery(b) if i % 3 == 0 else
+                            BooleanQuery.of(should=[TermQuery(a),
+                                                    TermQuery(b)]))
+        searcher.search_many(dict(list(big.items())[:4]), 10)  # warm
+        t0 = time.time()
+        searcher.search_many(big, 10)
+        extras["bm25_batch512_qps"] = round(512 / (time.time() - t0), 2)
+        wand.search_many(dict(list(big.items())[:4]), 10)  # warm
+        t0 = time.time()
+        wand.search_many(big, 10)
+        extras["wand_batch512_qps"] = round(512 / (time.time() - t0), 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)

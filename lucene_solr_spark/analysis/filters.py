@@ -332,6 +332,76 @@ def shingle_filter(min_size: int = 2, max_size: int = 2,
     return f
 
 
+_CJK_RANGES = {
+    "han": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF)),
+    "hiragana": ((0x3040, 0x309F),),
+    "katakana": ((0x30A0, 0x30FF), (0xFF66, 0xFF9F)),
+    "hangul": ((0xAC00, 0xD7AF), (0x1100, 0x11FF), (0x3130, 0x318F)),
+}
+
+
+def _cjk_script(t: str, enabled: frozenset[str]) -> bool:
+    """True when every char of ``t`` is in ONE enabled CJK script —
+    the token-type test of CJKBigramFilter (StandardTokenizer emits
+    Han ideographs as single-char <IDEOGRAPHIC> tokens and
+    hiragana/katakana/hangul as typed runs)."""
+    for name in enabled:
+        ranges = _CJK_RANGES[name]
+        if all(any(lo <= ord(c) <= hi for lo, hi in ranges) for c in t):
+            return True
+    return False
+
+
+def cjk_bigram_filter(han: bool = True, hiragana: bool = True,
+                      katakana: bool = True, hangul: bool = True,
+                      output_unigrams: bool = False) -> TokenFilter:
+    """CJKBigramFilter (analysis/cjk/CJKBigramFilter.java): adjacent
+    tokens of the enabled CJK writing systems combine into overlapping
+    bigrams (the CJKAnalyzer strategy); a lone eligible token passes
+    through as a unigram (SINGLE type, CJKBigramFilter.java:62,150);
+    with ``output_unigrams`` both unigrams and bigrams are emitted
+    (:42-44, :308,344). A bigram carries the position of its first
+    member; adjacency requires consecutive positions (a stopword gap
+    breaks the run, like the reference's position-increment check)."""
+    enabled = frozenset(
+        n for n, on in (("han", han), ("hiragana", hiragana),
+                        ("katakana", katakana), ("hangul", hangul)) if on)
+
+    def f(terms: list[str], positions: list[int]):
+        out_t: list[str] = []
+        out_p: list[int] = []
+        i, n = 0, len(terms)
+        while i < n:
+            if _cjk_script(terms[i], enabled):
+                j = i
+                while (j + 1 < n and _cjk_script(terms[j + 1], enabled)
+                       and positions[j + 1] == positions[j] + 1):
+                    j += 1
+                run_t = terms[i:j + 1]
+                run_p = positions[i:j + 1]
+                if len(run_t) == 1:
+                    out_t.append(run_t[0])
+                    out_p.append(run_p[0])
+                else:
+                    for k in range(len(run_t) - 1):
+                        if output_unigrams:
+                            out_t.append(run_t[k])
+                            out_p.append(run_p[k])
+                        out_t.append(run_t[k] + run_t[k + 1])
+                        out_p.append(run_p[k])
+                    if output_unigrams:
+                        out_t.append(run_t[-1])
+                        out_p.append(run_p[-1])
+                i = j + 1
+            else:
+                out_t.append(terms[i])
+                out_p.append(positions[i])
+                i += 1
+        return out_t, out_p
+
+    return f
+
+
 def stop_filter(stop_words: frozenset[str]) -> TokenFilter:
     """StopFilter as a chain member (position-gap preserving)."""
 

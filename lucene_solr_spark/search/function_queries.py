@@ -16,8 +16,14 @@ Index-aware sources:
   numdocs()       NumDocsValueSource       doc_count literal
   field(x) / x    FieldCacheSource         docs-table column
 
-Pure functions: sum sub product div min max abs log sqrt pow if exists
-(the io/eval twins; ValueSourceParser registers the same names).
+Index-aware (continued): totaltermfreq/ttf, sumtotaltermfreq/sttf,
+maxdoc — TotalTermFreqValueSource, SumTotalTermFreqValueSource,
+MaxDocValueSource.
+
+Pure functions: sum sub product div min max abs log ln sqrt pow mod
+if exists linear recip map strdist(edit) scale — the io/eval twins;
+ValueSourceParser registers the same names. ``scale(x,min,max)`` is
+two-pass like ScaleFloatFunction (corpus min/max broadcast-joined).
 
 A FunctionQuery matches ALL documents, scoring each by the function
 (queries/function/FunctionQuery.java:71-116 AllScorer) — rendered as
@@ -43,6 +49,7 @@ class FunctionQueryCompiler:
         AllScorer semantics)."""
         node = (parse_expression(expr) if "(" in expr else expr)
         self._tf_cols: dict[tuple[str, str], str] = {}
+        self._scales: list[tuple[str, object, float, float]] = []
         col = self._compile(node)
         df = self.searcher.docs.select("docid", "dl", "norm")
         for (field, term), name in self._tf_cols.items():
@@ -52,6 +59,19 @@ class FunctionQueryCompiler:
         if self.searcher.deletes is not None:
             df = df.join(F.broadcast(self.searcher.deletes),
                          "docid", "left_anti")
+        # scale(x,min,max) is two-pass (ScaleFloatFunction.createWeight
+        # computes the corpus min/max up front): materialize each inner
+        # column, broadcast-join its global extremes, rescale
+        for name, inner, lo, hi in self._scales:
+            df = df.withColumn(f"_{name}_in", inner)
+            agg = df.agg(F.min(f"_{name}_in").alias(f"_{name}_mn"),
+                         F.max(f"_{name}_in").alias(f"_{name}_mx"))
+            df = df.crossJoin(F.broadcast(agg))
+            span = F.col(f"_{name}_mx") - F.col(f"_{name}_mn")
+            scaled = F.when(span == 0, F.lit(lo)).otherwise(
+                F.lit(lo) + (F.col(f"_{name}_in") - F.col(f"_{name}_mn"))
+                * F.lit(hi - lo) / span)
+            df = df.withColumn(name, scaled)
         return df.select("docid", col.alias(alias))
 
     # -- compilation ----------------------------------------------------
@@ -82,6 +102,24 @@ class FunctionQueryCompiler:
             return F.col("dl")
         if name == "numdocs":
             return F.lit(self.searcher.doc_count)
+        if name == "maxdoc":
+            return F.lit(self.searcher.doc_count)  # no deletions gap here
+        if name in ("totaltermfreq", "ttf"):
+            f, t = self._ft(args)
+            return F.lit(self.searcher._ttf_for({(f, t)}).get((f, t), 0))
+        if name in ("sumtotaltermfreq", "sttf"):
+            f = str(args[0]).strip("'\"") if args else "content"
+            st = self.searcher.field_stats.get(f, {})
+            return F.lit(int(st.get("sum_ttf", 0)))
+        if name == "scale":
+            # two-pass (min/max over the corpus) — registered here,
+            # materialized by dataframe()
+            inner = self._compile(args[0])
+            lo = float(str(args[1]).strip("'\""))
+            hi = float(str(args[2]).strip("'\""))
+            cname = f"_scale_{len(self._scales)}"
+            self._scales.append((cname, inner, lo, hi))
+            return F.col(cname)
         if name == "field":
             return F.col(str(args[0]))
         if name == "exists":
@@ -112,9 +150,30 @@ class FunctionQueryCompiler:
             return F.sqrt(cols[0])
         if name == "pow":
             return F.pow(cols[0], cols[1])
-        if name == "scale":
-            raise ValueError("scale() needs a two-pass min/max — use "
-                             "dataframe() output with an agg join")
+        if name == "mod":
+            return cols[0] % cols[1]
+        if name == "linear":
+            # LinearFloatFunction: m*x + c
+            return cols[1] * cols[0] + cols[2]
+        if name == "recip":
+            # RecipFloatFunction: a / (m*x + b) — the date-boost shape
+            x, m, a, b = cols
+            return a / (m * x + b)
+        if name == "map":
+            # MapFloatFunction: x in [min,max] → target, else x (or
+            # default when given)
+            x, lo, hi, target = cols[:4]
+            dflt = cols[4] if len(cols) > 4 else x
+            return F.when((x >= lo) & (x <= hi), target).otherwise(dflt)
+        if name == "strdist":
+            # StrDistValueSource, edit-distance measure (the "edit"
+            # argument is accepted and is the only supported measure)
+            a, b = self._compile(args[0]), self._compile(args[1])
+            sim = (F.lit(1.0)
+                   - F.levenshtein(a.cast("string"), b.cast("string"))
+                   / F.greatest(F.length(a.cast("string")),
+                                F.length(b.cast("string"))))
+            return sim
         raise ValueError(f"unknown function-query source {name}")
 
     @staticmethod

@@ -18,14 +18,16 @@ import numpy  # noqa: F401
 import pandas  # noqa: F401
 import pyarrow  # noqa: F401
 
-if os.environ.get("LSS_THP_DISABLE") == "1":
-    # Opt-out of transparent hugepages for this process tree
-    # (PR_SET_THP_DISABLE, inherited across fork): this host's THP
-    # policy is madvise+defer and khugepaged compaction intermittently
-    # stalls fresh large mmaps ~0.75 s (see util/env.py); the numpy-
-    # heavy segment-builder workers allocate multi-MB temporaries per
-    # task, and at 32 concurrent workers the compaction contention
-    # serializes them. Per-process flag only — no system state touched.
+if os.environ.get("LSS_THP_DISABLE", "1") == "1":
+    # Default-ON opt-out of transparent hugepages for this process
+    # tree (PR_SET_THP_DISABLE, inherited across fork; set
+    # LSS_THP_DISABLE=0 to keep THP). Rationale: Python workers
+    # allocate multi-MB SHORT-LIVED numpy/Arrow temporaries per task —
+    # they never amortize a hugepage's TLB win, but every fresh large
+    # mmap can stall on khugepaged compaction (this host: ~0.75 s
+    # intermittent stalls under madvise+defer policy, see util/env.py;
+    # adjacent A/B at 400k docs x 32 workers: +14% build throughput
+    # with THP off). Per-process flag only — no system state touched.
     try:
         import ctypes
 

@@ -70,11 +70,15 @@ def child(cpus: int, docs: int, queries: int) -> None:
     corpus = corpus_df(spark, docs, partitions=cpus * 2)
     corpus.persist().count()  # materialize input OUTSIDE the timed region
 
-    # level-INDEPENDENT segment layout (64 segments): both parallelism
-    # levels must query the identical index, and the build must produce
-    # the same physical output at both levels for the throughput
-    # comparison to be apples-to-apples
-    dps = max(docs // 64, 512)
+    # level-INDEPENDENT segment layout: both parallelism levels must
+    # query the identical index, and the build must produce the same
+    # physical output at both levels for the throughput comparison to
+    # be apples-to-apples. FIXED docs_per_segment (not corpus/64):
+    # per-task memory in the segment builder scales with segment size,
+    # so segment count must grow with the corpus, never segment size —
+    # the Lucene analogy is the 16 MB IndexWriter RAM budget flushing
+    # fixed-size segments regardless of corpus size.
+    dps = 2048
     # WARM-UP build (untimed): first-build costs are one-off JVM/JIT/
     # worker-pool warmup that a long-lived executor pays once per
     # process lifetime; with the warm daemon successive builds are
@@ -150,11 +154,27 @@ def child(cpus: int, docs: int, queries: int) -> None:
 
 
 def run_level(cpus: int, docs: int, queries: int, runs: int) -> dict:
+    """One parallelism level in a fresh subprocess JVM.
+
+    Faithful "N executors vs 4N executors" rendering on one box
+    (driver instruction: "N and 4N cores"): the child is PINNED to
+    exactly ``cpus`` CPUs with taskset — an unpinned local[8] is NOT
+    an 8-CPU cluster, its GC/shuffle threads and Python workers
+    borrow the other 24 cores — and gets per-core-proportional
+    memory (a 4N cluster has 4N x the RAM of one executor)."""
     results = []
+    mem_gb = max(int(cpus * 1.5), 6)
     for _ in range(runs):
+        env = dict(os.environ)
+        env["LSS_DRIVER_MEM"] = f"{mem_gb}g"
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               "--cpus", str(cpus), "--docs", str(docs),
+               "--queries", str(queries)]
+        n_host = os.cpu_count() or cpus
+        if cpus < n_host:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--cpus", str(cpus), "--docs", str(docs), "--queries", str(queries)],
+            cmd, env=env,
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]

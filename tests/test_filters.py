@@ -175,3 +175,45 @@ def test_spark_column_twin_matches_python(spark):
     got = {r["id"]: r["filtered"] for r in out.select("id", "filtered").collect()}
     for i, text in enumerate(texts):
         assert got[i] == an.analyze(text)[0], f"row {i}"
+
+
+# -- CJKBigramFilter -------------------------------------------------------
+from lucene_solr_spark.analysis.filters import cjk_bigram_filter  # noqa: E402
+
+
+class TestCJKBigram:
+    def test_han_bigrams(self):
+        an = CustomAnalyzer([cjk_bigram_filter()])
+        terms, pos = an.analyze("Spark处理大数据 fast")
+        # 处理 理大 大数 数据 as overlapping bigrams at first-member pos
+        assert ("处理", 1) in zip(terms, pos)
+        assert ("理大", 2) in zip(terms, pos)
+        assert ("数据", 4) in zip(terms, pos)
+        assert "spark" in terms and "fast" in terms
+        assert "处" not in terms  # consumed into bigrams
+
+    def test_single_cjk_token_passes_as_unigram(self):
+        an = CustomAnalyzer([cjk_bigram_filter()])
+        terms, _ = an.analyze("one 处 two")
+        assert "处" in terms
+
+    def test_output_unigrams(self):
+        an = CustomAnalyzer([cjk_bigram_filter(output_unigrams=True)])
+        terms, _ = an.analyze("处理")
+        assert "处" in terms and "理" in terms and "处理" in terms
+
+    def test_gap_breaks_run(self):
+        # a stop-filtered token between ideographs breaks adjacency
+        from lucene_solr_spark.analysis.filters import stop_filter
+
+        an = CustomAnalyzer([stop_filter(frozenset(["the"])),
+                             cjk_bigram_filter()])
+        terms, _ = an.analyze("处 the 理")
+        assert "处理" not in terms
+        assert "处" in terms and "理" in terms
+
+    def test_katakana_word_bigrams_with_han(self):
+        # katakana run-token + adjacent han chars combine
+        an = CustomAnalyzer([cjk_bigram_filter()])
+        terms, _ = an.analyze("データベース検索")
+        assert "データベース検" in terms and "検索" in terms

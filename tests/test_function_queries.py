@@ -80,3 +80,36 @@ def test_if_exists_and_log(spark, searcher):
     got = {r["docid"]: r["score"] for r in fq.dataframe(
         f"if(exists(field(dl)), log(100), 0)").collect()}
     assert sorted(set(got.values())) == [pytest.approx(2.0)]
+
+
+def test_extended_parsers(searcher):
+    """linear/recip/map/mod/ttf/sttf/maxdoc/scale/strdist
+    (ValueSourceParser registry depth, round-3)."""
+    c = FunctionQueryCompiler(searcher)
+    rows = {r["docid"]: r["score"] for r in
+            c.dataframe("linear(dl(content), 2, 1)").collect()}
+    dls = {r["docid"]: r["dl"] for r in
+           searcher.docs.select("docid", "dl").collect()}
+    for d, s in rows.items():
+        assert s == 2 * dls[d] + 1
+
+    rows = {r["docid"]: r["score"] for r in
+            c.dataframe("recip(dl(content), 1, 1000, 1000)").collect()}
+    for d, s in rows.items():
+        assert abs(s - 1000.0 / (dls[d] + 1000.0)) < 1e-9
+
+    rows = {r["docid"]: r["score"] for r in
+            c.dataframe("map(dl(content), 0, 50, 0)").collect()}
+    for d, s in rows.items():
+        assert s == (0 if dls[d] <= 50 else dls[d])
+
+    one = c.dataframe("div(ttf(content, 'the'), sttf(content))").limit(1).collect()
+    assert len(one) == 1
+
+    md = c.dataframe("maxdoc()").limit(1).collect()[0]["score"]
+    assert md == searcher.doc_count
+
+    # scale: min -> 0, max -> 100
+    rows = [r["score"] for r in
+            c.dataframe("scale(dl(content), 0, 100)").collect()]
+    assert min(rows) == 0.0 and max(rows) == 100.0
