@@ -83,6 +83,69 @@ def _python_analyzed(df: DataFrame, max_token_length: int,
         analyze, schema=out_schema)
 
 
+#: deferred-mode column holding the retained content of rows that need
+#: the Python analyzer (NULL on the JVM-analyzed mainline, so parquet
+#: RLEs it away)
+PY_CONTENT_COL = "_lss_py_content"
+
+
+def analyzed_deferred(df: DataFrame,
+                      max_token_length: int = MAX_TOKEN_LENGTH,
+                      content_col: str = "content",
+                      tokens_col: str = "tokens",
+                      with_sha: bool = True) -> DataFrame:
+    """ONE-projection analyze (drops ``content_col``): ASCII rows get
+    ``tokens_col`` (lowered, position = index) and — when ``with_sha``
+    — ``content_sha256``; rows needing the full-Unicode Python analyzer
+    get NULL tokens and their content retained in ``PY_CONTENT_COL``
+    for :func:`finalize_analyzed`.
+
+    Why this exists: :func:`analyzed_columns` is a union of two
+    filtered branches, and each filter re-evaluates the tokenize regex
+    — the physical plan runs ``regexp_extract_all`` 3x per row over 2
+    corpus scans. Here everything is a SINGLE Project, so whole-stage
+    subexpression elimination evaluates the regex once, and the one
+    GC-heavy pass is a third of the allocation rate (the round-3
+    measured scaling killer at high thread counts).
+
+    CONTRACT: the result must be MATERIALIZED (parquet spill, persist)
+    before any filter touches it — Catalyst pushes predicates through
+    Project aliases, which would re-derive the regex per filter.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    raw = F.regexp_extract_all(content, F.lit(_A_WORD), F.lit(0))
+    needs_py = _needs_python(content, raw, max_token_length)
+    cols = {
+        tokens_col: F.when(~needs_py, F.transform(raw, F.lower)),
+        PY_CONTENT_COL: F.when(needs_py, F.col(content_col)),
+    }
+    if with_sha:
+        cols["content_sha256"] = F.when(~needs_py, F.sha2(content, 256))
+    return df.withColumns(cols).drop(content_col)
+
+
+def finalize_analyzed(df: DataFrame,
+                      max_token_length: int = MAX_TOKEN_LENGTH,
+                      content_col: str = "content",
+                      tokens_col: str = "tokens",
+                      with_sha: bool = True) -> DataFrame:
+    """Complete a MATERIALIZED :func:`analyzed_deferred` frame: rows
+    with NULL ``tokens_col`` run through the Python analyzer (content
+    retained in ``PY_CONTENT_COL``); the output schema matches
+    :func:`analyzed_columns` minus the content column. Push any
+    row-subset filter (e.g. the per-chunk segment range) onto ``df``
+    BEFORE calling, so the Python branch analyzes each rare row exactly
+    once across downstream jobs."""
+    jvm = df.where(F.col(tokens_col).isNotNull()).drop(PY_CONTENT_COL)
+    py_in = df.where(F.col(tokens_col).isNull()).drop(tokens_col)
+    if with_sha:
+        py_in = py_in.drop("content_sha256")
+    py_in = py_in.withColumnRenamed(PY_CONTENT_COL, content_col)
+    py = _python_analyzed(py_in, max_token_length, content_col,
+                          tokens_col, with_sha).drop(content_col)
+    return jvm.unionByName(py)
+
+
 def analyzed_columns(df: DataFrame,
                      max_token_length: int = MAX_TOKEN_LENGTH,
                      content_col: str = "content",

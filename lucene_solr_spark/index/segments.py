@@ -57,7 +57,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import ENGLISH_STOP_WORDS
-from ..analysis.jvm import analyzed_columns
+from ..analysis.jvm import (
+    PY_CONTENT_COL,
+    analyzed_deferred,
+    finalize_analyzed,
+)
 from . import codec
 from .builder import PK, assign_docids
 
@@ -419,17 +423,23 @@ def build_segment_index(
     parent = getattr(base, "_lss_persisted_parent", None)
     with_ids = base.withColumn(
         "segment", (F.col("docid") / docs_per_segment).cast("int"))
-    analyzed_plan = analyzed_columns(
-        with_ids, max_token_length=max_token_length).drop("content")
+    # DEFERRED analyze: one Project, ONE regexp_extract_all per row
+    # (subexpression elimination); rows needing the Python analyzer
+    # carry NULL tokens + retained content and are finalized per chunk
+    # AFTER the spill, so every filter below is a plain parquet
+    # pushdown, never a regex re-derivation (analyzed_columns' union
+    # shape ran the tokenize 3x per row over 2 corpus scans).
+    analyzed_plan = analyzed_deferred(
+        with_ids, max_token_length=max_token_length)
     spill_path = os.path.join(out_root, "analyzed_spill")
     if not (resume and os.path.exists(os.path.join(spill_path, "_SUCCESS"))):
         analyzed_plan.write.mode("overwrite").parquet(spill_path)
-    analyzed = spark.read.parquet(spill_path)
-    n_docs_total = analyzed.count()
+    spill = spark.read.parquet(spill_path)
+    n_docs_total = spill.count()  # footer-only count, no scan
     if parent is not None:
         parent.unpersist()
     if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
-        analyzed.drop("tokens", "content_sha256").write.mode(
+        spill.drop("tokens", "content_sha256", PY_CONTENT_COL).write.mode(
             "overwrite").parquet(idx.docmap_path)
         _append_checkpoint(spark, out_root,
                            ("docmap", -1, 0, 0, 0, 0, 0, 0,
@@ -455,10 +465,13 @@ def build_segment_index(
         lo_doc = seg_lo * docs_per_segment
         hi_doc = seg_hi * docs_per_segment
         tc = time.time()
-        # ONE exchange of (only) this chunk's content, keyed by segment
-        part_df = analyzed.where(
-            (F.col("segment") >= seg_lo) & (F.col("segment") < seg_hi)
-        )
+        # ONE exchange of (only) this chunk's content, keyed by segment;
+        # the segment-range filter lands on the parquet scan, and the
+        # (rare) Python-analyzer rows finalize inside the chunk only
+        part_df = finalize_analyzed(
+            spill.where((F.col("segment") >= seg_lo)
+                        & (F.col("segment") < seg_hi)),
+            max_token_length=max_token_length)
         out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
         out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
         wall = time.time() - tc

@@ -110,24 +110,41 @@ def child(cpus: int, docs: int, dps_override: int = 0) -> None:
     parent = getattr(base, "_lss_persisted_parent", None)
     with_ids = base.withColumn(
         "segment", (F.col("docid") / dps).cast("int"))
-    analyzed = analyzed_columns(with_ids, max_token_length=255).drop("content")
-    if mode == "mem":
-        analyzed.persist(StorageLevel.MEMORY_AND_DISK)
-        n = analyzed.count()
-    elif mode == "parquet":
+    if mode == "deferred":
+        # the shipped build_segment_index shape: one-projection analyze
+        # spilled to parquet, footer count, finalize after the barrier
+        from lucene_solr_spark.analysis.jvm import (
+            PY_CONTENT_COL,
+            analyzed_deferred,
+            finalize_analyzed,
+        )
+
         ap = os.path.join(root, "analyzed_spill")
-        analyzed.write.mode("overwrite").parquet(ap)
-        analyzed = spark.read.parquet(ap)
-        n = analyzed.count()
+        analyzed_deferred(with_ids, max_token_length=255).write.mode(
+            "overwrite").parquet(ap)
+        spill = spark.read.parquet(ap)
+        n = spill.count()
+        analyzed = finalize_analyzed(spill, max_token_length=255)
+        docmap_src = spill.drop("tokens", "content_sha256", PY_CONTENT_COL)
     else:
-        n = analyzed.count()
+        analyzed = analyzed_columns(with_ids, max_token_length=255).drop("content")
+        if mode == "mem":
+            analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+            n = analyzed.count()
+        elif mode == "parquet":
+            ap = os.path.join(root, "analyzed_spill")
+            analyzed.write.mode("overwrite").parquet(ap)
+            analyzed = spark.read.parquet(ap)
+            n = analyzed.count()
+        else:
+            n = analyzed.count()
+        docmap_src = analyzed.drop("tokens", "content_sha256")
     if parent is not None:
         parent.unpersist()
     out["analyze_sec"] = round(time.time() - t, 2)
 
     t = time.time()
-    analyzed.drop("tokens", "content_sha256").write.mode(
-        "overwrite").parquet(idx.docmap_path)
+    docmap_src.write.mode("overwrite").parquet(idx.docmap_path)
     out["docmap_sec"] = round(time.time() - t, 2)
 
     t = time.time()

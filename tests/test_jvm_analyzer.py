@@ -83,3 +83,35 @@ def test_empty_and_single_doc(spark, n):
         [(i, "alpha beta") for i in range(n)], "id int, content string")
     rows = analyzed_columns(df).collect()
     assert len(rows) == n
+
+
+def test_deferred_finalize_matches_analyzed_columns(spark, tmp_path):
+    """analyzed_deferred + parquet barrier + finalize_analyzed must be
+    row-identical to analyzed_columns (minus the content column) on the
+    mixed-case corpus, including the Python-fallback rows; the deferred
+    plan must be ONE scan with no Union (the 3x-regex union shape is
+    exactly what it removes)."""
+    from lucene_solr_spark.analysis.jvm import (
+        PY_CONTENT_COL,
+        analyzed_deferred,
+        finalize_analyzed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)] + [(len(CASES), None)],
+        "id int, content string")
+
+    plan = analyzed_deferred(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Scan") == 1
+
+    spill = str(tmp_path / "spill")
+    analyzed_deferred(df).write.parquet(spill)
+    got = {r["id"]: r for r in
+           finalize_analyzed(spark.read.parquet(spill)).collect()}
+    exp = {r["id"]: r for r in analyzed_columns(df).drop("content").collect()}
+    assert set(got) == set(exp)
+    for i in exp:
+        assert list(got[i]["tokens"]) == list(exp[i]["tokens"]), i
+        assert got[i]["content_sha256"] == exp[i]["content_sha256"], i
+        assert PY_CONTENT_COL not in got[i].asDict()
