@@ -103,25 +103,34 @@ def analyzed_deferred(df: DataFrame,
     Why this exists: :func:`analyzed_columns` is a union of two
     filtered branches, and each filter re-evaluates the tokenize regex
     — the physical plan runs ``regexp_extract_all`` 3x per row over 2
-    corpus scans. Here everything is a SINGLE Project, so whole-stage
-    subexpression elimination evaluates the regex once, and the one
-    GC-heavy pass is a third of the allocation rate (the round-3
-    measured scaling killer at high thread counts).
+    corpus scans. Here the regex and the needs-py predicate each get
+    their OWN Project so they are computed once per row: Catalyst's
+    CollapseProject refuses to merge a Project whose alias is a
+    non-cheap expression referenced more than once downstream (a
+    single-Project CASE shape measured ~1.4x MORE cpu — subexpression
+    elimination does not cover interpreted higher-order exprs).
 
     CONTRACT: the result must be MATERIALIZED (parquet spill, persist)
     before any filter touches it — Catalyst pushes predicates through
-    Project aliases, which would re-derive the regex per filter.
+    Project aliases, which would re-derive the regex per filter. After
+    materialization, branch on ``PY_CONTENT_COL`` (atomic string →
+    parquet-pushable; an IsNull on the ``tokens`` ARRAY column is NOT
+    pushable and forces full scans — measured 3x on the block build).
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
-    raw = F.regexp_extract_all(content, F.lit(_A_WORD), F.lit(0))
-    needs_py = _needs_python(content, raw, max_token_length)
+    raw_col, npy_col = "_lss_raw", "_lss_needs_py"
+    step = df.withColumn(raw_col, F.regexp_extract_all(
+        content, F.lit(_A_WORD), F.lit(0)))
+    step = step.withColumn(npy_col, _needs_python(
+        content, F.col(raw_col), max_token_length))
+    npy = F.col(npy_col)
     cols = {
-        tokens_col: F.when(~needs_py, F.transform(raw, F.lower)),
-        PY_CONTENT_COL: F.when(needs_py, F.col(content_col)),
+        tokens_col: F.when(~npy, F.transform(F.col(raw_col), F.lower)),
+        PY_CONTENT_COL: F.when(npy, F.col(content_col)),
     }
     if with_sha:
-        cols["content_sha256"] = F.when(~needs_py, F.sha2(content, 256))
-    return df.withColumns(cols).drop(content_col)
+        cols["content_sha256"] = F.when(~npy, F.sha2(content, 256))
+    return step.withColumns(cols).drop(content_col, raw_col, npy_col)
 
 
 def finalize_analyzed(df: DataFrame,
@@ -135,9 +144,12 @@ def finalize_analyzed(df: DataFrame,
     :func:`analyzed_columns` minus the content column. Push any
     row-subset filter (e.g. the per-chunk segment range) onto ``df``
     BEFORE calling, so the Python branch analyzes each rare row exactly
-    once across downstream jobs."""
-    jvm = df.where(F.col(tokens_col).isNotNull()).drop(PY_CONTENT_COL)
-    py_in = df.where(F.col(tokens_col).isNull()).drop(tokens_col)
+    once across downstream jobs. Branches split on ``PY_CONTENT_COL``
+    (atomic → parquet-pushable; the Python branch's IsNotNull skips
+    every all-null row group, so on an all-ASCII corpus it is a
+    metadata-only scan)."""
+    jvm = df.where(F.col(PY_CONTENT_COL).isNull()).drop(PY_CONTENT_COL)
+    py_in = df.where(F.col(PY_CONTENT_COL).isNotNull()).drop(tokens_col)
     if with_sha:
         py_in = py_in.drop("content_sha256")
     py_in = py_in.withColumnRenamed(PY_CONTENT_COL, content_col)

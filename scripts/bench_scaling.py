@@ -63,8 +63,12 @@ def child(cpus: int, docs: int, queries: int) -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for kv in os.environ.get("LSS_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark = spark.config(k.strip(), v.strip())
+    spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from lucene_solr_spark.corpus import corpus_df

@@ -104,6 +104,9 @@ def test_deferred_finalize_matches_analyzed_columns(spark, tmp_path):
     plan = analyzed_deferred(df)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert plan.count("Scan") == 1
+    # the whole point: ONE regex evaluation per row (CollapseProject
+    # must NOT inline the _lss_raw alias into its several consumers)
+    assert plan.count("regexp_extract_all") == 1
 
     spill = str(tmp_path / "spill")
     analyzed_deferred(df).write.parquet(spill)
