@@ -10,7 +10,8 @@ Flagship numbers (BASELINE.md protocol): the inverted-index build over
 the deterministic synthetic source-code corpus (corpus.py) and a
 closed-loop BM25 query set over the built index — the two metrics the
 north rule grades (docs/sec, QPS). Scaling runs live in
-scripts/bench_scaling.py (local[8] vs local[32] → BENCH/BASELINE.md).
+scripts/bench_scaling.py (paired local[N] vs local[4N] within the
+host's delivered-core capacity → BENCH_SCALING.json / BASELINE.md).
 """
 
 from __future__ import annotations
@@ -43,6 +44,11 @@ def make_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
+        # throughput collector for a batch workload: measured 38% less
+        # total task CPU than G1 on the index build (G1 write barriers
+        # tax the mutators; pauses are irrelevant to batch jobs) — on a
+        # real cluster this is spark.executor.extraJavaOptions
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -93,7 +93,8 @@ def analyzed_deferred(df: DataFrame,
                       max_token_length: int = MAX_TOKEN_LENGTH,
                       content_col: str = "content",
                       tokens_col: str = "tokens",
-                      with_sha: bool = True) -> DataFrame:
+                      with_sha: bool = True,
+                      py_content_col: str = PY_CONTENT_COL) -> DataFrame:
     """ONE-projection analyze (drops ``content_col``): ASCII rows get
     ``tokens_col`` (lowered, position = index) and — when ``with_sha``
     — ``content_sha256``; rows needing the full-Unicode Python analyzer
@@ -118,15 +119,21 @@ def analyzed_deferred(df: DataFrame,
     pushable and forces full scans — measured 3x on the block build).
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
-    raw_col, npy_col = "_lss_raw", "_lss_needs_py"
+    raw_col, npy_col = f"_lss_raw_{tokens_col}", f"_lss_npy_{tokens_col}"
+    # lowercase the DOCUMENT once, then extract: the ASCII word-break
+    # grammar is case-symmetric, so extract(lower(doc)) ==
+    # transform(extract(doc), lower) token-for-token — but allocates one
+    # String per document instead of one per token, and skips the
+    # per-element interpreted transform() entirely (non-ASCII rows never
+    # use raw_col: needs_py routes them to the Python analyzer)
     step = df.withColumn(raw_col, F.regexp_extract_all(
-        content, F.lit(_A_WORD), F.lit(0)))
+        F.lower(content), F.lit(_A_WORD), F.lit(0)))
     step = step.withColumn(npy_col, _needs_python(
         content, F.col(raw_col), max_token_length))
     npy = F.col(npy_col)
     cols = {
-        tokens_col: F.when(~npy, F.transform(F.col(raw_col), F.lower)),
-        PY_CONTENT_COL: F.when(npy, F.col(content_col)),
+        tokens_col: F.when(~npy, F.col(raw_col)),
+        py_content_col: F.when(npy, F.col(content_col)),
     }
     if with_sha:
         cols["content_sha256"] = F.when(~npy, F.sha2(content, 256))
@@ -137,7 +144,8 @@ def finalize_analyzed(df: DataFrame,
                       max_token_length: int = MAX_TOKEN_LENGTH,
                       content_col: str = "content",
                       tokens_col: str = "tokens",
-                      with_sha: bool = True) -> DataFrame:
+                      with_sha: bool = True,
+                      py_content_col: str = PY_CONTENT_COL) -> DataFrame:
     """Complete a MATERIALIZED :func:`analyzed_deferred` frame: rows
     with NULL ``tokens_col`` run through the Python analyzer (content
     retained in ``PY_CONTENT_COL``); the output schema matches
@@ -148,11 +156,11 @@ def finalize_analyzed(df: DataFrame,
     (atomic → parquet-pushable; the Python branch's IsNotNull skips
     every all-null row group, so on an all-ASCII corpus it is a
     metadata-only scan)."""
-    jvm = df.where(F.col(PY_CONTENT_COL).isNull()).drop(PY_CONTENT_COL)
-    py_in = df.where(F.col(PY_CONTENT_COL).isNotNull()).drop(tokens_col)
+    jvm = df.where(F.col(py_content_col).isNull()).drop(py_content_col)
+    py_in = df.where(F.col(py_content_col).isNotNull()).drop(tokens_col)
     if with_sha:
         py_in = py_in.drop("content_sha256")
-    py_in = py_in.withColumnRenamed(PY_CONTENT_COL, content_col)
+    py_in = py_in.withColumnRenamed(py_content_col, content_col)
     py = _python_analyzed(py_in, max_token_length, content_col,
                           tokens_col, with_sha).drop(content_col)
     return jvm.unionByName(py)
@@ -177,7 +185,12 @@ def analyzed_columns(df: DataFrame,
     raw = F.regexp_extract_all(content, F.lit(_A_WORD), F.lit(0))
     needs_py = _needs_python(content, raw, max_token_length)
 
-    jvm = df.where(~needs_py).withColumn(tokens_col, F.transform(raw, F.lower))
+    # extract over the lowered DOCUMENT (case-symmetric ASCII grammar:
+    # identical tokens, one String alloc per doc instead of per token,
+    # no interpreted per-element transform — see analyzed_deferred)
+    jvm = df.where(~needs_py).withColumn(
+        tokens_col,
+        F.regexp_extract_all(F.lower(content), F.lit(_A_WORD), F.lit(0)))
     if with_sha:
         jvm = jvm.withColumn("content_sha256", F.sha2(content, 256))
     py = _python_analyzed(df.where(needs_py), max_token_length, content_col,

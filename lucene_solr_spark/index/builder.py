@@ -52,7 +52,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analysis import ENGLISH_STOP_WORDS
-from ..analysis.jvm import analyzed_columns
+from ..analysis.jvm import analyzed_deferred, finalize_analyzed
 
 PK = ["repo", "path", "commit"]
 
@@ -322,14 +322,24 @@ def build_index(
 
     base = assign_docids(corpus, build_partitions)
     parent = getattr(base, "_lss_persisted_parent", None)
+    # deferred analyze per field (ONE regex eval per row per field; see
+    # analysis/jvm.py — the union shape ran it 3x over 2 scans), with
+    # the persist as the materialization barrier, then finalize the
+    # (rare) Python-analyzer rows per field on top of the cache
     analyzed = base
     for f in fields:
         analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
-        analyzed = analyzed_columns(
+        analyzed = analyzed_deferred(
             analyzed, max_token_length=max_token_length, content_col=f,
-            tokens_col=f"tokens_{f}", with_sha=(f == sha_field))
-    analyzed = analyzed.drop(*fields)
-    analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+            tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
+            py_content_col=f"_lss_py_{f}")
+    deferred = analyzed
+    deferred.persist(StorageLevel.MEMORY_AND_DISK)
+    for f in fields:
+        analyzed = finalize_analyzed(
+            analyzed, max_token_length=max_token_length, content_col=f,
+            tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
+            py_content_col=f"_lss_py_{f}")
 
     segments = analyzed.mapInPandas(
         _make_segment_fn(stop_words, fields, sha_field), schema=SEGMENT_SCHEMA)
@@ -421,7 +431,7 @@ def build_index(
         json.dump(manifest, f, indent=1)
 
     segments.unpersist()
-    analyzed.unpersist()
+    deferred.unpersist()
     if parent is not None:
         parent.unpersist()
     return tables

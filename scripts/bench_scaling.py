@@ -62,6 +62,8 @@ def child(cpus: int, docs: int, queries: int) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
+        # ParallelGC: 38% less task CPU than G1 on the build (bench.py)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for kv in os.environ.get("LSS_EXTRA_CONF", "").split(";"):
@@ -180,7 +182,11 @@ def run_level(cpus: int, docs: int, queries: int, runs: int) -> dict:
     borrow the other 24 cores — and gets per-core-proportional
     memory (a 4N cluster has 4N x the RAM of one executor)."""
     results = []
-    mem_gb = max(int(cpus * 1.5), 6)
+    # per-core-proportional heap (a 4N cluster has 4N x the RAM), sized
+    # so the LOW level never heap-OOMs on the blocks exchange (measured
+    # at 1.5 GB/core); the 8 GB floor can only bias the LOW level
+    # faster, i.e. it is conservative for the efficiency claim
+    mem_gb = max(int(cpus * 2.5), 8)
     for _ in range(runs):
         env = dict(os.environ)
         env["LSS_DRIVER_MEM"] = f"{mem_gb}g"
