@@ -49,6 +49,11 @@ def make_spark(cpus: int):
         # tax the mutators; pauses are irrelevant to batch jobs) — on a
         # real cluster this is spark.executor.extraJavaOptions
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # task-side commit: v1's driver-serial rename of ~200 segment
+        # partition dirs is a fixed serial fraction that grows with
+        # corpus size (measured -17s at 16 threads / 400k docs); on
+        # object stores use a manifest committer instead
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

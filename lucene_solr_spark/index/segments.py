@@ -472,7 +472,15 @@ def build_segment_index(
             spill.where((F.col("segment") >= seg_lo)
                         & (F.col("segment") < seg_hi)),
             max_token_length=max_token_length)
-        out = part_df.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+        # segment-granular exchange: with shuffle.partitions = cores,
+        # ~200 segments hash into a few reduce partitions whose skewed
+        # max (Poisson tail) sets the stage wall and WORSENS with width;
+        # one reduce unit per segment keeps task granularity constant at
+        # every cluster size. Catalyst recognizes the HashPartitioning
+        # and inserts no second exchange for the groupBy.
+        n_parts = max(seg_hi - seg_lo, 1)
+        out = (part_df.repartition(n_parts, "segment")
+               .groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA))
         out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
         wall = time.time() - tc
         chunk_docs = min(hi_doc, n_docs_total) - lo_doc

@@ -64,6 +64,8 @@ def child(cpus: int, docs: int, queries: int) -> None:
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         # ParallelGC: 38% less task CPU than G1 on the build (bench.py)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # task-side commit (see bench.py make_spark)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     for kv in os.environ.get("LSS_EXTRA_CONF", "").split(";"):

@@ -149,7 +149,14 @@ def child(cpus: int, docs: int, dps_override: int = 0) -> None:
 
     t = time.time()
     builder = _segment_builder(dps, ENGLISH_STOP_WORDS)
-    blk = analyzed.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
+    if mode == "deferred":
+        # mirror the shipped chunk loop: one reduce unit per segment
+        import math
+        blk_src = analyzed.repartition(
+            max(int(math.ceil(n / dps)), 1), "segment")
+    else:
+        blk_src = analyzed
+    blk = blk_src.groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA)
     blk.write.mode("overwrite").partitionBy("segment").parquet(idx.blocks_path)
     out["blocks_sec"] = round(time.time() - t, 2)
 
