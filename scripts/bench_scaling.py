@@ -220,6 +220,9 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"),
+                    help="result JSON path (ladder pairs write elsewhere "
+                         "so the primary gate pair isn't clobbered)")
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
@@ -290,7 +293,7 @@ def main() -> int:
         "host_capacity_probe": probe,
     }
     print(json.dumps(result, indent=1))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     return 0
 
