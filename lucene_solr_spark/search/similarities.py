@@ -234,11 +234,87 @@ class DFRInLScorer(DFRScorer):
         return boost * A * (1.0 - 1.0 / (1.0 + tfn))
 
 
+class IBSPLScorer(StatsScorer):
+    """IBSimilarity with DistributionSPL + LambdaDF + NormalizationH2
+    (c=1) — the information-based framework (IBSimilarity.java:99-105):
+
+      tfn = freq * log2(1 + c * avgFieldLength / dl)  (NormalizationH2.java:58-59)
+      λ   = float32((df + 1) / (N + 1)), nextDown if == 1 (LambdaDF.java:32-38)
+      q   = 1 - 1/(tfn+1), nextDown if == 1
+      score = boost * -ln((λ^q - λ) / (1 - λ))        (DistributionSPL.java:36-59,
+              with the pow==λ nextUp/nextDown float guard)
+    """
+
+    C = 1.0
+
+    def _lambda(self, df):
+        # LambdaDF returns a float32; Distribution consumes it as float64
+        lam = np.asarray((df + 1.0) / (self.doc_count + 1.0),
+                         dtype=np.float32)
+        one = np.float32(1.0)
+        lam = np.where(lam == one, np.nextafter(one, np.float32(0.0)), lam)
+        return lam.astype(np.float64)
+
+    def _distribution(self, tfn, lam):
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+        pw = np.power(lam, q)
+        # float-rounding guard: pow must differ from lambda or the log
+        # below returns -inf (DistributionSPL.java:46-56)
+        bump = np.where(lam < 1.0, np.nextafter(lam, np.inf),
+                        np.nextafter(lam, -np.inf))
+        pw = np.where(pw == lam, bump, pw)
+        return -np.log((pw - lam) / (1.0 - lam))
+
+    def _score(self, freq, dl, boost, df, ttf):
+        tfn = freq * np.log1p(self.C * self.avg_dl / dl) / _LOG2
+        return boost * self._distribution(tfn, self._lambda(df))
+
+
+class IBLLScorer(IBSPLScorer):
+    """IBSimilarity with DistributionLL + LambdaDF + NormalizationH2:
+    score = boost * -ln(λ / (tfn + λ))  (DistributionLL.java:33-34)."""
+
+    def _distribution(self, tfn, lam):
+        return -np.log(lam / (tfn + lam))
+
+
+class AxiomaticF2EXPScorer(StatsScorer):
+    """AxiomaticF2EXP (Axiomatic.java:103-113, AxiomaticF2EXP.java:61-94),
+    defaults s=0.25, k=0.35 (Axiomatic.java:99-101):
+
+      tfln  = freq / (freq + s + s * dl / avgFieldLength)
+      idf   = ((N + 1) / df) ^ k
+      score = max(0, boost * tfln * idf)   (tf=ln=1, gamma=0 for F2EXP)
+    """
+
+    S = 0.25
+    K = 0.35
+
+    def _idf(self, df):
+        return np.power((self.doc_count + 1.0) / df, self.K)
+
+    def _score(self, freq, dl, boost, df, ttf):
+        tfln = freq / (freq + self.S + self.S * dl / self.avg_dl)
+        return np.maximum(boost * tfln * self._idf(df), 0.0)
+
+
+class AxiomaticF2LOGScorer(AxiomaticF2EXPScorer):
+    """AxiomaticF2LOG: idf = ln((N + 1) / df)
+    (AxiomaticF2LOG.java:77-79); same tfln/gamma as F2EXP."""
+
+    def _idf(self, df):
+        return np.log((self.doc_count + 1.0) / df)
+
+
 SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
                 "boolean": BooleanScorer,
                 "lm_dirichlet": LMDirichletScorer,
                 "lm_jelinek_mercer": LMJelinekMercerScorer,
-                "dfr": DFRScorer, "dfr_in_l_h2": DFRInLScorer}
+                "dfr": DFRScorer, "dfr_in_l_h2": DFRInLScorer,
+                "ib_spl_df_h2": IBSPLScorer, "ib_ll_df_h2": IBLLScorer,
+                "axiomatic_f2exp": AxiomaticF2EXPScorer,
+                "axiomatic_f2log": AxiomaticF2LOGScorer}
 
 
 def make_scorer(name: str, doc_count: int, sum_ttf: int):

@@ -43,7 +43,7 @@ from ..index import codec
 from ..index.segments import SegmentIndex
 from . import bm25
 from .executor import _str_in
-from .queries import BooleanQuery, Query, TermQuery, TopDoc
+from .queries import BooleanQuery, PhraseQuery, Query, TermQuery, TopDoc
 
 
 @dataclass(frozen=True)
@@ -55,11 +55,15 @@ class _SegPlan:
     filters: frozenset  # FILTER terms (match, no score)
     excludes: frozenset  # MUST_NOT terms
     need: int  # resolved minimum SHOULD matches
+    #: phrase clauses: (terms, offsets, slop, boost, occur) — exact and
+    #: sloppy phrases run inside the compressed traversal too
+    phrases: tuple = ()
 
     @property
     def all_terms(self) -> set:
         return ({t for t, _ in self.scoring} | set(self.filters)
-                | set(self.excludes))
+                | set(self.excludes)
+                | {t for p in self.phrases for t in p[0]})
 
 
 class _TermBlocks:
@@ -74,7 +78,7 @@ class _TermBlocks:
     in float32 either way. This makes one decode shareable across a
     whole query batch (the batched WAND path)."""
 
-    __slots__ = ("first", "last", "n", "dbufs", "tbufs", "nbufs",
+    __slots__ = ("first", "last", "n", "dbufs", "tbufs", "nbufs", "pbufs",
                  "ub_unit", "nblocks")
 
     def __init__(self, rows: pd.DataFrame, cache: np.ndarray):
@@ -85,6 +89,10 @@ class _TermBlocks:
         self.dbufs = rows["docids"].tolist()
         self.tbufs = rows["tfs"].tolist()
         self.nbufs = rows["norms"].tolist()
+        # present only when the scan carried the positions column
+        # (phrase queries in the batch — column-pruned away otherwise)
+        self.pbufs = (rows["positions"].tolist()
+                      if "positions" in rows.columns else None)
         self.nblocks = len(rows)
         ubs = np.empty(self.nblocks, dtype=np.float32)
         one = np.float32(1.0)
@@ -107,6 +115,63 @@ class _TermBlocks:
         scores = bm25.score_terms(tfs, norms, np.float32(1.0), cache)
         return docids, scores
 
+    def decode_raw(self, i: int) -> tuple[np.ndarray, np.ndarray, list]:
+        """(docids, norm bytes, per-doc position arrays) of block i —
+        the phrase-matching view (positions column required)."""
+        n = int(self.n[i])
+        docids = codec.decode_docids(int(self.first[i]), self.dbufs[i], n)
+        tfs = codec.decode_seq(self.tbufs[i], n).astype(np.int64)
+        norms = np.frombuffer(self.nbufs[i], dtype=np.uint8).astype(np.int64)
+        poss = codec.decode_positions(self.pbufs[i], tfs)
+        return docids, norms, poss
+
+
+def _phrase_freqs(pos_lists: list[list[np.ndarray]], offs, slop: int) -> np.ndarray:
+    """Phrase frequency per candidate doc. ``pos_lists[i][d]`` = term
+    i's positions in doc d (docs aligned across terms).
+
+    slop=0 — ExactPhraseMatcher (ExactPhraseMatcher.java:93-126):
+    freq = #alignments, vectorized across all docs at once: positions
+    are offset-adjusted, flattened with a per-doc stride, and ONE
+    intersect1d per term narrows the alignment set (same shape as the
+    uncompressed engine's _phrase_verify_fn).
+
+    slop>0 — SloppyPhraseMatcher (SloppyPhraseMatcher.java:119-152):
+    float freq = Σ 1/(1+matchLength), sequential per doc."""
+    nd = len(pos_lists[0])
+    if slop > 0:
+        from .sloppy import sloppy_freq
+
+        freqs = np.empty(nd, dtype=np.float64)
+        for d in range(nd):
+            freqs[d] = sloppy_freq([pos_lists[i][d]
+                                    for i in range(len(pos_lists))],
+                                   tuple(offs), slop)
+        return freqs
+    max_off = max(offs)
+    flats, lens = [], []
+    maxpos = 0
+    for pl in pos_lists:
+        ln = np.fromiter((a.size for a in pl), dtype=np.int64, count=nd)
+        fl = (np.concatenate(pl) if int(ln.sum())
+              else np.empty(0, dtype=np.int64))
+        if fl.size:
+            maxpos = max(maxpos, int(fl.max()))
+        flats.append(fl)
+        lens.append(ln)
+    stride = maxpos + max_off + 2
+    cand = None
+    for i in range(len(pos_lists)):
+        base = np.repeat(np.arange(nd, dtype=np.int64), lens[i]) * stride
+        adj = flats[i] - offs[i] + max_off + base
+        cand = adj if cand is None else np.intersect1d(
+            cand, adj, assume_unique=True)
+        if cand.size == 0:
+            break
+    if cand is None or cand.size == 0:
+        return np.zeros(nd, dtype=np.float64)
+    return np.bincount(cand // stride, minlength=nd).astype(np.float64)
+
 
 def segment_topk(
     seg_blocks,
@@ -121,6 +186,7 @@ def segment_topk(
     must: frozenset[str] | set[str] = frozenset(),
     filters: frozenset[str] | set[str] = frozenset(),
     excludes: frozenset[str] | set[str] = frozenset(),
+    phrases=(),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, float32 scores) for a scored boolean over
     one segment's block rows. Returns arrays sorted by
@@ -145,6 +211,22 @@ def segment_topk(
     Windows advance block-at-a-time in docID order (boundary = min
     last_docid over required+optional current blocks), so pruning
     never changes results, only decode work.
+
+    ``phrases`` holds resolved phrase clauses, each
+    (terms, offsets, slop, weight_or_None, occur): exact/sloppy phrases
+    run INSIDE the compressed traversal (Lucene runs phrases under
+    dynamic pruning too — PhraseScorer's ImpactsDISI over the
+    conjunction, search/PhraseScorer.java + ImpactsDISI.java). Each
+    phrase keeps its own cursor per member term; member streams join
+    the window boundary like any other required stream; a window where
+    a MUST/FILTER phrase's member has no overlapping block is skipped
+    (gap ⇒ no phrase match possible). The phrase's block upper bound is
+    weight × min over members of the block-max unit partial — sound
+    because phrase freq ≤ min member tf and the unit partial is
+    monotone in freq (sloppy freq = Σ 1/(1+len) ≤ #matches ≤ min tf).
+    Scoring matches the uncompressed engine: weight from summed member
+    idfs, freq from ExactPhraseMatcher/SloppyPhraseMatcher semantics
+    (_phrase_freqs), norm = the doc's single field norm.
 
     seg_blocks: the segment's block rows (DataFrame), or a prebuilt
     {term: rows} mapping. tb_cache/dec_cache (optional, per segment)
@@ -201,9 +283,30 @@ def segment_topk(
         if tb is not None:
             excl_tbs.append(tb)
 
+    # phrase clauses: one cursor per member term; _TermBlocks shared
+    # with the scoring/filter streams via tb_cache (decode once)
+    ph: list[dict] = []
+    n_must_ph = n_filt_ph = 0
+    for terms_p, offs_p, slop_p, w_p, occ in phrases:
+        tbs = [get_tb(t) for t in terms_p]
+        if any(tb is None for tb in tbs):
+            if occ in ("MUST", "FILTER"):
+                return empty  # required phrase member absent in segment
+            continue  # SHOULD/MUST_NOT phrase that can't match: drop
+        ph.append({"tbs": tbs, "ptr": [0] * len(tbs),
+                   "offs": tuple(offs_p), "slop": int(slop_p),
+                   "w": None if w_p is None else np.float32(w_p),
+                   "occ": occ, "dead": False})
+        if occ == "MUST":
+            n_must_ph += 1
+        elif occ == "FILTER":
+            n_filt_ph += 1
+        elif occ == "SHOULD":
+            n_should_present += 1
+
     if sum(is_must) < n_must:        # a MUST term had weight 0 / df 0
         return empty
-    if not terms and not filt_tbs:
+    if not terms and not filt_tbs and not ph:
         return empty
     if need > n_should_present:      # msm unsatisfiable in this segment
         return empty
@@ -216,7 +319,9 @@ def segment_topk(
     xptr = [0] * NX
     decoded = dec_cache if dec_cache is not None else {}
     local_dec = dec_cache is None
-    pure_disjunction = n_must == 0 and NF == 0 and NX == 0
+    pure_disjunction = n_must == 0 and NF == 0 and NX == 0 and not ph
+    total_must = n_must + n_must_ph   # MUST terms + MUST phrases
+    total_filt = NF + n_filt_ph       # FILTER terms + FILTER phrases
 
     top_d = np.zeros(0, dtype=np.int64)
     top_s = np.zeros(0, dtype=np.float32)
@@ -233,30 +338,88 @@ def segment_topk(
             break
         if len(f_active) < NF:
             break
-        if not active and not f_active:
+        stop = False
+        for p in ph:
+            if p["dead"]:
+                continue
+            if any(p["ptr"][i] >= p["tbs"][i].nblocks
+                   for i in range(len(p["tbs"]))):
+                if p["occ"] in ("MUST", "FILTER"):
+                    stop = True  # required phrase exhausted: done
+                    break
+                p["dead"] = True
+        if stop:
+            break
+        ph_live = [p for p in ph if not p["dead"]]
+        if not active and not f_active and not ph_live:
             break
         bounds = [int(terms[t].last[ptr[t]]) for t in active]
         bounds += [int(filt_tbs[i].last[fptr[i]]) for i in f_active]
+        for p in ph_live:
+            bounds += [int(p["tbs"][i].last[p["ptr"][i]])
+                       for i in range(len(p["tbs"]))]
         boundary = min(bounds)
         overlap = [t for t in active
                    if int(terms[t].first[ptr[t]]) <= boundary]
         f_overlap = [i for i in f_active
                      if int(filt_tbs[i].first[fptr[i]]) <= boundary]
+        ph_overlap = [p for p in ph_live
+                      if all(int(p["tbs"][i].first[p["ptr"][i]]) <= boundary
+                             for i in range(len(p["tbs"])))]
 
         # conjunction skip: a required term with no block in the window
         # means no doc in the window matches (gap in its posting list)
         conj_miss = (
             sum(is_must[t] for t in overlap) < n_must
             or len(f_overlap) < NF
+            or sum(p["occ"] == "MUST" for p in ph_overlap) < n_must_ph
+            or sum(p["occ"] == "FILTER" for p in ph_overlap) < n_filt_ph
         )
         skip = conj_miss
         if not skip and use_wand and theta is not None and need <= 1:
-            ub_sum = float(np.sum(np.asarray(
-                [np.float32(wts[t] * terms[t].ub_unit[ptr[t]])
-                 for t in overlap], dtype=np.float64)))
+            ubs = [np.float32(wts[t] * terms[t].ub_unit[ptr[t]])
+                   for t in overlap]
+            # phrase bound: weight × min member block-max unit partial
+            # (phrase freq ≤ min member tf; unit partial monotone in tf)
+            ubs += [np.float32(p["w"] * min(
+                        float(p["tbs"][i].ub_unit[p["ptr"][i]])
+                        for i in range(len(p["tbs"]))))
+                    for p in ph_overlap if p["w"] is not None]
+            ub_sum = float(np.sum(np.asarray(ubs, dtype=np.float64)))
             skip = ub_sum < float(theta)
 
-        if not skip and (overlap or f_overlap):
+        def eval_phrase(p) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            """(docids, float64 freqs, norm bytes) of the phrase's
+            matches inside the current window."""
+            none = (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64),
+                    np.zeros(0, dtype=np.int64))
+            cand = None
+            per_term = []
+            for i, tb in enumerate(p["tbs"]):
+                key = (id(tb), p["ptr"][i], 1)
+                if key not in decoded:
+                    decoded[key] = tb.decode_raw(p["ptr"][i])
+                d, nb, poss = decoded[key]
+                m = (d > cursor) & (d <= boundary)
+                dm = d[m]
+                per_term.append((d, nb, poss))
+                cand = dm if cand is None else cand[
+                    np.isin(cand, dm, assume_unique=True)]
+                if cand.size == 0:
+                    return none
+            pos_lists = []
+            norms0 = None
+            for i, (d, nb, poss) in enumerate(per_term):
+                idx = np.searchsorted(d, cand)
+                pos_lists.append([poss[j] for j in idx])
+                if i == 0:
+                    norms0 = nb[idx]
+            freqs = _phrase_freqs(pos_lists, p["offs"], p["slop"])
+            hit = freqs > 0
+            return cand[hit], freqs[hit], norms0[hit]
+
+        if not skip and (overlap or f_overlap or ph_overlap):
             all_d: list[np.ndarray] = []
             all_s: list[np.ndarray] = []
             all_m: list[np.ndarray] = []   # 1 when the row is a MUST match
@@ -290,8 +453,29 @@ def segment_topk(
                 all_m.append(z)
                 all_sh.append(z)
                 all_f.append(np.ones(dm.size, dtype=np.int64))
-            d_cat = np.concatenate(all_d)
-            s_cat = np.concatenate(all_s)
+            for p in ph_overlap:
+                if p["occ"] == "MUST_NOT":
+                    continue  # applied in the exclusion step below
+                dm, freqs, nbs = eval_phrase(p)
+                if not dm.size:
+                    continue
+                if p["occ"] == "FILTER":
+                    s = np.zeros(dm.size, dtype=np.float32)
+                else:
+                    s = bm25.score_terms(freqs, nbs, p["w"], cache)
+                all_d.append(dm)
+                all_s.append(s)
+                one = np.ones(dm.size, dtype=np.int64)
+                zero = np.zeros(dm.size, dtype=np.int64)
+                all_m.append(one if p["occ"] == "MUST" else zero)
+                all_sh.append(one if p["occ"] == "SHOULD" else zero)
+                all_f.append(one if p["occ"] == "FILTER" else zero)
+            if not all_d:
+                d_cat = np.zeros(0, dtype=np.int64)
+                s_cat = np.zeros(0, dtype=np.float32)
+            else:
+                d_cat = np.concatenate(all_d)
+                s_cat = np.concatenate(all_s)
             live = None
             if deleted is not None and deleted.size and d_cat.size:
                 live = ~np.isin(d_cat, deleted)  # liveDocs mask (.liv role)
@@ -313,14 +497,15 @@ def segment_topk(
                         m_cat, sh_cat, f_cat = (m_cat[live], sh_cat[live],
                                                 f_cat[live])
                     keep = np.ones(uds.size, dtype=bool)
-                    if n_must:
-                        keep &= np.bincount(inv, weights=m_cat) == n_must
-                    if NF:
-                        keep &= np.bincount(inv, weights=f_cat) == NF
+                    if total_must:
+                        keep &= np.bincount(inv, weights=m_cat) == total_must
+                    if total_filt:
+                        keep &= np.bincount(inv, weights=f_cat) == total_filt
                     if need:
                         keep &= np.bincount(inv, weights=sh_cat) >= need
                     uds, scores = uds[keep], scores[keep]
-                if uds.size and NX:
+                mn_ph = [p for p in ph_overlap if p["occ"] == "MUST_NOT"]
+                if uds.size and (NX or mn_ph):
                     # exclusion: decode MUST_NOT blocks overlapping the
                     # window (ReqExclScorer.java role)
                     ex: list[np.ndarray] = []
@@ -337,6 +522,10 @@ def segment_topk(
                                 decoded[key] = tb.decode(j, cache)
                             ex.append(decoded[key][0])
                             j += 1
+                    for p in mn_ph:
+                        dm, _freqs, _nbs = eval_phrase(p)
+                        if dm.size:
+                            ex.append(dm)
                     if ex:
                         excl_d = np.concatenate(ex)
                         live = ~np.isin(uds, excl_d)
@@ -361,6 +550,13 @@ def segment_topk(
                 if local_dec:
                     decoded.pop((id(filt_tbs[i]), fptr[i]), None)
                 fptr[i] += 1
+        for p in ph_live:
+            for i, tb in enumerate(p["tbs"]):
+                j = p["ptr"][i]
+                if j < tb.nblocks and int(tb.last[j]) <= boundary:
+                    if local_dec:
+                        decoded.pop((id(tb), j, 1), None)
+                    p["ptr"][i] = j + 1
 
     return top_d, top_s
 
@@ -409,27 +605,45 @@ class SegmentSearcher:
 
     @staticmethod
     def _flatten(q: Query) -> "_SegPlan":
-        """Term-level boolean plan for the compressed path: scoring
-        (MUST+SHOULD) clauses with boosts, the MUST subset, FILTER and
-        MUST_NOT term sets, and the resolved minimum-SHOULD-match
-        ("SHOULD required only when nothing else is",
-        BooleanQuery semantics — same rule as
+        """Term/phrase-level boolean plan for the compressed path:
+        scoring (MUST+SHOULD) clauses with boosts, the MUST subset,
+        FILTER and MUST_NOT term sets, phrase clauses, and the resolved
+        minimum-SHOULD-match ("SHOULD required only when nothing else
+        is", BooleanQuery semantics — same rule as
         IndexSearcher._compile_boolean)."""
         if isinstance(q, TermQuery):
             return _SegPlan([(q.term, q.boost)], frozenset(), frozenset(),
                             frozenset(), 0)
+        if isinstance(q, PhraseQuery):
+            return _SegPlan(
+                [], frozenset(), frozenset(), frozenset(), 0,
+                ((tuple(q.terms), q.effective_positions(), int(q.slop),
+                  q.boost, "MUST"),))
         if isinstance(q, BooleanQuery):
             scoring: list[tuple[str, float]] = []
             must: set[str] = set()
             filters: set[str] = set()
             excludes: set[str] = set()
+            phrases: list[tuple] = []
             n_should = 0
+            req_other = False  # a required clause besides SHOULD exists
             for c in q.clauses:
+                if isinstance(c.query, PhraseQuery):
+                    pq = c.query
+                    phrases.append(
+                        (tuple(pq.terms), pq.effective_positions(),
+                         int(pq.slop), pq.boost * q.boost, c.occur))
+                    if c.occur == "SHOULD":
+                        n_should += 1
+                    elif c.occur in ("MUST", "FILTER"):
+                        req_other = True
+                    continue
                 if not isinstance(c.query, TermQuery):
                     raise TypeError(
-                        "SegmentSearcher supports term-level boolean "
-                        "algebra (MUST/SHOULD/FILTER/MUST_NOT over terms); "
-                        "use IndexSearcher for nested/compound clauses"
+                        "SegmentSearcher supports term/phrase boolean "
+                        "algebra (MUST/SHOULD/FILTER/MUST_NOT over terms "
+                        "and phrases); use IndexSearcher for other "
+                        "nested/compound clauses"
                     )
                 t = c.query.term
                 if c.occur in ("MUST", "SHOULD"):
@@ -449,16 +663,21 @@ class SegmentSearcher:
                 else:
                     raise TypeError(f"unknown occur {c.occur}")
             msm = q.minimum_should_match
-            need = (msm if (must or filters) else max(msm, 1)) if n_should else 0
+            need = (msm if (must or filters or req_other)
+                    else max(msm, 1)) if n_should else 0
             return _SegPlan(scoring, frozenset(must), frozenset(filters),
-                            frozenset(excludes), need)
+                            frozenset(excludes), need, tuple(phrases))
         raise TypeError(f"unsupported query {type(q)}")
 
-    def _weights(self, plan: _SegPlan) -> dict[str, float] | None:
-        """BM25 clause weights for a plan's scoring terms; None when
-        the query can match nothing (a MUST term absent from the
-        dictionary — empty scorer kills the conjunction)."""
-        stats = self._stats({t for t, _ in plan.scoring})
+    def _resolve(self, plan: _SegPlan, stats: dict[str, int] | None = None):
+        """(clause weights, resolved phrases) for a plan; None when the
+        query can match nothing (a required term/phrase member absent
+        from the dictionary — empty scorer kills the conjunction).
+        Phrase weight sums member idfs (BM25Similarity.java:172-181),
+        exactly like IndexSearcher._phrase_leaf."""
+        if stats is None:
+            stats = self._stats({t for t, _ in plan.scoring}
+                                | {t for p in plan.phrases for t in p[0]})
         weights: dict[str, float] = {}
         for t, b in plan.scoring:
             df = stats.get(t, 0)
@@ -467,14 +686,30 @@ class SegmentSearcher:
                     return None
                 continue
             weights[t] = float(self.scorer.weight(df, b))
-        return weights
+        rphrases: list[tuple] = []
+        for terms_p, offs_p, slop_p, boost_p, occ in plan.phrases:
+            if any(stats.get(t, 0) == 0 for t in terms_p):
+                if occ in ("MUST", "FILTER"):
+                    return None  # required phrase can never match
+                continue  # SHOULD scores nothing / MUST_NOT excludes nothing
+            w = None
+            if occ in ("MUST", "SHOULD"):
+                idfs = [self.scorer.idf(stats[t]) for t in terms_p]
+                idf_sum = np.float32(np.sum(np.asarray(idfs,
+                                                       dtype=np.float64)))
+                w = float(self.scorer.weight_from_idf_sum(idf_sum, boost_p))
+            rphrases.append((terms_p, offs_p, slop_p, w, occ))
+        return weights, tuple(rphrases)
 
     # -- execution ------------------------------------------------------
     def search_df(self, q: Query, k: int = 10, use_wand: bool = True) -> DataFrame:
         plan = self._flatten(q)
-        weights = self._weights(plan)
+        resolved = self._resolve(plan)
         spark = self.index.spark
-        if weights is None or (not weights and not plan.filters):
+        if resolved is None:
+            return spark.createDataFrame([], "docid long, score float")
+        weights, rphrases = resolved
+        if not weights and not plan.filters and not rphrases:
             return spark.createDataFrame([], "docid long, score float")
         cache = self.scorer.cache
         need = plan.need
@@ -486,15 +721,19 @@ class SegmentSearcher:
             d, s = segment_topk(pdf, weights, cache, k,
                                 min_should_match=need, use_wand=use_wand,
                                 deleted=deleted, must=must, filters=filters,
-                                excludes=excludes)
+                                excludes=excludes, phrases=rphrases)
             return pd.DataFrame({"docid": d.astype(np.int64),
                                  "score": s.astype(np.float32)})
 
-        scan_terms = sorted(set(weights) | set(filters) | set(excludes))
+        scan_terms = sorted(set(weights) | set(filters) | set(excludes)
+                            | {t for p in rphrases for t in p[0]})
+        # positions column only rides the scan when the query needs it
+        pos_cols = ["positions"] if rphrases else []
         filtered = self.blocks.where(
             _str_in("term", scan_terms)
         ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", "imp_tfs", "imp_norms")
+                 "last_docid", "docids", "tfs", "norms", *pos_cols,
+                 "imp_tfs", "imp_norms")
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "docid long, score float"
         )
@@ -529,26 +768,26 @@ class SegmentSearcher:
         qid_list = list(queries)
         flat = {qid: self._flatten(q) for qid, q in queries.items()}
         term_set = {t for p in flat.values() for t, _ in p.scoring}
+        term_set |= {t for p in flat.values()
+                     for ph in p.phrases for t in ph[0]}
         stats = self._stats(term_set)
-        plans: list[tuple[dict[str, float], _SegPlan] | None] = []
+        plans: list[tuple[dict[str, float], _SegPlan, tuple] | None] = []
         scan_term_set: set[str] = set()
+        any_phrases = False
         for qid in qid_list:
             p = flat[qid]
-            w: dict[str, float] = {}
-            dead = False
-            for t, b in p.scoring:
-                df = stats.get(t, 0)
-                if not df:
-                    if t in p.must:
-                        dead = True  # MUST on absent term → empty result
-                        break
-                    continue
-                w[t] = float(self.scorer.weight(df, b))
-            if dead or (not w and not p.filters):
+            resolved = self._resolve(p, stats=stats)
+            if resolved is None:
                 plans.append(None)
                 continue
-            plans.append((w, p))
-            scan_term_set |= set(w) | set(p.filters) | set(p.excludes)
+            w, rphrases = resolved
+            if not w and not p.filters and not rphrases:
+                plans.append(None)
+                continue
+            plans.append((w, p, rphrases))
+            scan_term_set |= (set(w) | set(p.filters) | set(p.excludes)
+                              | {t for ph in rphrases for t in ph[0]})
+            any_phrases = any_phrases or bool(rphrases)
         terms_present = sorted(scan_term_set)
         if not terms_present:
             return spark.createDataFrame(
@@ -569,12 +808,13 @@ class SegmentSearcher:
             for qi, entry in enumerate(plans):
                 if entry is None:
                     continue
-                w, p = entry
+                w, p, rphrases = entry
                 d, s = segment_topk(
                     groups, w, cache, kk, min_should_match=p.need,
                     use_wand=use_wand, deleted=deleted,
                     tb_cache=tb_cache, dec_cache=dec_cache,
-                    must=p.must, filters=p.filters, excludes=p.excludes)
+                    must=p.must, filters=p.filters, excludes=p.excludes,
+                    phrases=rphrases)
                 if d.size:
                     out_q.append(np.full(d.size, qi, dtype=np.int32))
                     out_d.append(d)
@@ -589,11 +829,12 @@ class SegmentSearcher:
                 "docid": np.concatenate(out_d),
                 "score": pd.Series(np.concatenate(out_s), dtype="float32")})
 
+        pos_cols = ["positions"] if any_phrases else []
         filtered = self.blocks.where(
             _str_in("term", terms_present)
         ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", "imp_tfs",
-                 "imp_norms")
+                 "last_docid", "docids", "tfs", "norms", *pos_cols,
+                 "imp_tfs", "imp_norms")
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "qidx int, docid long, score float")
         from pyspark.sql.window import Window

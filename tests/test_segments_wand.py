@@ -250,3 +250,80 @@ def test_segment_dict_cache_guard(built, monkeypatch):
     got = s.search(TermQuery(t), 5)  # dictionary-scan _stats path
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
+
+
+def _bigram(pdf):
+    """(terms, positions) of an analyzed adjacent pair from doc 0 —
+    absolute positions are fine (phrase alignment is relative)."""
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    toks, poss = an.analyze(pdf["content"].iloc[0])
+    for i in range(len(toks) - 1):
+        if toks[i] != toks[i + 1]:
+            return (toks[i], toks[i + 1]), (poss[i], poss[i + 1])
+    raise AssertionError("no distinct adjacent pair in doc 0")
+
+
+def test_phrase_identical_to_oracle(built):
+    """Exact + sloppy phrases on the compressed path (standalone and
+    inside boolean mixes): rank/score identity vs the pure-Python
+    oracle AND vs exhaustive (WAND off) evaluation."""
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    _, searcher, oracle, pdf = built
+    (a, b), (pa, pb) = _bigram(pdf)
+    t = _terms_by_df(oracle, 6)
+    cases = {
+        "exact": PhraseQuery((a, b), positions=(pa, pb)),
+        "boosted": PhraseQuery((a, b), positions=(pa, pb), boost=1.7),
+        "sloppy1": PhraseQuery((a, b), positions=(pa, pb), slop=1),
+        "sloppy3": PhraseQuery((b, a), slop=3),
+        "swapped_exact": PhraseQuery((b, a)),
+        "phrase_must_term_should": BooleanQuery.of(
+            must=[PhraseQuery((a, b), positions=(pa, pb))],
+            should=[TermQuery(t[2])]),
+        "phrase_should_msm": BooleanQuery.of(
+            should=[PhraseQuery((a, b), positions=(pa, pb)),
+                    TermQuery(t[-1])],
+            minimum_should_match=2),
+        "phrase_filter": BooleanQuery.of(
+            should=[TermQuery(t[-1])],
+            filter=[PhraseQuery((a, b), positions=(pa, pb))]),
+        "phrase_must_not": BooleanQuery.of(
+            must=[TermQuery(t[-1])],
+            must_not=[PhraseQuery((a, b), positions=(pa, pb))]),
+        "phrase_absent_member": PhraseQuery((a, "zz_not_a_term")),
+    }
+    for name, q in cases.items():
+        exp = oracle.search(q, 12)
+        got = searcher.search(q, 12, use_wand=True)
+        exhaustive = searcher.search(q, 12, use_wand=False)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], name
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exhaustive], name
+
+
+def test_phrase_batched_identical(built):
+    """Phrases mixed with terms in ONE search_many batch — shared
+    decode caches must not cross-contaminate phrase matching."""
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    _, searcher, oracle, pdf = built
+    (a, b), (pa, pb) = _bigram(pdf)
+    t = _terms_by_df(oracle, 6)
+    batch = {
+        "ph": PhraseQuery((a, b), positions=(pa, pb)),
+        "term": TermQuery(t[-1]),
+        "mix": BooleanQuery.of(
+            must=[PhraseQuery((a, b), positions=(pa, pb))],
+            should=[TermQuery(t[1])]),
+        "sloppy": PhraseQuery((b, a), slop=2),
+    }
+    got = searcher.search_many(batch, 12)
+    for qid, q in batch.items():
+        exp = searcher.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+        oexp = oracle.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in oexp], qid
