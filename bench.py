@@ -25,7 +25,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_BUILD_DOCS = int(os.environ.get("LSS_BENCH_DOCS", "40000"))
+# 120k (was 40k): the round-3 build spills the analyzed frame to
+# parquet (the 100-TB design — the token stream never fits executor
+# memory), which adds fixed write/read+commit costs that dominate tiny
+# corpora and amortize at scale: measured v2 docs/s on this host =
+# 680 at 40k, 2166 at 120k, 3890-5072 at 400k (BENCH_SCALING*.json).
+# 120k keeps the bench under ~3 min while reporting steady-state rate.
+N_BUILD_DOCS = int(os.environ.get("LSS_BENCH_DOCS", "120000"))
 N_QUERIES = int(os.environ.get("LSS_BENCH_QUERIES", "40"))
 
 

@@ -307,6 +307,48 @@ class AxiomaticF2LOGScorer(AxiomaticF2EXPScorer):
         return np.log((self.doc_count + 1.0) / df)
 
 
+class DFIStandardizedScorer(StatsScorer):
+    """DFISimilarity with IndependenceStandardized — divergence from
+    independence (DFISimilarity.java:59-70):
+
+      expected = (ttf + 1) * dl / (sumTotalTermFreq + 1)
+      0 when freq <= expected (the "less frequent than by chance" cut)
+      measure  = (freq - expected) / sqrt(expected)
+                 (IndependenceStandardized.java:28-30)
+      score    = boost * log2(measure + 1)
+    """
+
+    def _measure(self, freq, expected):
+        return (freq - expected) / np.sqrt(expected)
+
+    def _score(self, freq, dl, boost, df, ttf):
+        expected = (ttf + 1.0) * dl / (self.sum_ttf + 1.0)
+        # measure+1 can be <= 0 exactly where the freq<=expected cut
+        # discards the value anyway — mask instead of warning
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = boost * np.log2(self._measure(freq, expected) + 1.0)
+        return np.where(freq <= expected, 0.0, s)
+
+
+class DFIChiSquaredScorer(DFIStandardizedScorer):
+    """DFISimilarity with IndependenceChiSquared:
+    measure = (freq - expected)^2 / expected
+    (IndependenceChiSquared.java:28-30)."""
+
+    def _measure(self, freq, expected):
+        d = freq - expected
+        return d * d / expected
+
+
+class DFISaturatedScorer(DFIStandardizedScorer):
+    """DFISimilarity with IndependenceSaturated:
+    measure = (freq - expected) / expected
+    (IndependenceSaturated.java:27-29)."""
+
+    def _measure(self, freq, expected):
+        return (freq - expected) / expected
+
+
 SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
                 "boolean": BooleanScorer,
                 "lm_dirichlet": LMDirichletScorer,
@@ -314,7 +356,10 @@ SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
                 "dfr": DFRScorer, "dfr_in_l_h2": DFRInLScorer,
                 "ib_spl_df_h2": IBSPLScorer, "ib_ll_df_h2": IBLLScorer,
                 "axiomatic_f2exp": AxiomaticF2EXPScorer,
-                "axiomatic_f2log": AxiomaticF2LOGScorer}
+                "axiomatic_f2log": AxiomaticF2LOGScorer,
+                "dfi_standardized": DFIStandardizedScorer,
+                "dfi_chi_squared": DFIChiSquaredScorer,
+                "dfi_saturated": DFISaturatedScorer}
 
 
 def make_scorer(name: str, doc_count: int, sum_ttf: int):
