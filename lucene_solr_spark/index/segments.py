@@ -383,12 +383,24 @@ def build_segment_index(
     segments_per_chunk: int = 8,
     resume: bool = False,
     fail_after_chunk: int | None = None,
+    max_concurrent_chunks: int | None = None,
 ) -> SegmentIndex:
     """Build (or resume) the compressed segment index.
 
     ``fail_after_chunk`` injects a crash after N chunk commits — used by
     the kill-and-resume test (BASELINE.md resumability row).
-    """
+
+    ``max_concurrent_chunks`` (default env LSS_CONCURRENT_CHUNKS or 2)
+    overlaps chunk jobs from driver threads — the ConcurrentMergeScheduler
+    role (index/ConcurrentMergeScheduler.java:57-63: flushes/merges run
+    on background threads, not the indexing thread). Spark's scheduler
+    backfills a later chunk's tasks into slots the earlier chunk's
+    straggler tail leaves idle, so the per-chunk barrier no longer
+    multiplies the Poisson tail by the number of chunks. Each chunk
+    commits atomically: blocks land in a chunk-private tmp dir, segment
+    dirs move into place, then the checkpoint row is written — a crash
+    between move and checkpoint is cleaned by the resume path exactly
+    like the sequential build."""
     spark = corpus.sparkSession
     t0 = time.time()
     stop_words = stop_words or frozenset()
@@ -448,20 +460,34 @@ def build_segment_index(
     n_segments = int(np.ceil(n_docs_total / docs_per_segment)) or 1
     n_chunks = int(np.ceil(n_segments / segments_per_chunk))
 
-    # ---- stage 1: per-chunk block build (resumable) -------------------
+    # ---- stage 1: per-chunk block build (resumable, overlapped) -------
     done = _done_chunks(spark, out_root) if resume else set()
     builder = _segment_builder(docs_per_segment, stop_words)
-    built = 0
-    for chunk in range(n_chunks):
+    if max_concurrent_chunks is None:
+        max_concurrent_chunks = int(
+            os.environ.get("LSS_CONCURRENT_CHUNKS", "2"))
+    # the crash-injection path commits in deterministic order
+    workers = 1 if fail_after_chunk is not None else max(
+        1, max_concurrent_chunks)
+    os.makedirs(idx.blocks_path, exist_ok=True)
+    pending = [c for c in range(n_chunks) if c not in done]
+    for chunk in pending:
         seg_lo = chunk * segments_per_chunk
         seg_hi = min(seg_lo + segments_per_chunk, n_segments)
-        if chunk in done:
-            continue
-        # clean partial output of an uncheckpointed chunk (resume safety)
+        # clean partial output of an uncheckpointed chunk (resume
+        # safety: a crash between segment-dir moves and the checkpoint
+        # row leaves moved dirs behind) and stale chunk tmp dirs
         for seg in range(seg_lo, seg_hi):
             part = os.path.join(idx.blocks_path, f"segment={seg}")
             if os.path.exists(part):
                 shutil.rmtree(part)
+        tmp = os.path.join(out_root, f"blocks.chunk-{chunk}.tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+    def run_chunk(chunk: int) -> None:
+        seg_lo = chunk * segments_per_chunk
+        seg_hi = min(seg_lo + segments_per_chunk, n_segments)
         lo_doc = seg_lo * docs_per_segment
         hi_doc = seg_hi * docs_per_segment
         tc = time.time()
@@ -481,7 +507,16 @@ def build_segment_index(
         n_parts = max(seg_hi - seg_lo, 1)
         out = (part_df.repartition(n_parts, "segment")
                .groupBy("segment").applyInPandas(builder, BLOCKS_SCHEMA))
-        out.write.mode("append").partitionBy("segment").parquet(idx.blocks_path)
+        # chunk-private staging dir -> atomic per-segment renames: no
+        # two concurrent chunk jobs ever touch the same committer
+        # staging area or segment dir (segment ranges are disjoint)
+        tmp = os.path.join(out_root, f"blocks.chunk-{chunk}.tmp")
+        out.write.mode("overwrite").partitionBy("segment").parquet(tmp)
+        for d in os.listdir(tmp):
+            if d.startswith("segment="):
+                os.rename(os.path.join(tmp, d),
+                          os.path.join(idx.blocks_path, d))
+        shutil.rmtree(tmp)
         wall = time.time() - tc
         chunk_docs = min(hi_doc, n_docs_total) - lo_doc
         _append_checkpoint(
@@ -490,10 +525,20 @@ def build_segment_index(
              int(chunk_docs), 0, round(wall, 3),
              round(chunk_docs / wall, 1) if wall > 0 else 0.0),
         )
-        built += 1
-        if fail_after_chunk is not None and built >= fail_after_chunk:
-            # keep the spill: a resume reuses it (input-determined)
-            raise RuntimeError(f"injected failure after chunk {chunk}")
+
+    if workers == 1 or len(pending) <= 1:
+        built = 0
+        for chunk in pending:
+            run_chunk(chunk)
+            built += 1
+            if fail_after_chunk is not None and built >= fail_after_chunk:
+                # keep the spill: a resume reuses it (input-determined)
+                raise RuntimeError(f"injected failure after chunk {chunk}")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(run_chunk, pending))
 
     # ---- stage 2: derived tables --------------------------------------
     # docs derives straight from summary rows (they carry the doc

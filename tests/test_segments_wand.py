@@ -327,3 +327,33 @@ def test_phrase_batched_identical(built):
         oexp = oracle.search(q, 12)
         assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
             (d.docid, np.float32(d.score)) for d in oexp], qid
+
+
+def test_concurrent_chunks_bit_identical(spark, tmp_path_factory):
+    """Overlapped chunk jobs (ConcurrentMergeScheduler role,
+    index/ConcurrentMergeScheduler.java:57-63) commit the exact same
+    index as the sequential build: same block bytes, same checkpoint
+    chunk set, same search results."""
+    corpus = corpus_df(spark, 200, partitions=4)
+    seq = build_segment_index(
+        corpus, str(tmp_path_factory.mktemp("seq")),
+        stop_words=ENGLISH_STOP_WORDS, docs_per_segment=32,
+        segments_per_chunk=2, max_concurrent_chunks=1)
+    con = build_segment_index(
+        corpus, str(tmp_path_factory.mktemp("con")),
+        stop_words=ENGLISH_STOP_WORDS, docs_per_segment=32,
+        segments_per_chunk=2, max_concurrent_chunks=4)
+
+    def blocks_key(idx):
+        rows = idx.blocks().collect()
+        return sorted(
+            (r["segment"], r["term"], r["block_ord"],
+             bytes(r["docids"]), bytes(r["tfs"]), bytes(r["norms"]))
+            for r in rows)
+
+    assert blocks_key(seq) == blocks_key(con)
+    q = BooleanQuery.of(should=[TermQuery("class"), TermQuery("return")])
+    a = SegmentSearcher(seq, cache=True).search(q, 10)
+    b = SegmentSearcher(con, cache=True).search(q, 10)
+    assert [(d.docid, np.float32(d.score)) for d in a] == [
+        (d.docid, np.float32(d.score)) for d in b]
