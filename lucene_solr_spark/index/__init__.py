@@ -1,1 +1,10 @@
 from .builder import IndexTables, assign_docids, build_index  # noqa: F401
+from .segments import (  # noqa: F401
+    SegmentIndex,
+    build_segment_index,
+    create_snapshot,
+    keep_last_n_snapshots,
+    list_snapshots,
+    open_snapshot,
+    release_snapshot,
+)

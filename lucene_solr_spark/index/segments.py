@@ -325,6 +325,95 @@ class SegmentIndex:
             return json.load(f)
 
 
+#: table dirs a commit point pins (analyzed_spill/checkpoints are
+#: build-scoped lineage, not part of the readable commit)
+_SNAPSHOT_DIRS = ("blocks", "docmap", "docs", "dict", "stats", "deletes",
+                  "field_postings", "field_dict", "field_docs",
+                  "field_stats")
+
+
+def create_snapshot(idx: SegmentIndex, note: str = "") -> int:
+    """Commit point (SnapshotDeletionPolicy.snapshot() +
+    IndexCommit role, index/SnapshotDeletionPolicy.java:54-90): pin the
+    index's current files under ``commits/gen-N`` as HARDLINKS — parquet
+    files are write-once, and every mutation in this engine (batch
+    ingest, tombstones, compaction) replaces *names* (rename/rmtree),
+    never file contents, so a pinned inode keeps serving the old commit
+    while the live tree moves on — exactly Lucene's "snapshotted files
+    are not deleted by merges" contract. The snapshot dir is itself a
+    valid index root: time travel = open it (DirectoryReader.open(
+    IndexCommit) role). In production this seam is Iceberg
+    snapshot-id time travel; the hardlink forest is the plain-parquet
+    rendering. Cost: one directory entry per file, zero data copy."""
+    gens = [s["gen"] for s in list_snapshots(idx.root)]
+    gen = (max(gens) + 1) if gens else 1
+    dst_root = os.path.join(idx.root, "commits", f"gen-{gen}")
+    tmp_root = dst_root + ".tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    os.makedirs(tmp_root)
+    for sub in _SNAPSHOT_DIRS:
+        src = os.path.join(idx.root, sub)
+        if not os.path.exists(src):
+            continue
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, idx.root)
+            os.makedirs(os.path.join(tmp_root, rel), exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(dirpath, fn),
+                        os.path.join(tmp_root, rel, fn))
+    shutil.copy2(os.path.join(idx.root, "manifest.json"),
+                 os.path.join(tmp_root, "manifest.json"))
+    with open(os.path.join(tmp_root, "snapshot.json"), "w") as f:
+        json.dump({"gen": gen, "ts": time.time(), "note": note}, f)
+    os.rename(tmp_root, dst_root)  # atomic commit of the commit point
+    return gen
+
+
+def list_snapshots(root: str) -> list[dict]:
+    """Retained commit points, oldest first (IndexDeletionPolicy's
+    onCommit list role)."""
+    d = os.path.join(root, "commits")
+    if not os.path.exists(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        meta = os.path.join(d, name, "snapshot.json")
+        if name.startswith("gen-") and os.path.exists(meta):
+            with open(meta) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda s: s["gen"])
+
+
+def open_snapshot(root: str, spark: SparkSession, gen: int) -> SegmentIndex:
+    """DirectoryReader.open(IndexCommit): a reader over the index as of
+    commit point ``gen`` — unaffected by later ingest, deletes, or
+    compaction."""
+    p = os.path.join(root, "commits", f"gen-{gen}")
+    if not os.path.exists(os.path.join(p, "snapshot.json")):
+        raise FileNotFoundError(f"no commit point gen-{gen} under {root}")
+    return SegmentIndex(p, spark)
+
+
+def release_snapshot(root: str, gen: int) -> None:
+    """SnapshotDeletionPolicy.release(): drop the pin; inodes whose
+    last name this was are freed by the filesystem."""
+    p = os.path.join(root, "commits", f"gen-{gen}")
+    if os.path.exists(p):
+        shutil.rmtree(p)
+
+
+def keep_last_n_snapshots(root: str, n: int) -> list[int]:
+    """Deletion policy (KeepOnlyLastCommitDeletionPolicy generalized):
+    retain the newest ``n`` commit points, release the rest. Returns
+    the released gens."""
+    snaps = list_snapshots(root)
+    drop = snaps[:-n] if n > 0 else snaps
+    for s in drop:
+        release_snapshot(root, s["gen"])
+    return [s["gen"] for s in drop]
+
+
 def append_deletes(root: str, docids) -> int:
     """Append tombstone docids (driver-side pyarrow write — tombstone
     batches are small relative to the index; compaction empties them)."""
