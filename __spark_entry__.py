@@ -97,13 +97,15 @@ def _seg_searcher(spark: SparkSession, sf_dir: str) -> SegmentSearcher:
 
 
 def _engine_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max WAND over the compressed segment index — now a full
-    boolean mix (MUST conjunction + SHOULD + MUST_NOT exclusion, the
-    BlockMaxConjunctionScorer path); A/B-identical to exhaustive
-    scoring (pytest-gated); bit-exact DuckDB oracle."""
+    """Block-max WAND over the compressed segment index — the full
+    boolean mix: MUST conjunction (BlockMaxConjunctionScorer path) +
+    SHOULD term + SHOULD exact phrase (phrases run INSIDE the pruned
+    traversal since round 3) + MUST_NOT exclusion; A/B-identical to
+    exhaustive scoring (pytest-gated); bit-exact DuckDB oracle."""
     s = _seg_searcher(spark, sf_dir)
     q = BooleanQuery.of(must=[TermQuery("spark")],
-                        should=[TermQuery("vector"), TermQuery("table")],
+                        should=[TermQuery("vector"),
+                                PhraseQuery(("big", "table"))],
                         must_not=[TermQuery("join")])
     return s.search_df(q, 10).select(
         "docid", F.col("score").cast("double").alias("score"))
@@ -246,8 +248,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out["engine_bm25_topk"] = sqlgen.bm25_topk(("spark", "vector"))
     out["engine_phrase_topk"] = sqlgen.phrase_topk("big", "table")
-    out["engine_wand_topk"] = sqlgen.bm25_bool_topk(
-        should=("vector", "table"), must=("spark",), must_not=("join",))
+    out["engine_wand_topk"] = sqlgen.wand_mix_topk(
+        must=("spark",), should=("vector",), phrase=("big", "table"),
+        must_not=("join",))
     out["engine_dismax_topk"] = sqlgen.dismax_topk()
     out["engine_parsed_query"] = sqlgen.parsed_query_topk()
     out["engine_prefix_topk"] = sqlgen.prefix_topk("quer")

@@ -166,6 +166,38 @@ def bm25_bool_topk(should: tuple[str, ...], must: tuple[str, ...] = (),
   ORDER BY score DESC, docid ASC LIMIT {k}""")
 
 
+def wand_mix_topk(must: tuple[str, ...] = ("spark",),
+                  should: tuple[str, ...] = ("vector",),
+                  phrase: tuple[str, str] = ("big", "table"),
+                  must_not: tuple[str, ...] = ("join",),
+                  k: int = 10) -> str:
+    """The compressed-path flagship mix: MUST term conjunction
+    (BlockMaxConjunctionScorer.java role) + SHOULD terms + SHOULD exact
+    phrase (PhraseScorer under ImpactsDISI) + MUST_NOT exclusion
+    (ReqExclScorer.java), score = float32 of the double clause sum —
+    identical discipline to bm25_bool_topk/parsed_query_topk."""
+    terms = tuple(must) + tuple(should)
+    pred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
+    mt = ", ".join(f"'{t}'" for t in must)
+    nt = ", ".join(f"'{t}'" for t in must_not)
+    return ("WITH " + base_ctes()
+            + "," + term_score_ctes(pred, "q")
+            + "," + exact_phrase_ctes(phrase[0], phrase[1], "wp") + f"""
+  , uni AS (
+    SELECT docid, s FROM ts_q
+    UNION ALL SELECT docid, s FROM ts_wp
+  ),
+  agg AS (
+    SELECT docid, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+    FROM uni GROUP BY docid
+  )
+  SELECT a.docid, a.score FROM agg a
+  WHERE {len(must)} = (SELECT count(DISTINCT term) FROM tok t
+                       WHERE t.docid = a.docid AND t.term IN ({mt}))
+    AND a.docid NOT IN (SELECT DISTINCT docid FROM tok WHERE term IN ({nt}))
+  ORDER BY a.score DESC, a.docid ASC LIMIT {k}""")
+
+
 def synonym_topk(members: tuple[str, ...], k: int = 10,
                  boost: float = 1.0) -> str:
     """SynonymQuery scored as ONE pseudo-term (SynonymQuery.java:

@@ -258,6 +258,55 @@ def ft_sloppy(spark, sf_dir):
 
 
 @register(
+    "ft_span_near",
+    """
+    WITH tokpos AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    )
+    SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b USING (doc_id)
+    WHERE a.term = 'big' AND b.term IN ('table', 'data')
+      AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+    """,
+)
+def ft_span_near(spark, sf_dir):
+    """Nested span membership: SpanNear(ordered, slop=3,
+    [SpanTerm(big), SpanOr(table, data)]).
+
+    Lucene semantics (spans/SpanNearQuery.java + NearSpansOrdered.java:
+    an ordered match requires each clause to start at or after the
+    previous clause's end, and matchWidth = sum of gaps <= slop; for two
+    single-term spans that is pb > pa and pb - pa - 1 <= slop).
+    SpanOr's disjunction (SpanOrQuery.java) lowers to the IN-set on the
+    second leg. The engine's full span algebra (nesting, unordered,
+    not, first) is rank-identity-tested in test_spans against
+    search/spans.py; this row hard-checks the ordered-near match set
+    through the DuckDB gate.
+
+    Scale: two slim per-term position sets joined on doc_id (filters
+    push to the scan) — never a corpus self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos0", "term"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    a = tok.where(F.col("term") == "big").select(
+        "doc_id", F.col("pos").alias("pa"))
+    b = tok.where(F.col("term").isin("table", "data")).select(
+        "doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .where((F.col("pb") > F.col("pa"))
+               & (F.col("pb") - F.col("pa") - F.lit(1) <= F.lit(3)))
+        .select("doc_id").distinct()
+    )
+
+
+@register(
     "ft_phrase",
     r"""
     SELECT doc_id FROM documents
@@ -432,21 +481,10 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@register(
-    "lang_facets",
-    """
-    SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
-    FROM documents GROUP BY lang, source
-    """,
-)
-def lang_facets(spark, sf_dir):
-    """Nested facet counts + per-bucket stats (solr JSON facets,
-    search/facet/FacetField.java)."""
-    return (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("lang", "source")
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
-    )
+# (lang_facets retired in round 3: nested facet counts + per-bucket
+# stats are hard-checked by facet_counts_q1 / facet_aggs_extended /
+# facet_range / facet_relatedness / drill_sideways; the registry slot
+# went to ft_span_near, putting the span algebra in the driver gate.)
 
 
 # ---------------------------------------------------------------------------
