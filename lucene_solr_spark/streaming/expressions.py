@@ -128,6 +128,27 @@ _EVALS: dict[str, Callable] = {
     "and": lambda a: _fold(a, lambda x, y: x & y),
     "or": lambda a: _fold(a, lambda x, y: x | y),
     "not": lambda a: ~a[0],
+    # math evaluator zoo (io/eval/ModuloEvaluator.java, PowerEvaluator,
+    # SquareRootEvaluator, CubedRootEvaluator, NaturalLogEvaluator,
+    # Log10Evaluator, Sine/Cosine/Tangent + Arc*/Hyperbolic* families,
+    # CeilingEvaluator, FloorEvaluator)
+    "mod": lambda a: a[0] % a[1],
+    "pow": lambda a: F.pow(a[0], a[1]),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "cbrt": lambda a: F.cbrt(a[0]),
+    "log": lambda a: F.log(a[0]),  # Solr's log() is the natural log
+    "log10": lambda a: F.log10(a[0]),
+    "sin": lambda a: F.sin(a[0]),
+    "cos": lambda a: F.cos(a[0]),
+    "tan": lambda a: F.tan(a[0]),
+    "asin": lambda a: F.asin(a[0]),
+    "acos": lambda a: F.acos(a[0]),
+    "atan": lambda a: F.atan(a[0]),
+    "sinh": lambda a: F.sinh(a[0]),
+    "cosh": lambda a: F.cosh(a[0]),
+    "tanh": lambda a: F.tanh(a[0]),
+    "ceiling": lambda a: F.ceil(a[0]),
+    "floor": lambda a: F.floor(a[0]),
 }
 
 

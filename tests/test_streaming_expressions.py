@@ -116,3 +116,36 @@ def test_evaluator_tree():
 def test_unknown_stream_raises(tables):
     with pytest.raises(ValueError):
         StreamFactory(tables).compile("frobnicate(x)")
+
+
+def test_math_evaluator_zoo(spark):
+    """io/eval math evaluator set (ModuloEvaluator, PowerEvaluator,
+    SquareRoot/CubedRoot, NaturalLog/Log10, trig + hyperbolic,
+    Ceiling/Floor) — evaluated in a select over a real frame and
+    checked against Python math."""
+    import math
+
+    df = spark.createDataFrame([(9.0, 2.0)], "x double, y double")
+    cases = {
+        "mod(x, 4)": 1.0,
+        "pow(y, 10)": 1024.0,
+        "sqrt(x)": 3.0,
+        "cbrt(add(x, 18))": 3.0,
+        "log(x)": math.log(9.0),
+        "log10(mult(x, y, 5.0, 10.0))": math.log10(900.0),
+        "sin(0)": 0.0,
+        "cos(0)": 1.0,
+        "atan(tan(0.5))": 0.5,
+        "asin(sin(0.5))": 0.5,
+        "acos(cos(0.5))": 0.5,
+        "sinh(0)": 0.0,
+        "cosh(0)": 1.0,
+        "tanh(0)": 0.0,
+        "ceiling(div(x, y))": 5.0,
+        "floor(div(x, y))": 4.0,
+    }
+    cols = [compile_evaluator(parse_expression(e)).alias(f"c{i}")
+            for i, e in enumerate(cases)]
+    row = df.select(*cols).collect()[0]
+    for i, (e, exp) in enumerate(cases.items()):
+        assert row[f"c{i}"] == pytest.approx(exp, abs=1e-12), e
