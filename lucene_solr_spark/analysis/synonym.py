@@ -29,6 +29,7 @@ from __future__ import annotations
 from ..search.queries import (
     BooleanClause,
     BooleanQuery,
+    PhraseQuery,
     Query,
     SynonymQuery,
     TermQuery,
@@ -36,49 +37,72 @@ from ..search.queries import (
 
 
 class SynonymMap:
-    """Immutable term → (sorted output terms) map, single-token rules.
+    """Immutable synonym map.
 
-    ``rules`` values always include every output the term should emit
-    at its position; for equivalence classes with ``expand=True`` the
-    term itself is a member of its own output set (like the reference
-    builder's ``add(input, input)`` round-trip)."""
+    ``rules`` — single-token → (sorted single-token outputs), the
+    index-time-safe subset; for equivalence classes with
+    ``expand=True`` the term itself is a member of its own output set
+    (like the reference builder's ``add(input, input)`` round-trip).
 
-    def __init__(self, rules: dict[str, tuple[str, ...]]):
+    ``graph`` — token-tuple → (output token tuples), EVERY rule
+    including multi-word inputs/outputs (SynonymMap.Builder's
+    full word-level FST content). Multi-word rules are query-time
+    only, per the SynonymGraphFilter guidance that index-time graph
+    output requires lossy flattening — ``expand_query_text`` consumes
+    this map."""
+
+    def __init__(self, rules: dict[str, tuple[str, ...]],
+                 graph: dict[tuple[str, ...],
+                             tuple[tuple[str, ...], ...]] | None = None):
         self.rules = {t: tuple(sorted(set(outs)))
                       for t, outs in rules.items()}
+        self.graph = {k: tuple(sorted(set(v)))
+                      for k, v in (graph or {}).items()}
+        if not self.graph and self.rules:
+            self.graph = {(t,): tuple((o,) for o in outs)
+                          for t, outs in self.rules.items()}
+        self.max_span = max((len(k) for k in self.graph), default=0)
 
     def __len__(self) -> int:
-        return len(self.rules)
+        return len(self.graph) or len(self.rules)
 
     def outputs(self, term: str) -> tuple[str, ...] | None:
         return self.rules.get(term)
+
+    @property
+    def has_multi(self) -> bool:
+        return any(len(k) > 1 or any(len(o) > 1 for o in v)
+                   for k, v in self.graph.items())
 
     @classmethod
     def parse(cls, rules_text: str, expand: bool = True,
               analyzer=None) -> "SynonymMap":
         """Parse Solr synonyms.txt content (SolrSynonymParser.java).
 
-        Each side is analyzed (default: lowercase strip) — a side that
-        analyzes to more than one token is a multi-word rule and
-        raises (graph output out of scope; see module docstring)."""
+        Each side is analyzed (default: lowercase + whitespace split);
+        a side of several tokens is a multi-word rule
+        (``usa => united states``) and lands in the ``graph`` map for
+        query-time expansion; single→single parts additionally land in
+        ``rules`` for the index-time filter."""
 
-        def norm(raw: str) -> str:
+        def norm(raw: str) -> tuple[str, ...]:
             raw = raw.strip()
             if analyzer is not None:
-                toks = analyzer.terms(raw)
-                if len(toks) != 1:
-                    raise NotImplementedError(
-                        f"multi-word synonym rule {raw!r}: the engine "
-                        "indexes single-token synonyms only "
-                        "(SynonymGraphFilter graph output not modeled)")
-                return toks[0]
-            if " " in raw:
-                raise NotImplementedError(
-                    f"multi-word synonym rule {raw!r}: single-token "
-                    "rules only")
-            return raw.lower()
+                return tuple(analyzer.terms(raw))
+            return tuple(w for w in raw.lower().split() if w)
 
-        out: dict[str, set] = {}
+        graph: dict[tuple, set] = {}
+        single: dict[str, set] = {}
+
+        def add(i: tuple, outs: list[tuple]):
+            if not i or not outs:
+                return
+            graph.setdefault(i, set()).update(outs)
+            if len(i) == 1:
+                s1 = [o[0] for o in outs if len(o) == 1]
+                if s1:
+                    single.setdefault(i[0], set()).update(s1)
+
         for line in rules_text.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line:
@@ -88,19 +112,20 @@ class SynonymMap:
                 inputs = [norm(t) for t in lhs.split(",") if t.strip()]
                 outputs = [norm(t) for t in rhs.split(",") if t.strip()]
                 for i in inputs:
-                    out.setdefault(i, set()).update(outputs)
+                    add(i, outputs)
             else:
                 members = [norm(t) for t in line.split(",") if t.strip()]
+                members = [m for m in members if m]
                 if len(members) < 2:
                     continue
                 if expand:
                     for m in members:
-                        out.setdefault(m, set()).update(members)
+                        add(m, members)
                 else:
-                    first = members[0]
                     for m in members:
-                        out.setdefault(m, set()).add(first)
-        return cls({t: tuple(s) for t, s in out.items()})
+                        add(m, [members[0]])
+        return cls({t: tuple(s) for t, s in single.items()},
+                   {k: tuple(v) for k, v in graph.items()})
 
 
 def synonym_filter(syn: SynonymMap):
@@ -110,8 +135,17 @@ def synonym_filter(syn: SynonymMap):
     unmapped tokens pass through. For ``a,b,c`` equivalence classes
     with expand=True the original survives because it is a member of
     its own output set; for ``x => y`` rules the input is consumed
-    (SolrSynonymParser includeOrig=false semantics)."""
+    (SolrSynonymParser includeOrig=false semantics).
 
+    Multi-word rules are refused here: indexing graph output needs the
+    lossy FlattenGraphFilter, and the reference guidance is to apply
+    multi-word synonyms at QUERY time (``expand_query_text``)."""
+
+    if syn.has_multi:
+        raise NotImplementedError(
+            "index-time synonym filter supports single-token rules "
+            "only; apply multi-word rules at query time via "
+            "expand_query_text (SynonymGraphFilter javadoc guidance)")
     rules = syn.rules
 
     def f(terms: list[str], positions: list[int]):
@@ -133,17 +167,31 @@ def synonym_filter(syn: SynonymMap):
 def expand_query(q: Query, syn: SynonymMap) -> Query:
     """Query-time synonym expansion (QueryBuilder.newSynonymQuery):
     every TermQuery whose term has synonyms becomes a SynonymQuery
-    over the output set (same field, same boost); BooleanQuery /
-    nested structures rewrite recursively; other leaves pass through
-    unchanged."""
+    over the output set (same field, same boost); a term whose graph
+    outputs include MULTI-WORD paths becomes the articulation
+    disjunction (single paths as one SynonymQuery, each multi-word
+    path as a PhraseQuery — QueryBuilder.analyzeGraphBoolean's
+    side-path shape); BooleanQuery / nested structures rewrite
+    recursively; other leaves pass through unchanged."""
     if isinstance(q, TermQuery):
-        outs = syn.outputs(q.term)
-        if not outs:
+        paths = syn.graph.get((q.term,))
+        if not paths:
             return q
-        members = tuple(sorted(set(outs) | {q.term}))
-        if len(members) == 1:
-            return q
-        return SynonymQuery(members, boost=q.boost, field=q.field)
+        singles = sorted({p[0] for p in paths if len(p) == 1} | {q.term})
+        multis = sorted(p for p in paths if len(p) > 1)
+        if not multis:
+            if len(singles) == 1:
+                return q
+            return SynonymQuery(tuple(singles), boost=q.boost, field=q.field)
+        alts: list[Query] = []
+        alts.append(SynonymQuery(tuple(singles), boost=q.boost,
+                                 field=q.field)
+                    if len(singles) > 1
+                    else TermQuery(singles[0], boost=q.boost, field=q.field))
+        alts.extend(PhraseQuery(p, boost=q.boost, field=q.field)
+                    for p in multis)
+        return BooleanQuery(
+            tuple(BooleanClause(a, "SHOULD") for a in alts))
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             tuple(BooleanClause(expand_query(c.query, syn), c.occur)
@@ -152,3 +200,52 @@ def expand_query(q: Query, syn: SynonymMap) -> Query:
             boost=q.boost,
         )
     return q
+
+
+def expand_query_text(tokens, syn: SynonymMap, field: str | None = None,
+                      occur: str = "SHOULD") -> Query:
+    """QueryBuilder.analyzeGraphBoolean over analyzed query text with
+    multi-word rules: scan the token stream with LONGEST-match rule
+    lookup (SynonymFilter/SynonymGraphFilter FST semantics), and for
+    every matched span emit the articulation disjunction — the
+    original span plus each output path, single-token paths as
+    TermQuery, multi-token paths as PhraseQuery (the graph side-path →
+    phrase shape of QueryBuilder.analyzeGraphBoolean). Slices combine
+    under ``occur`` (the default operator).
+
+    ``tokens`` — analyzed query terms (list[str]); pass text through
+    your analyzer first.
+    """
+    tokens = list(tokens)
+    kw = {} if field is None else {"field": field}
+    slices: list[Query] = []
+    i = 0
+    while i < len(tokens):
+        span = 0
+        outs = None
+        for ln in range(min(syn.max_span, len(tokens) - i), 0, -1):
+            key = tuple(tokens[i:i + ln])
+            got = syn.graph.get(key)
+            if got is not None:
+                span, outs = ln, got
+                break
+        if outs is None:
+            slices.append(TermQuery(tokens[i], **kw))
+            i += 1
+            continue
+        orig = tuple(tokens[i:i + span])
+        paths = sorted(set(outs) | {orig})
+        singles = sorted({p[0] for p in paths if len(p) == 1})
+        multis = [p for p in paths if len(p) > 1]
+        alts: list[Query] = []
+        if len(singles) > 1:
+            alts.append(SynonymQuery(tuple(singles), **kw))
+        elif singles:
+            alts.append(TermQuery(singles[0], **kw))
+        alts.extend(PhraseQuery(p, **kw) for p in multis)
+        slices.append(alts[0] if len(alts) == 1 else BooleanQuery(
+            tuple(BooleanClause(a, "SHOULD") for a in alts)))
+        i += span
+    if len(slices) == 1:
+        return slices[0]
+    return BooleanQuery(tuple(BooleanClause(s, occur) for s in slices))

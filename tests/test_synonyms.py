@@ -49,9 +49,16 @@ def test_parse_case_folding_and_comments():
     assert m.outputs("fast") == ("fast", "quick")
 
 
-def test_parse_rejects_multiword():
+def test_parse_accepts_multiword_into_graph():
+    """Multi-word rules land in the graph map (query-time path);
+    the index-time FILTER refuses them per SynonymGraphFilter
+    guidance (lossy flattening)."""
+    m = SynonymMap.parse("usa, united states")
+    assert m.has_multi
+    assert ("usa",) in m.graph and ("united", "states") in m.graph
+    assert ("united", "states") in m.graph[("usa",)]
     with pytest.raises(NotImplementedError):
-        SynonymMap.parse("usa, united states")
+        synonym_filter(m)
 
 
 # ---- index-time filter ---------------------------------------------------
@@ -122,5 +129,70 @@ def test_expanded_query_identity(spark, tmp_path_factory):
     assert isinstance(q, SynonymQuery)
     exp = oracle.search(q, 10)
     got = searcher.search(q, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
+
+
+# ---- multi-word graph expansion (QueryBuilder.analyzeGraphBoolean) -------
+
+def test_expand_text_multiword_longest_match():
+    from lucene_solr_spark.analysis.synonym import expand_query_text
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    m = SynonymMap.parse("usa, united states\nny => new york")
+    # longest match consumes "united states" as one slice
+    q = expand_query_text(["visit", "united", "states", "ny"], m)
+    assert isinstance(q, BooleanQuery) and len(q.clauses) == 3
+    visit, us, ny = [c.query for c in q.clauses]
+    assert visit == TermQuery("visit")
+    # slice 2: original span (phrase) + single-token synonym "usa"
+    assert isinstance(us, BooleanQuery)
+    kinds = {type(a.query) for a in us.clauses}
+    assert kinds == {TermQuery, PhraseQuery}
+    phr = [a.query for a in us.clauses if isinstance(a.query, PhraseQuery)]
+    assert phr[0].terms == ("united", "states")
+    # slice 3: "ny" consumed by => rule; output path is a phrase,
+    # original kept as the graph articulation's own side
+    assert isinstance(ny, BooleanQuery)
+    nyp = [a.query for a in ny.clauses if isinstance(a.query, PhraseQuery)]
+    assert nyp[0].terms == ("new", "york")
+
+
+def test_expand_term_with_multiword_output():
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    m = SynonymMap.parse("ny => new york, bigapple")
+    q = expand_query(TermQuery("ny"), m)
+    assert isinstance(q, BooleanQuery)
+    types = sorted(type(c.query).__name__ for c in q.clauses)
+    assert types == ["PhraseQuery", "SynonymQuery"]
+    syn = [c.query for c in q.clauses
+           if isinstance(c.query, SynonymQuery)][0]
+    assert set(syn.terms) == {"ny", "bigapple"}
+
+
+def test_multiword_expansion_end_to_end(spark, tmp_path_factory):
+    """A query term whose only synonym output is a multi-word path
+    must match docs containing the literal phrase — engine vs oracle
+    rank/score identity on the expanded query tree. (The rule's rhs
+    is a bigram the synthetic corpus actually contains.)"""
+    from lucene_solr_spark.analysis.synonym import expand_query_text
+
+    root = str(tmp_path_factory.mktemp("index_msyn"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4)
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS,
+                         n_buckets=8)
+    searcher = IndexSearcher(tables, cache=True)
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    pdf = (corpus_pandas(N_DOCS)
+           .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    oracle.add_all(pdf["content"])
+
+    m = SynonymMap.parse("bigtable => builder0 scaned11")
+    q = expand_query_text(["bigtable"], m)
+    exp = oracle.search(q, 10)
+    got = searcher.search(q, 10)
+    assert exp, "corpus should contain 'builder0 scaned11' phrases"
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
