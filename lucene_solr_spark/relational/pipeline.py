@@ -442,3 +442,129 @@ def token_counts(spark, sf_dir):
             "bpe_ish_tokens"),
         "n_chars",
     )
+
+
+# --- dedup group resolution: connected components over LSH pairs ---------
+
+def _alternating_cc(edges):
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the standard web-scale dedup grouping step.
+
+    ``edges`` — DataFrame(u, v) undirected candidate pairs (u < v).
+    Returns DataFrame(doc_id, group_id) where group_id is the MINIMUM
+    doc_id of the component (deterministic canonical representative).
+
+    Scale notes: each round is two self-contained groupBy+join stages
+    over the edge set; the edge set only shrinks toward star graphs,
+    and the round count is O(log n) — this is the structure that holds
+    at 10^11 edges, unlike min-label propagation whose round count is
+    the component DIAMETER (a chain of near-dups = thousands of
+    rounds). Convergence is detected by an edge-multiset checksum
+    (sum of xxhash64 of the canonical edge), one tiny agg per round.
+    """
+    spark = edges.sparkSession
+
+    def large_star(e):
+        # symmetrize; for each u: m = min(N(u) ∪ {u}); edges (v, m)
+        # for strictly larger neighbors v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # orient (hi → lo); for each u: m = min neighbors; connect all
+        # smaller neighbors AND u itself to m
+        ori = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            ori.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select("u", F.col("m").alias("v"))
+        return (
+            nbr.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def checksum(e):
+        row = e.select(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(greatest(u, v), least(u, v)))")
+            .alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # localCheckpoint truncates the (possibly expensive) upstream
+    # lineage — every round re-plans `cur`'s full logical plan
+    # otherwise, and at prod scale the candidate-generation subtree is
+    # a large DAG. On a real cluster prefer reliable checkpoint() to a
+    # checkpoint dir; local mode has no executor loss to worry about.
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    sig = checksum(cur)
+    for _ in range(64):  # O(log n) expected; hard stop is a backstop
+        # per-round checkpoint keeps the logical plan depth CONSTANT
+        # across rounds (persist alone nests InMemoryRelations, so
+        # round k re-plans a k-deep tree)
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nsig = checksum(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    # fixpoint: star graphs (child → root). Labels = children plus
+    # the roots themselves.
+    members = cur.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("group_id"))
+    roots = cur.select(F.col("v").alias("doc_id"),
+                       F.col("v").alias("group_id")).distinct()
+    return members.union(roots).distinct()
+
+
+@register(
+    "dedup_groups_cc",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTE},
+    {_DUCK_CAND_CTE},
+    edges AS (
+      SELECT d1 AS u, d2 AS v FROM cand
+      UNION SELECT d2, d1 FROM cand
+    ),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, min(v) AS group_id, count(*) AS group_size
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_groups_cc(spark, sf_dir):
+    """Dedup GROUP resolution: the LSH candidate pairs are only edges —
+    a doc chain a~b, b~c must collapse into ONE group even when a~c
+    never shared a band. Connected components over the candidate graph
+    (alternating large-star/small-star, O(log n) rounds) with the
+    component's min doc_id as the canonical keep-id; group_size joins
+    back for keep-one-per-group filtering downstream. Oracle: DuckDB
+    recursive CTE reachability (exact, fine at sf; the Spark path is
+    the one that scales)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v"))
+    labels = _alternating_cc(pairs)
+    sizes = labels.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        labels.join(sizes, "group_id")
+        .select("doc_id", "group_id", "group_size")
+        .orderBy("doc_id")
+    )

@@ -1251,3 +1251,58 @@ def drill_sideways(spark, sf_dir):
         .select(F.lit("o_orderpriority").alias("dim"),
                 F.col("o_orderpriority").alias("bucket"), "cnt"))
     return by_status.unionByName(by_prio)
+
+
+@register(
+    "facet_pivot",
+    """
+    WITH cell AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS c, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    parent AS (
+      SELECT p, sum(cnt) AS parent_cnt,
+             row_number() OVER (ORDER BY sum(cnt) DESC, p ASC) AS prank
+      FROM cell GROUP BY p
+    ),
+    child AS (
+      SELECT p, c, cnt,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY cnt DESC, c ASC) AS crank
+      FROM cell
+    )
+    SELECT parent.p AS pivot_value, parent.parent_cnt, parent.prank,
+           child.c AS sub_value, child.cnt AS sub_cnt, child.crank
+    FROM parent JOIN child ON parent.p = child.p
+    WHERE parent.prank <= 3 AND child.crank <= 2
+    """,
+)
+def facet_pivot(spark, sf_dir):
+    """Pivot facet (Solr facet.pivot / JSON nested facet with per-
+    bucket limit+sort — solr/.../PivotFacetProcessor.java semantics):
+    top-3 o_orderpriority buckets by count, and within EACH bucket the
+    top-2 o_orderstatus sub-buckets by count, ties broken on value.
+
+    One scan → one (parent, child) cell aggregation; parent totals are
+    a SECOND aggregation of the (tiny) cell table, not a rescan; both
+    rankings are windows over the cell table. At 100 TB the only
+    full-data pass is the first groupBy (map-side partial agg); the
+    pivot/sort/limit all run on the |parents|×|children| cell grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cell = (o.groupBy(F.col("o_orderpriority").alias("p"),
+                      F.col("o_orderstatus").alias("c"))
+            .agg(F.count("*").alias("cnt")))
+    parent = (cell.groupBy("p")
+              .agg(F.sum("cnt").alias("parent_cnt"))
+              .withColumn("prank", F.row_number().over(
+                  Window.orderBy(F.desc("parent_cnt"), F.asc("p")))))
+    child = cell.withColumn("crank", F.row_number().over(
+        Window.partitionBy("p").orderBy(F.desc("cnt"), F.asc("c"))))
+    return (
+        parent.where(F.col("prank") <= 3)
+        .join(child.where(F.col("crank") <= 2), "p")
+        .select(F.col("p").alias("pivot_value"), "parent_cnt", "prank",
+                F.col("c").alias("sub_value"),
+                F.col("cnt").alias("sub_cnt"), "crank")
+    )
