@@ -421,16 +421,24 @@ def lowercase_filter(terms: list[str], positions: list[int]):
 # ---------------------------------------------------------------------------
 class CustomAnalyzer:
     """CustomAnalyzer.builder() role (analysis/custom/CustomAnalyzer.
-    java): StandardTokenizer → lowercase → user filter chain. Drop-in
-    for :class:`StandardAnalyzer` wherever ``analyzer=`` is accepted
-    (OracleIndex, percolate, components...)."""
+    java): char filters → StandardTokenizer → lowercase → user filter
+    chain. Drop-in for :class:`StandardAnalyzer` wherever
+    ``analyzer=`` is accepted (OracleIndex, percolate, components...).
+
+    ``char_filters`` — str→str transforms applied BEFORE tokenization
+    (HTMLStripCharFilter / MappingCharFilter role, see
+    ``analysis/charfilters.py``)."""
 
     def __init__(self, filters: Iterable[TokenFilter] = (),
-                 max_token_length: int = MAX_TOKEN_LENGTH):
+                 max_token_length: int = MAX_TOKEN_LENGTH,
+                 char_filters: Iterable = ()):
         self.filters = list(filters)
+        self.char_filters = list(char_filters)
         self.max_token_length = max_token_length
 
     def analyze(self, text: str) -> tuple[list[str], list[int]]:
+        for cf in self.char_filters:
+            text = cf(text)
         toks = standard_tokenize(text, self.max_token_length)
         terms = [t.lower() for t in toks]
         positions = list(range(len(terms)))

@@ -383,3 +383,44 @@ def knn_classify(searcher: IndexSearcher, text: str, label_col: str = "lang",
             .groupBy(F.col(label_col).alias("label"))
             .agg(F.count("*").alias("votes"))
             .orderBy(F.desc("votes"), F.asc("label")))
+
+
+def elevate_topk(searcher: IndexSearcher, q: Query,
+                 elevated: list[int], k: int = 10,
+                 excluded: list[int] = ()) -> DataFrame:
+    """QueryElevationComponent (solr/core/src/java/org/apache/solr/
+    handler/component/QueryElevationComponent.java role): editorially
+    pin ``elevated`` docids to the top of the result list IN CONFIG
+    ORDER regardless of score, drop ``excluded`` docids, then the
+    organic hits by (score desc, docid asc). Elevated docs that do NOT
+    match the query are still included (the reference ORs an
+    include-query into the main query; forceElevation=true ordering).
+
+    Plan: the elevation map is editorial config — tiny — so it rides
+    as a broadcast join; organic ranking stays the engine's normal
+    top-k. Returns DataFrame(docid, score, elevated) with elevated
+    docs' organic score where they matched, NULL where pinned in.
+    """
+    spark = searcher.docs.sparkSession
+    elev_df = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(elevated)],
+        "docid long, elev_rank int") if elevated else None
+    scored = searcher.search_df(q, None).select("docid", "score")
+    if excluded:
+        scored = scored.where(~F.col("docid").isin(*[int(d) for d in excluded]))
+    if elev_df is None:
+        return (scored.withColumn("elevated", F.lit(False))
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k))
+    joined = scored.join(F.broadcast(elev_df), "docid", "full_outer")
+    if excluded:
+        # exclusion beats elevation — the full_outer join re-admits
+        # pinned ids, so re-filter after it
+        joined = joined.where(
+            ~F.col("docid").isin(*[int(d) for d in excluded]))
+    out = (joined.withColumn("elevated", F.col("elev_rank").isNotNull())
+           .orderBy(F.when(F.col("elev_rank").isNotNull(), F.col("elev_rank"))
+                    .otherwise(F.lit(2_147_483_647)).asc(),
+                    F.desc_nulls_last("score"), F.asc("docid"))
+           .select("docid", "score", "elevated")
+           .limit(k))
+    return out
