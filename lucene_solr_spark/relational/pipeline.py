@@ -568,3 +568,67 @@ def dedup_groups_cc(spark, sf_dir):
         .select("doc_id", "group_id", "group_size")
         .orderBy("doc_id")
     )
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d ()-]{7,}\d"
+# synthetic PII rider: the test corpus carries none, so both engines
+# append the SAME deterministic contact line per doc — the scrub then
+# has real work to do and nonzero counts to verify
+_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or "
+    "admin@test.org ip 10.0.' || (doc_id % 200) || "
+    "'.7 call +1 555 123 4567.'"
+)
+
+
+def scrub_pii_column(col):
+    """Redact emails → <EMAIL>, IPv4 → <IP>, phone-like digit runs →
+    <PHONE>. Pure JVM regexp_replace chain (codegen; no UDF) — order
+    matters: emails first so their digits don't half-match as phones.
+    Patterns avoid lookarounds so the DuckDB oracle (RE2) and Spark
+    (java.util.regex) agree byte-for-byte."""
+    c = F.regexp_replace(col, _PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, _PII_IP, "<IP>")
+    return F.regexp_replace(c, _PII_PHONE, "<PHONE>")
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_AUG_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data op): per-doc email/IP counts and
+    the md5 of the redacted text. One scan, whole-stage-codegen regex
+    — the shape that holds at 100 TB (regex cost is per-byte and
+    embarrassingly parallel; no shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com or "
+            "admin@test.org ip 10.0.', doc_id % 200, "
+            "'.7 call +1 555 123 4567.')").alias("t"))
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{_PII_EMAIL}', 0)"))
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(t, r'{_PII_IP}', 0)"))
+        .alias("n_ips"),
+        F.md5(scrub_pii_column(F.col("t"))).alias("scrubbed_md5"),
+    )
