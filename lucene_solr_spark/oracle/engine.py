@@ -175,9 +175,10 @@ class OracleIndex:
         if isinstance(q, BooleanQuery):
             return self._match_boolean(q, scorer, boost)
 
+        from ..search.intervals import IntervalQuery
         from ..search.spans import SpanQuery
 
-        if isinstance(q, SpanQuery):
+        if isinstance(q, (SpanQuery, IntervalQuery)):
             return self._match_spans(q, boost)
 
         if isinstance(q, MultiTermQuery):
@@ -242,12 +243,22 @@ class OracleIndex:
         return out
 
     def _match_spans(self, q, boost: float) -> dict[int, float]:
-        """Span-query scoring (spans/SpanScorer.java:118-141): per doc,
-        float32 freq = Σ 1/(1+width) over the span matches
-        (search/spans.py enumeration), weight from the float32 sum of
-        the idfs of every PRESENT term in the tree
+        """Span/interval-query scoring (spans/SpanScorer.java:118-141;
+        queries/intervals/IntervalScorer.java role): per doc, float32
+        freq = Σ 1/(1+width|gaps) over the matches (search/spans.py or
+        search/intervals.py enumeration), weight from the float32 sum
+        of the idfs of every PRESENT term in the tree
         (SpanWeight.buildSimWeight → idfExplain(termStats[]))."""
+        from ..search.intervals import (
+            IntervalQuery,
+            interval_freq,
+            interval_terms,
+        )
         from ..search.spans import span_freq, span_terms
+
+        if isinstance(q, IntervalQuery):
+            span_freq = interval_freq    # noqa: F811
+            span_terms = interval_terms  # noqa: F811
 
         field = getattr(q, "field", "content")
         scorer = self.scorer(field)

@@ -182,6 +182,10 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, SpanQuery):
         f = getattr(q, "field", "content")
         return {(f, t) for t in span_terms(q)}
+    from .intervals import IntervalQuery, interval_terms
+
+    if isinstance(q, IntervalQuery):
+        return {(q.field, t) for t in interval_terms(q)}
     return set()
 
 
@@ -571,15 +575,28 @@ class IndexSearcher:
             schema="docid long, score float")
 
     def _span_leaf(self, q, stats, boost: float) -> DataFrame:
-        """Span queries, two-phase like phrases: the doc-level boolean
-        skeleton prunes candidates (a MUST conjunction for SpanNear, a
-        SHOULD union for SpanOr — spans/SpanWeight approximation), the
-        tree's term positions are left-joined per candidate, and a
-        mapInPandas pass enumerates spans per doc (search/spans.py) and
-        scores float32 Σ 1/(1+width) with the idf-sum weight
-        (SpanScorer.java:118-141, SpanWeight.buildSimWeight)."""
+        """Span AND interval queries, two-phase like phrases: the
+        doc-level boolean skeleton prunes candidates (a MUST
+        conjunction for Near/Ordered, a SHOULD union for Or —
+        spans/SpanWeight approximation), the tree's term positions are
+        left-joined per candidate, and a mapInPandas pass enumerates
+        matches per doc (search/spans.py minimal-anchor spans;
+        search/intervals.py minimal intervals) and scores float32
+        Σ 1/(1+width|gaps) with the idf-sum weight
+        (SpanScorer.java:118-141, SpanWeight.buildSimWeight;
+        queries/intervals/IntervalScorer.java role)."""
+        from .intervals import (
+            IntervalQuery,
+            interval_freq,
+            interval_terms,
+            interval_to_boolean,
+        )
         from .spans import span_freq, span_terms, span_to_boolean
 
+        if isinstance(q, IntervalQuery):
+            span_freq = interval_freq             # noqa: F811
+            span_terms = interval_terms           # noqa: F811
+            span_to_boolean = interval_to_boolean  # noqa: F811
         field = getattr(q, "field", "content")
         scorer = self.field_scorer(field)
         if getattr(scorer, "needs_ttf", False):
@@ -709,9 +726,10 @@ class IndexSearcher:
             return inner.select("docid", F.lit(c).cast("float").alias("score"))
         if isinstance(q, BooleanQuery):
             return self._compile_boolean(q, stats, boost)
+        from .intervals import IntervalQuery
         from .spans import SpanQuery
 
-        if isinstance(q, SpanQuery):
+        if isinstance(q, (SpanQuery, IntervalQuery)):
             return self._span_leaf(q, stats, boost)
         if isinstance(q, SynonymQuery):
             return self._synonym_leaf(q, stats, boost)
