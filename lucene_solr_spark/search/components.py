@@ -424,3 +424,29 @@ def elevate_topk(searcher: IndexSearcher, q: Query,
            .select("docid", "score", "elevated")
            .limit(k))
     return out
+
+
+def terms_enum(searcher: IndexSearcher, field: str = "content",
+               prefix: str | None = None, regex: str | None = None,
+               limit: int = 10, sort: str = "count",
+               min_count: int = 1) -> DataFrame:
+    """TermsComponent (solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java role): enumerate index terms with
+    their document frequencies — terms.prefix / terms.regex /
+    terms.limit / terms.mincount / terms.sort={count,index}.
+
+    Plan: a filtered scan of the dict table; the prefix filter is a
+    sargable range predicate (startswith → [prefix, prefix+\\uffff)),
+    so parquet row-group pruning applies when the dict is sorted by
+    term; sort=count is a global top-k (TakeOrderedAndProject)."""
+    d = searcher.dict.where(F.col("field") == field)
+    if prefix:
+        d = d.where(F.col("term").startswith(prefix))
+    if regex:
+        d = d.where(F.col("term").rlike(regex))
+    if min_count > 1:
+        d = d.where(F.col("df") >= min_count)
+    d = d.select("term", F.col("df").alias("count"))
+    if sort == "index":
+        return d.orderBy(F.asc("term")).limit(limit)
+    return d.orderBy(F.desc("count"), F.asc("term")).limit(limit)
