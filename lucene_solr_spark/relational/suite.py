@@ -1306,3 +1306,47 @@ def facet_pivot(spark, sf_dir):
                 F.col("c").alias("sub_value"),
                 F.col("cnt").alias("sub_cnt"), "crank")
     )
+
+
+@register(
+    "json_facet_api",
+    """
+    WITH cell AS (
+      SELECT lang, source, count(*) AS cnt, avg(n_chars) AS al
+      FROM documents GROUP BY 1, 2
+    ),
+    parent AS (
+      SELECT lang, sum(cnt) AS langs_count,
+             round(sum(cnt * al) / sum(cnt), 4) AS avg_len,
+             row_number() OVER (ORDER BY sum(cnt) DESC, lang ASC) AS pr
+      FROM cell GROUP BY lang
+    ),
+    child AS (
+      SELECT lang, source, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, source ASC) AS cr
+      FROM cell
+    )
+    SELECT parent.lang AS langs_val, parent.langs_count, parent.avg_len,
+           child.source AS srcs_val, child.cnt AS srcs_count
+    FROM parent JOIN child ON parent.lang = child.lang
+    WHERE pr <= 3 AND cr <= 2
+    """,
+)
+def json_facet_api(spark, sf_dir):
+    """The JSON Facet API compiler on real data: a terms facet with an
+    agg and a nested terms subfacet, straight from the request dict
+    (search/facet/FacetRequest.java grammar; compiler in
+    relational/jsonfacet.py)."""
+    from .jsonfacet import json_facet
+
+    docs = load_table(spark, sf_dir, "documents")
+    req = {"langs": {"type": "terms", "field": "lang", "limit": 3,
+                     "facet": {
+                         "avg_len": "avg(n_chars)",
+                         "srcs": {"type": "terms", "field": "source",
+                                  "limit": 2}}}}
+    out = json_facet(docs, req)
+    return out.select("langs_val", "langs_count",
+                      F.round("avg_len", 4).alias("avg_len"),
+                      "srcs_val", "srcs_count")
