@@ -149,7 +149,58 @@ _EVALS: dict[str, Callable] = {
     "tanh": lambda a: F.tanh(a[0]),
     "ceiling": lambda a: F.ceil(a[0]),
     "floor": lambda a: F.floor(a[0]),
+    # vector/array evaluator family (Lang.java registered names →
+    # io/eval classes; all pure JVM higher-order array functions):
+    # ArrayEvaluator, ReverseEvaluator, LengthEvaluator,
+    # ValueAtEvaluator (0-based), SequenceEvaluator,
+    # DotProductEvaluator, CosineSimilarityEvaluator, EBE*Evaluator,
+    # Euclidean/Manhattan/Canberra/ChebyshevEvaluator, L1NormEvaluator,
+    # MeanEvaluator, ScaleEvaluator, NormalizeSumEvaluator,
+    # MinMaxScaleEvaluator, CoalesceEvaluator, PrecisionEvaluator.
+    "array": lambda a: F.array(*a),
+    "rev": lambda a: F.reverse(a[0]),
+    "length": lambda a: F.size(a[0]),
+    "valueat": lambda a: F.get(a[0], a[1].cast("int")),
+    "sequence": lambda a: F.sequence(
+        a[1].cast("long"),
+        (a[1] + (a[0] - 1) * a[2]).cast("long"),
+        a[2].cast("long")),
+    "dotproduct": lambda a: _dot(a[0], a[1]),
+    "cosinesimilarity": lambda a: _dot(a[0], a[1]) / (
+        F.sqrt(_dot(a[0], a[0])) * F.sqrt(_dot(a[1], a[1]))),
+    "ebeadd": lambda a: F.zip_with(a[0], a[1], lambda x, y: x + y),
+    "ebesubtract": lambda a: F.zip_with(a[0], a[1], lambda x, y: x - y),
+    "ebemultiply": lambda a: F.zip_with(a[0], a[1], lambda x, y: x * y),
+    "ebedivide": lambda a: F.zip_with(a[0], a[1], lambda x, y: x / y),
+    "euclidean": lambda a: F.sqrt(_asum(
+        F.zip_with(a[0], a[1], lambda x, y: (x - y) * (x - y)))),
+    "manhattan": lambda a: _asum(
+        F.zip_with(a[0], a[1], lambda x, y: F.abs(x - y))),
+    "canberra": lambda a: _asum(F.zip_with(
+        a[0], a[1],
+        lambda x, y: F.abs(x - y) / (F.abs(x) + F.abs(y)))),
+    "chebyshev": lambda a: F.array_max(
+        F.zip_with(a[0], a[1], lambda x, y: F.abs(x - y))),
+    "l1norm": lambda a: _asum(F.transform(a[0], F.abs)),
+    "mean": lambda a: _asum(a[0]) / F.size(a[0]),
+    "scale": lambda a: F.transform(a[1], lambda x: a[0] * x),
+    "normalizesum": lambda a: F.transform(
+        a[0], lambda x: x / _asum(a[0])),
+    "minmaxscale": lambda a: F.transform(
+        a[0], lambda x: (x - F.array_min(a[0]))
+        / (F.array_max(a[0]) - F.array_min(a[0]))),
+    "coalesce": lambda a: F.coalesce(*a),
 }
+
+
+def _asum(arr):
+    """Σ over a numeric array column, double accumulator."""
+    return F.aggregate(arr, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double"))
+
+
+def _dot(a, b):
+    return _asum(F.zip_with(a, b, lambda x, y: x * y))
 
 
 def _fold(cols, op):
@@ -171,7 +222,9 @@ def compile_evaluator(node) -> "F.Column":
         return F.col(node)
     if isinstance(node, (int, float)):
         return F.lit(node)
-    if node.name == "round":  # io/eval/RoundEvaluator.java (+precision)
+    if node.name in ("round", "precision"):
+        # io/eval/RoundEvaluator.java / PrecisionEvaluator.java —
+        # the decimal count is a literal, not a column
         prec = int(node.args[1]) if len(node.args) > 1 else 0
         return F.round(compile_evaluator(node.args[0]), prec)
     if node.name in ("sum", "min", "max", "avg", "count"):
@@ -179,7 +232,9 @@ def compile_evaluator(node) -> "F.Column":
         # as HavingStream sees it tuple-side
         arg = node.args[0] if node.args else "*"
         return F.col(f"`{node.name}({arg})`")
-    fn = _EVALS.get(node.name)
+    # Lang.java registers camelCase names (dotProduct, ebeAdd…); the
+    # table is keyed lowercase so lookup is case-insensitive
+    fn = _EVALS.get(node.name) or _EVALS.get(node.name.lower())
     if fn is None:
         raise ValueError(f"unknown evaluator {node.name}")
     return fn([compile_evaluator(a) for a in node.args])

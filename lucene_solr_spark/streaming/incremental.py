@@ -326,6 +326,42 @@ class IncrementalIndexer:
                            max_docid=int(state.get("doc_count", 0)))
         self.process_batch(batch_df, batch_id)
 
+    def realtime_get(self, spark, keys_df: DataFrame,
+                     key_cols: tuple[str, ...] = ("repo", "path"),
+                     fields: tuple[str, ...] = ("lang", "content"),
+                     ) -> DataFrame:
+        """RealTimeGetComponent (solr/core/src/java/org/apache/solr/
+        handler/component/RealTimeGetComponent.java role): fetch the
+        LATEST version of each requested key, reflecting every applied
+        update — upserts and deletes included — without waiting for a
+        compaction ('commit'). Resolution order mirrors the
+        reference's ulog-then-index lookup: the docmap holds every
+        ingested version (newer versions have higher docids, Lucene
+        arrival order), tombstoned docids are masked, and the max
+        surviving docid per key wins. Returns (key_cols..., docid,
+        fields...); keys never indexed or fully deleted yield no row.
+
+        Plan: keys are a point-lookup set — broadcast semi-join into
+        the docmap scan; the per-key max is a window over the matched
+        rows only."""
+        idx = SegmentIndex(self.root, spark)
+        if not os.path.exists(idx.docmap_path):
+            return spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in key_cols)
+                + ", docid long")
+        dm = idx.docmap()
+        sel = [*key_cols, "docid"] + [f for f in fields
+                                      if f in dm.columns]
+        hits = dm.select(*sel).join(
+            F.broadcast(keys_df.select(*key_cols).distinct()),
+            list(key_cols), "left_semi")
+        dels = idx.deletes()
+        if dels is not None:
+            hits = hits.join(dels, "docid", "left_anti")
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("docid"))
+        return (hits.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") == 1).drop("_r"))
+
     # -- stream wiring ---------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint: str, trigger: dict | None = None):
         """Attach to a streaming DataFrame of corpus rows. `trigger`

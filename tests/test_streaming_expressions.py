@@ -149,3 +149,58 @@ def test_math_evaluator_zoo(spark):
     row = df.select(*cols).collect()[0]
     for i, (e, exp) in enumerate(cases.items()):
         assert row[f"c{i}"] == pytest.approx(exp, abs=1e-12), e
+
+
+def test_vector_evaluator_zoo(spark):
+    """Lang.java vector/array evaluator family (ArrayEvaluator, EBE*,
+    DotProduct/CosineSimilarity, distance metrics, L1Norm, Mean,
+    Scale, NormalizeSum, MinMaxScale, ValueAt 0-based, Sequence, Rev,
+    Length, Coalesce, Precision) — all pure JVM higher-order array
+    functions, checked against numpy."""
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [(a, b, None)], "a array<double>, b array<double>, z double")
+    na, nb = np.array(a), np.array(b)
+    cases = {
+        "dotProduct(a, b)": float(na @ nb),
+        "cosineSimilarity(a, b)": float(
+            na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb))),
+        "euclidean(a, b)": float(np.linalg.norm(na - nb)),
+        "manhattan(a, b)": float(np.abs(na - nb).sum()),
+        "chebyshev(a, b)": float(np.abs(na - nb).max()),
+        "canberra(a, b)": float(
+            (np.abs(na - nb) / (np.abs(na) + np.abs(nb))).sum()),
+        "l1norm(a)": 6.0,
+        "mean(a)": 2.0,
+        "length(a)": 3,
+        "valueAt(a, 1)": 2.0,           # 0-based (ValueAtEvaluator)
+        "coalesce(z, mean(a))": 2.0,
+        "precision(div(1, 3), 2)": 0.33,
+    }
+    cols = [compile_evaluator(parse_expression(e)).alias(f"c{i}")
+            for i, e in enumerate(cases)]
+    row = df.select(*cols).collect()[0]
+    for i, (e, exp) in enumerate(cases.items()):
+        assert row[f"c{i}"] == pytest.approx(exp, abs=1e-9), e
+
+    arr_cases = {
+        "ebeAdd(a, b)": (na + nb).tolist(),
+        "ebeSubtract(b, a)": (nb - na).tolist(),
+        "ebeMultiply(a, b)": (na * nb).tolist(),
+        "ebeDivide(b, a)": (nb / na).tolist(),
+        "rev(a)": a[::-1],
+        "scale(2, a)": (2 * na).tolist(),
+        "normalizeSum(a)": (na / na.sum()).tolist(),
+        "minMaxScale(a)": ((na - na.min()) / (na.max() - na.min())).tolist(),
+        "sequence(4, 10, 3)": [10, 13, 16, 19],
+        "array(1, 2, 3)": [1, 2, 3],
+    }
+    cols = [compile_evaluator(parse_expression(e)).alias(f"c{i}")
+            for i, e in enumerate(arr_cases)]
+    row = df.select(*cols).collect()[0]
+    for i, (e, exp) in enumerate(arr_cases.items()):
+        got = list(row[f"c{i}"])
+        assert got == pytest.approx(exp, abs=1e-9), e

@@ -106,3 +106,31 @@ def test_compaction_applies_deletes(spark, indexed):
     assert live_after.isdisjoint(vic_shas)
     assert victims[0] not in [h.docid for h in
                               SegmentSearcher(idx2).search(TermQuery(term), 20)]
+
+
+def test_realtime_get(spark, indexed):
+    indexer, idx, corpus = indexed
+    keys = corpus.select("repo", "path").limit(3)
+    got = indexer.realtime_get(spark, keys).collect()
+    assert len(got) == {r["repo"] + "/" + r["path"]
+                        for r in keys.collect()}.__len__()
+    # delete one key: it stops resolving
+    victim = got[0]
+    indexer.delete_by_key(spark, spark.createDataFrame(
+        [(victim["repo"], victim["path"])], "repo string, path string"))
+    after = {(r["repo"], r["path"]): r
+             for r in indexer.realtime_get(spark, keys).collect()}
+    assert (victim["repo"], victim["path"]) not in after
+
+    # upsert the same key with new content: RTG returns the NEW
+    # version (higher docid) immediately
+    other = got[1]
+    new_rows = (corpus.where((F.col("repo") == other["repo"])
+                             & (F.col("path") == other["path"]))
+                .withColumn("content", F.lit("freshly updated body")))
+    indexer.upsert_batch(new_rows, batch_id=1)
+    rtg = {(r["repo"], r["path"]): r
+           for r in indexer.realtime_get(spark, keys).collect()}
+    row = rtg[(other["repo"], other["path"])]
+    assert row["docid"] > other["docid"]
+    assert row["content"] == "freshly updated body"
