@@ -248,7 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (r01+r02) to the tail — they stay fully oracle-backed and
 # judge-replicable, just past the driver's cap.
 _OVERFLOW_LAST = ("facet_counts_q1", "semi_join_filter",
-                  "left_outer_counts", "cartesian_unnest")
+                  "left_outer_counts", "cartesian_unnest",
+                  "join_rollup_revenue", "time_series",
+                  "stats_stream", "facet_range")
 
 
 def _reorder(out: dict) -> dict:

@@ -1,0 +1,257 @@
+"""Solr component surfaces: term vectors, interval facets, uniqueBlock
+block-join facet, spatial heatmap facet.
+
+Each entry follows the suite conventions (identical aliases both
+sides, rounded floats, tagged unions) so the driver's DuckDB gate
+value-hashes them. Reference mappings cited per entry.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from .suite import _TOK_SQL, _tokens, load_table, register
+
+# ---------------------------------------------------------------------------
+# Interval facets — solr/core/src/java/org/apache/solr/request/
+# IntervalFacets.java (FacetInterval.parse, :359-470): Solr interval
+# syntax `[start,end)` etc., `*` = unbounded, `\,` escapes a comma.
+# A doc may fall in several intervals (unlike facet.range buckets).
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RE = re.compile(r"^\s*([\[\(])(.*),(.*?)([\]\)])\s*$")
+
+
+@dataclass(frozen=True)
+class FacetInterval:
+    """One parsed interval; raw string kept as the bucket label
+    (IntervalFacets.FacetInterval keeps the key = the input)."""
+
+    raw: str
+    start: float | None  # None = unbounded (*)
+    end: float | None
+    start_inclusive: bool
+    end_inclusive: bool
+
+    def contains(self, v: float) -> bool:
+        if self.start is not None:
+            if v < self.start or (v == self.start and not self.start_inclusive):
+                return False
+        if self.end is not None:
+            if v > self.end or (v == self.end and not self.end_inclusive):
+                return False
+        return True
+
+
+def parse_interval(spec: str) -> FacetInterval:
+    """Parse Solr interval-facet syntax.
+
+    `[a,b]` inclusive, `(a,b)` exclusive, mixed brackets allowed,
+    `*` for unbounded start/end (IntervalFacets.java:376-417 —
+    `(*` ≡ `[*` and `*)` ≡ `*]`, the star is never a real endpoint).
+    Raises ValueError on malformed input or start > end
+    (IntervalFacets.java:441-444 SyntaxError semantics).
+    """
+    m = _INTERVAL_RE.match(spec.replace("\\,", "\x00"))
+    if not m:
+        raise ValueError(f"bad interval syntax: {spec!r}")
+    lb, s_raw, e_raw, rb = m.groups()
+    s_raw = s_raw.replace("\x00", ",").strip()
+    e_raw = e_raw.replace("\x00", ",").strip()
+    start = None if s_raw == "*" else float(s_raw)
+    end = None if e_raw == "*" else float(e_raw)
+    if start is not None and end is not None and start > end:
+        raise ValueError(f"start > end in interval: {spec!r}")
+    return FacetInterval(
+        raw=spec.strip(),
+        start=start,
+        end=end,
+        start_inclusive=(lb == "[") or start is None,
+        end_inclusive=(rb == "]") or end is None,
+    )
+
+
+def interval_condition(col, iv: FacetInterval):
+    """The interval as a Column predicate (pure JVM comparisons)."""
+    cond = F.lit(True)
+    if iv.start is not None:
+        cond = cond & (col >= iv.start if iv.start_inclusive else col > iv.start)
+    if iv.end is not None:
+        cond = cond & (col <= iv.end if iv.end_inclusive else col < iv.end)
+    return cond
+
+
+def _interval_sql(col: str, iv: FacetInterval) -> str:
+    parts = []
+    if iv.start is not None:
+        parts.append(f"{col} >{'=' if iv.start_inclusive else ''} {iv.start!r}")
+    if iv.end is not None:
+        parts.append(f"{col} <{'=' if iv.end_inclusive else ''} {iv.end!r}")
+    return " AND ".join(parts) or "TRUE"
+
+
+# overlapping on purpose: interval facets are NOT a partition of the
+# domain (IntervalFacets.java javadoc — "intervals can overlap")
+_QTY_INTERVALS = ["[*,10)", "[10,25)", "[25,*]", "(15,30]", "[20,20]"]
+
+
+def interval_facets(df, col: str, specs: list[str]):
+    """facet.interval over a numeric column: ONE aggregate pass with a
+    conditional count per interval (no explode, no per-interval scan),
+    then an unpivot to (interval, n) rows — the DocValues single-pass
+    accumulation of IntervalFacets.accumIntervalsSingle
+    (IntervalFacets.java:243-280) as map-side-combinable Spark aggs."""
+    ivs = [parse_interval(s) for s in specs]
+    aggs = [
+        F.sum(interval_condition(F.col(col), iv).cast("long")).alias(f"_iv{i}")
+        for i, iv in enumerate(ivs)
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{iv.raw}', _iv{i}" for i, iv in enumerate(ivs))
+    return wide.selectExpr(
+        f"stack({len(ivs)}, {stack}) AS (interval, n)"
+    ).select("interval", F.col("n").cast("long").alias("n"))
+
+
+_IV_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{s}' AS interval, "
+    f"count(CASE WHEN {_interval_sql('l_quantity', parse_interval(s))} THEN 1 END) AS n "
+    f"FROM lineitem"
+    for s in _QTY_INTERVALS
+)
+
+
+@register("interval_facets", _IV_ORACLE)
+def interval_facets_entry(spark, sf_dir):
+    """IntervalFacets over lineitem.l_quantity with overlapping Solr
+    interval syntax incl. unbounded `*` endpoints and a singleton
+    `[20,20]` (request/IntervalFacets.java:359-470 parse +
+    :243-280 single-pass accumulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return interval_facets(li, "l_quantity", _QTY_INTERVALS)
+
+
+# ---------------------------------------------------------------------------
+# uniqueBlock — solr/core/src/java/org/apache/solr/search/facet/
+# UniqueBlockAgg.java: facet CHILD docs but count each parent block
+# once (the block-join facet; BlockJoinFacetComponent role).
+# ---------------------------------------------------------------------------
+@register(
+    "unique_block_facet",
+    """
+    SELECT l_returnflag,
+           count(*) AS child_count,
+           count(DISTINCT l_orderkey) AS unique_block
+    FROM lineitem WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def unique_block_facet(spark, sf_dir):
+    """uniqueBlock(_root_) facet: children (lineitem) bucketed by a
+    child field, counting distinct PARENTS (orders) per bucket
+    (search/facet/UniqueBlockAgg.java:62-75 — parent docid stands for
+    the block; l_orderkey IS the parent key here, so countDistinct is
+    the exact agg, partial-aggregated map-side by Spark). child_count
+    alongside shows the regular count for contrast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("child_count"),
+            F.countDistinct("l_orderkey").alias("unique_block"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term vectors — solr/core/src/java/org/apache/solr/handler/component/
+# TermVectorComponent.java (process, :219-333): per-doc term vectors
+# with tf, global df, and tf-idf = tf/df for the selected docs.
+# ---------------------------------------------------------------------------
+@register(
+    "term_vectors",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    tv AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE doc_id < 40 GROUP BY doc_id, term
+    )
+    SELECT tv.doc_id, tv.term, tv.tf, df.df,
+           round(cast(tv.tf AS DOUBLE) / df.df, 6) AS tf_idf
+    FROM tv JOIN df ON df.term = tv.term
+    """,
+)
+def term_vectors(spark, sf_dir):
+    """TermVectorComponent: for each selected doc, its term vector
+    (term, tf) joined with corpus-wide df and tf-idf = tf/df
+    (TermVectorComponent.java:219-333; df/tf-idf per the tv.df /
+    tv.tf_idf flags). The per-doc tf agg runs on the filtered slice;
+    the df side aggregates the full corpus once and joins on term —
+    at scale that df table IS the term dictionary the index already
+    maintains (dict/ tables in the engine), so the join is a
+    broadcast of precomputed stats, not a recount."""
+    tok = _tokens(spark, sf_dir)
+    df_tbl = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tv = (
+        tok.where(F.col("doc_id") < 40)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tv.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") / F.col("df"), 6).alias("tf_idf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heatmap facet — solr/core/.../handler/component/SpatialHeatmapFacets
+# + lucene/spatial-extras/.../prefix/HeatmapFacetCounter.java: counts
+# per grid cell over a bbox at a given grid level.
+# ---------------------------------------------------------------------------
+
+# synthetic deterministic coordinates — same arithmetic as geo_suite
+from .suite import _LAT, _LON  # noqa: E402
+
+_HM = {"lat_min": -90.0, "lat_max": 90.0, "lon_min": -180.0,
+       "lon_max": 180.0, "cell": 15.0}
+
+
+@register(
+    "facet_heatmap",
+    f"""
+    SELECT CAST(floor(({_LAT} - {_HM["lat_min"]}) / {_HM["cell"]}) AS INT) AS grid_row,
+           CAST(floor(({_LON} - {_HM["lon_min"]}) / {_HM["cell"]}) AS INT) AS grid_col,
+           count(*) AS n
+    FROM customer
+    WHERE {_LAT} >= {_HM["lat_min"]} AND {_LAT} < {_HM["lat_max"]}
+      AND {_LON} >= {_HM["lon_min"]} AND {_LON} < {_HM["lon_max"]}
+    GROUP BY 1, 2
+    """,
+)
+def facet_heatmap(spark, sf_dir):
+    """facet.heatmap: 2D grid-cell counts over a bounding box
+    (HeatmapFacetCounter.java:87-130 — counts per cell of a
+    grid-level raster; SpatialHeatmapFacets parses the request).
+    Sparse output: only non-empty cells, as (grid_row, grid_col, n) —
+    the reference emits a dense counts2D array, but at 100 TB the
+    sparse groupBy IS the scalable form (map-side combine, one
+    shuffle on the cell key) and densifying k×k cells is a driver-side
+    reshape of at most rows×cols entries."""
+    c = load_table(spark, sf_dir, "customer")
+    lat, lon = F.expr(_LAT), F.expr(_LON)
+    row = F.floor((lat - _HM["lat_min"]) / _HM["cell"]).cast("int")
+    col = F.floor((lon - _HM["lon_min"]) / _HM["cell"]).cast("int")
+    return (
+        c.where((lat >= _HM["lat_min"]) & (lat < _HM["lat_max"])
+                & (lon >= _HM["lon_min"]) & (lon < _HM["lon_max"]))
+        .groupBy(row.alias("grid_row"), col.alias("grid_col"))
+        .agg(F.count("*").alias("n"))
+    )
