@@ -255,3 +255,109 @@ def facet_heatmap(spark, sf_dir):
         .groupBy(row.alias("grid_row"), col.alias("grid_col"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal — solr/solrj/src/java/org/apache/solr/client/solrj/
+# io/graph/GatherNodesStream.java + ShortestPathStream.java, one
+# tagged union row. Graph: the bipartite customer<->supplier purchase
+# graph from orders |><| lineitem, node labels 'c<key>' / 's<key>'.
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+    SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+           's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+           'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+_GRAPH_ORACLE = f"""
+    WITH edges AS ({_EDGES_SQL}),
+    roots AS (SELECT unnest(['c1', 'c2', 'c3']) AS node),
+    l1 AS (
+      SELECT e.dst AS node, count(*) AS n_in FROM edges e
+      JOIN roots r ON e.src = r.node GROUP BY e.dst
+    ),
+    l2 AS (
+      SELECT e.dst AS node, count(*) AS n_in FROM edges e
+      JOIN l1 ON e.src = l1.node
+      WHERE e.dst NOT IN (SELECT node FROM roots)
+        AND e.dst NOT IN (SELECT node FROM l1)
+      GROUP BY e.dst
+    ),
+    de AS (SELECT DISTINCT src, dst FROM edges),
+    p1 AS (
+      SELECT de.dst AS node, 'c1->' || de.dst AS path FROM de
+      WHERE de.src = 'c1'
+    ),
+    p2 AS (
+      SELECT de.dst AS node, p1.path || '->' || de.dst AS path
+      FROM p1 JOIN de ON de.src = p1.node
+      WHERE p1.node <> 'c42' AND de.dst <> 'c1'
+    )
+    SELECT 'gather' AS op, 0 AS level, node, CAST(0 AS BIGINT) AS n_in
+    FROM roots
+    UNION ALL
+    SELECT 'gather' AS op, 1 AS level, node, n_in FROM l1
+    UNION ALL
+    SELECT 'gather' AS op, 2 AS level, node, n_in FROM l2
+    UNION ALL
+    SELECT 'path' AS op, 1 AS level, path AS node, CAST(-1 AS BIGINT) AS n_in
+    FROM p1 WHERE node = 'c42'
+    UNION ALL
+    SELECT 'path' AS op, 2 AS level, path AS node, CAST(-1 AS BIGINT) AS n_in
+    FROM p2 WHERE node = 'c42'
+      AND NOT EXISTS (SELECT 1 FROM p1 WHERE p1.node = 'c42')
+"""
+
+
+def _purchase_edges(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (o.join(li, o.o_orderkey == li.l_orderkey)
+         .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("s")))
+    fwd = e.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = e.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+@register("graph_traversal", _GRAPH_ORACLE)
+def graph_traversal(spark, sf_dir):
+    """gatherNodes + shortestPath, via the streaming-expression
+    language itself (the `nodes`/`shortestPath` stream functions
+    compile to frontier-join BFS in streaming/graph.py):
+
+    * gather leg — 2-level breadth-first gather from seed customers
+      {c1,c2,c3} with trackTraversal=true and scatter=branches,leaves
+      (GatherNodesStream.java:175,205-214,557-603): level 0 roots,
+      level 1 suppliers with incoming-edge counts, level 2 customers
+      excluding every earlier-level node;
+    * path leg — every shortest path c1 -> c42 over the DISTINCT edge
+      relation (ShortestPathStream.java:40-48), emitted as
+      '->'-joined strings at their BFS depth.
+    """
+    from ..streaming.expressions import StreamFactory
+
+    edges = _purchase_edges(spark, sf_dir)
+    roots = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    sf = StreamFactory({"edges": edges, "dedges": edges.distinct(),
+                        "roots": roots})
+    gathered = sf.compile(
+        'nodes(edges, search(roots), walk="node->src", gather="dst", '
+        'maxLevels=2, trackTraversal=true, scatter="branches,leaves")')
+    paths = sf.compile(
+        'shortestPath(dedges, from="c1", to="c42", edge="src=dst", '
+        'maxDepth=4)')
+    gather_rows = gathered.select(
+        F.lit("gather").alias("op"), F.col("level").cast("int"),
+        "node", F.col("n_in").cast("long"))
+    path_rows = paths.select(
+        F.lit("path").alias("op"),
+        (F.size("path") - 1).cast("int").alias("level"),
+        F.array_join("path", "->").alias("node"),
+        F.lit(-1).cast("long").alias("n_in"))
+    return gather_rows.unionByName(path_rows)

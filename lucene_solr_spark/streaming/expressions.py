@@ -27,6 +27,9 @@ lazily by Catalyst instead of tuple-at-a-time iterators:
   sort(...)         SortStream                      orderBy()
   merge(...)        MergeStream                     unionByName + sort
   having(...)       HavingStream                    where(evaluator)
+  nodes(...)        io/graph/GatherNodesStream      frontier-join BFS
+  shortestPath(...) io/graph/ShortestPathStream     level-sync BFS w/
+                                                    path accumulation
   -----------------------------------------------------------------
   metrics: sum/min/max/avg/count  (io/stream/metrics/*.java)
   evaluators: add sub mult div abs if gt gteq lt lteq eq and or not
@@ -431,6 +434,55 @@ class StreamFactory:
         if len(conds) != 1:
             raise ValueError("having needs exactly one boolean evaluator")
         return df.where(compile_evaluator(conds[0]))
+
+    # -- graph traversal (io/graph/*.java) -------------------------------
+    def _s_nodes(self, node: ExprNode) -> DataFrame:
+        """nodes(collection, <stream>, walk="node->src", gather="dst",
+        maxLevels=N, trackTraversal=true|false, scatter="branches,leaves")
+        — GatherNodesStream.java (registered as both `nodes` and
+        `gatherNodes`, Lang.java). The incoming stream's `walk` left
+        field feeds the collection's right field; gathered nodes come
+        out of the `gather` field with a per-node incoming-edge count."""
+        from .graph import gather_nodes
+
+        edges = self.tables.get(node.args[0])
+        if edges is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        roots = self._stream(node.args[1])
+        walk_from, walk_to = (w.strip() for w in
+                              node.kwargs["walk"].split("->"))
+        scatter = node.kwargs.get("scatter", "leaves")
+        return gather_nodes(
+            edges,
+            roots.select(F.col(walk_from).alias("node")),
+            src=walk_to,
+            dst=node.kwargs["gather"],
+            levels=int(node.kwargs.get("maxLevels", 1)),
+            track_traversal=(
+                node.kwargs.get("trackTraversal", "true").lower() == "true"),
+            scatter_branches="branches" in scatter,
+        )
+
+    _s_gatherNodes = _s_nodes
+
+    def _s_shortestPath(self, node: ExprNode) -> DataFrame:
+        """shortestPath(collection, from="a", to="b", edge="src=dst",
+        maxDepth=N) — ShortestPathStream.java; emits every shortest
+        path as a `path` array tuple."""
+        from .graph import shortest_paths
+
+        edges = self.tables.get(node.args[0])
+        if edges is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        src, dst = (c.strip() for c in node.kwargs["edge"].split("="))
+        return shortest_paths(
+            edges,
+            node.kwargs["from"],
+            node.kwargs["to"],
+            src=src,
+            dst=dst,
+            max_depth=int(node.kwargs.get("maxDepth", 4)),
+        )
 
 
 def _autocast(v: str):
