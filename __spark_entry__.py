@@ -250,7 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _OVERFLOW_LAST = ("facet_counts_q1", "semi_join_filter",
                   "left_outer_counts", "cartesian_unnest",
                   "join_rollup_revenue", "time_series",
-                  "stats_stream", "facet_range", "anti_join_mustnot")
+                  "stats_stream", "facet_range", "anti_join_mustnot",
+                  "grouped_topk")
 
 
 def _reorder(out: dict) -> dict:
