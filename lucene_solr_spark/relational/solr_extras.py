@@ -361,3 +361,65 @@ def graph_traversal(spark, sf_dir):
         F.array_join("path", "->").alias("node"),
         F.lit(-1).cast("long").alias("n_in"))
     return gather_rows.unionByName(path_rows)
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester — lucene/suggest/.../analyzing/FreeTextSuggester.java:
+# n-gram language model, stupid-backoff scoring (see search/freetext.py).
+# ---------------------------------------------------------------------------
+
+_FT_CTX = ("big", "table")
+
+_FREETEXT_ORACLE = f"""
+    WITH tokf AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+      FROM tokf
+    ),
+    c1 AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    g2 AS (
+      SELECT a.term AS w1, b.term AS w2, count(*) AS n
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    g3 AS (
+      SELECT a.term AS w1, b.term AS w2, c.term AS w3, count(*) AS n
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      GROUP BY 1, 2, 3
+    ),
+    tri AS (
+      SELECT w3 AS cand,
+             1.0 * n / (SELECT n FROM g2
+                        WHERE w1 = '{_FT_CTX[0]}' AND w2 = '{_FT_CTX[1]}') AS score,
+             3 AS ord
+      FROM g3 WHERE w1 = '{_FT_CTX[0]}' AND w2 = '{_FT_CTX[1]}'
+    ),
+    bi AS (
+      SELECT w2 AS cand,
+             0.4 * n / (SELECT n FROM c1 WHERE term = '{_FT_CTX[1]}') AS score,
+             2 AS ord
+      FROM g2 WHERE w1 = '{_FT_CTX[1]}'
+        AND w2 NOT IN (SELECT cand FROM tri)
+    )
+    SELECT cand, round(score, 6) AS score, CAST(ord AS INT) AS ord
+    FROM (SELECT * FROM tri UNION ALL SELECT * FROM bi)
+    ORDER BY score DESC, cand ASC LIMIT 10
+"""
+
+
+@register("suggest_freetext", _FREETEXT_ORACLE)
+def suggest_freetext(spark, sf_dir):
+    """FreeTextSuggester lookup for '<big> <table> ' (trailing space):
+    trigram predictions at backoff 1.0, bigram at ALPHA=0.4, higher
+    order wins duplicates, top-10 by (score desc, term asc) — exactly
+    FreeTextSuggester.java:480-497 (context upgrade), :546-549/:663
+    (backoff ladder), :611-654 (seen-dedup), :672-683 (sort)."""
+    from ..search.freetext import FreeTextSuggester
+
+    docs = load_table(spark, sf_dir, "documents")
+    return FreeTextSuggester(docs, "text").lookup(_FT_CTX, num=10)
