@@ -251,7 +251,7 @@ _OVERFLOW_LAST = ("facet_counts_q1", "semi_join_filter",
                   "left_outer_counts", "cartesian_unnest",
                   "join_rollup_revenue", "time_series",
                   "stats_stream", "facet_range", "anti_join_mustnot",
-                  "grouped_topk", "dedup_simhash")
+                  "grouped_topk", "dedup_simhash", "dedup_ngram_jaccard")
 
 
 def _reorder(out: dict) -> dict:

@@ -423,3 +423,75 @@ def suggest_freetext(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return FreeTextSuggester(docs, "text").lookup(_FT_CTX, num=10)
+
+
+# ---------------------------------------------------------------------------
+# Field-facet options — solr/core/src/java/org/apache/solr/request/
+# SimpleFacets.java (getFacetTermEnumCounts, :917-1046): facet.prefix,
+# facet.contains, facet.mincount, facet.missing, facet.sort=count|index,
+# facet.offset + facet.limit, in one tagged union row.
+# ---------------------------------------------------------------------------
+@register(
+    "facet_options",
+    f"""
+    WITH tok AS ({_TOK_SQL}),
+    counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    pre AS (
+      SELECT 'prefix' AS op, term, n,
+             row_number() OVER (ORDER BY n DESC, term ASC) AS rn
+      FROM counts WHERE term LIKE 's%' AND n >= 2
+    ),
+    cont AS (
+      SELECT 'contains' AS op, term, n,
+             row_number() OVER (ORDER BY term ASC) AS rn
+      FROM counts WHERE term LIKE '%ar%' AND n >= 2
+    ),
+    langf AS (
+      SELECT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE lang END AS v
+      FROM documents
+    )
+    SELECT op, term, n FROM pre WHERE rn > 1 AND rn <= 11
+    UNION ALL
+    SELECT op, term, n FROM cont WHERE rn <= 10
+    UNION ALL
+    SELECT 'missing' AS op, '' AS term, count(*) AS n
+    FROM langf WHERE v IS NULL
+    """,
+)
+def facet_options(spark, sf_dir):
+    """SimpleFacets term-facet options over the token stream:
+
+    * prefix leg — facet.prefix='s' + facet.mincount=2 +
+      facet.sort=count (count desc, term asc tie-break,
+      SimpleFacets.java:917-960) + facet.offset=1 facet.limit=10
+      (the page cut applies AFTER sorting, :1014-1024);
+    * contains leg — facet.contains='ar' + facet.sort=index
+      (lexicographic, :961), limit 10;
+    * missing leg — facet.missing=true counts docs with no value in
+      the field (:1030-1040), over a deterministically-NULLed lang.
+
+    The prefix predicate is sargable (dict-ordered scan in the
+    reference's TermEnum; a LIKE 'sp%' pushdown here); contains is the
+    full-scan option in both engines."""
+    tok = _tokens(spark, sf_dir)
+    counts = tok.groupBy("term").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    pre = (counts.where(F.col("term").startswith("s") & (F.col("n") >= 2))
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy(F.desc("n"), F.asc("term"))))
+           .where((F.col("rn") > 1) & (F.col("rn") <= 11))
+           .select(F.lit("prefix").alias("op"), "term", "n"))
+    cont = (counts.where(F.col("term").contains("ar") & (F.col("n") >= 2))
+            .withColumn("rn", F.row_number().over(
+                Window.orderBy(F.asc("term"))))
+            .where(F.col("rn") <= 10)
+            .select(F.lit("contains").alias("op"), "term", "n"))
+    docs = load_table(spark, sf_dir, "documents")
+    missing = (docs.select(
+        F.when(F.col("n_chars") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("v"))
+        .where(F.col("v").isNull())
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("missing").alias("op"), F.lit("").alias("term"), "n"))
+    return pre.unionByName(cont).unionByName(missing)

@@ -25,6 +25,8 @@ highlighter's snippet UDF, which runs on k rows, not the corpus.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -450,3 +452,47 @@ def terms_enum(searcher: IndexSearcher, field: str = "content",
     if sort == "index":
         return d.orderBy(F.asc("term")).limit(limit)
     return d.orderBy(F.desc("count"), F.asc("term")).limit(limit)
+
+
+def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
+                  analyzer=None, all_terms_required: bool = True,
+                  highlight: bool = True) -> DataFrame:
+    """AnalyzingInfixSuggester.lookup() (suggest/analyzing/
+    AnalyzingInfixSuggester.java:63-76, :365-470): every query token
+    but the last must match a WHOLE analyzed token of the suggestion
+    (any position — that's the "infix"), the last query token matches
+    as a token PREFIX; allTermsRequired=true ANDs the clauses (:381).
+    Results sort by weight desc (:452 sortFields), ties by text.
+    ``highlight=True`` wraps matches in <b>..</b> (:492-537: whole
+    matched tokens fully, the prefix-match only up to the typed chars).
+
+    Plan: one scan with JVM array predicates (exists/array_contains on
+    the precomputed analyzed-token column — the Lucene side indexes
+    edge-ngrams up to minPrefixChars for the same O(1)-per-token test),
+    then a global top-n. At scale the entries table buckets by any
+    token-prefix key; no Python in the match path."""
+    if analyzer is None:
+        from ..analysis import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+    qtoks = analyzer.terms(query)
+    if not qtoks:
+        raise ValueError("query analyzed to no tokens")
+    *whole, last = qtoks
+    entries = sugg_entries.withColumn(
+        "_toks", F.split(F.col("key"), SEP_LABEL))
+    conds = [F.array_contains("_toks", t) for t in whole]
+    conds.append(F.exists("_toks", lambda t: t.startswith(last)))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = (cond & c) if all_terms_required else (cond | c)
+    hits = entries.where(cond).select("text", "weight")
+    if highlight:
+        out = F.col("text")
+        for t in whole:
+            out = F.regexp_replace(
+                out, f"(?i)\\b({re.escape(t)})\\b", "<b>$1</b>")
+        out = F.regexp_replace(
+            out, f"(?i)\\b({re.escape(last)})", "<b>$1</b>")
+        hits = hits.withColumn("highlighted", out)
+    return hits.orderBy(F.desc("weight"), F.asc("text")).limit(n)
