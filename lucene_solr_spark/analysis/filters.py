@@ -236,6 +236,7 @@ def length_filter(min_len: int = 1, max_len: int = MAX_TOKEN_LENGTH) -> TokenFil
                 if min_len <= len(t) <= max_len]
         return [t for t, _ in keep], [p for _, p in keep]
 
+    f.__name__ = "length_filter"
     return f
 
 
@@ -262,6 +263,7 @@ def ngram_filter(min_gram: int = 1, max_gram: int = 2,
                 out_p.append(p)
         return out_t, out_p
 
+    f.__name__ = "ngram_filter"
     return f
 
 
@@ -283,6 +285,7 @@ def edge_ngram_filter(min_gram: int = 1, max_gram: int = 2,
                 out_p.append(p)
         return out_t, out_p
 
+    f.__name__ = "edge_ngram_filter"
     return f
 
 
@@ -329,6 +332,7 @@ def shingle_filter(min_size: int = 2, max_size: int = 2,
                 out_p.append(p)
         return out_t, out_p
 
+    f.__name__ = "shingle_filter"
     return f
 
 
@@ -399,6 +403,7 @@ def cjk_bigram_filter(han: bool = True, hiragana: bool = True,
                 i += 1
         return out_t, out_p
 
+    f.__name__ = "cjk_bigram_filter"
     return f
 
 
@@ -409,6 +414,7 @@ def stop_filter(stop_words: frozenset[str]) -> TokenFilter:
         keep = [(t, p) for t, p in zip(terms, positions) if t not in stop_words]
         return [t for t, _ in keep], [p for _, p in keep]
 
+    f.__name__ = "stop_filter"
     return f
 
 
@@ -487,3 +493,34 @@ def filter_tokens_column(df, chain: Iterable[TokenFilter],
         return pd.Series(out)
 
     return df.withColumn(out_col or tokens_col, apply_chain(F.col(tokens_col)))
+
+
+def analysis_stages(analyzer: CustomAnalyzer, text: str) -> list[dict]:
+    """FieldAnalysisRequestHandler role (solr/core/src/java/org/apache/
+    solr/handler/FieldAnalysisRequestHandler.java + AnalysisRequestHandlerBase
+    :95-161): run the analysis chain stage by stage and report the
+    token stream AFTER each component — the /analysis/field debug
+    surface that shows which stage dropped/altered each token.
+
+    Returns one dict per stage: {"stage": name, "terms": [...],
+    "positions": [...]} — char filters (text-level), the tokenizer,
+    the implicit lowercase, then every token filter in chain order.
+    """
+    out: list[dict] = []
+    for cf in analyzer.char_filters:
+        text = cf(text)
+        name = getattr(cf, "__name__", type(cf).__name__)
+        out.append({"stage": f"charfilter:{name}", "text": text})
+    toks = standard_tokenize(text, analyzer.max_token_length)
+    positions = list(range(len(toks)))
+    out.append({"stage": "tokenizer:standard", "terms": list(toks),
+                "positions": list(positions)})
+    terms = [t.lower() for t in toks]
+    out.append({"stage": "filter:lowercase", "terms": list(terms),
+                "positions": list(positions)})
+    for f in analyzer.filters:
+        terms, positions = f(terms, positions)
+        name = getattr(f, "__name__", type(f).__name__)
+        out.append({"stage": f"filter:{name}", "terms": list(terms),
+                    "positions": list(positions)})
+    return out
