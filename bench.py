@@ -75,7 +75,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "left_outer_counts", "grouped_topk", "time_series",
         "stats_stream", "range_query_pushdown", "ann_cosine_knn",
         "dedup_minhash_lsh", "dedup_simhash", "lang_id_heuristic",
-        "token_counts",
+        "token_counts", "graph_traversal", "cluster_kmeans",
+        "suggest_freetext", "interval_facets", "facet_heatmap",
     ]
     out = {}
     for name in names:
