@@ -496,3 +496,97 @@ def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
             out, f"(?i)\\b({re.escape(last)})", "<b>$1</b>")
         hits = hits.withColumn("highlighted", out)
     return hits.orderBy(F.desc("weight"), F.asc("text")).limit(n)
+
+
+def expand_topk(searcher: IndexSearcher, q: Query, group_col: str,
+                k_groups: int = 10, expand_rows: int = 5) -> DataFrame:
+    """ExpandComponent (solr/core/src/java/org/apache/solr/handler/
+    component/ExpandComponent.java:112-130): companion to collapse —
+    for each group that survived the collapse, return the top
+    `expand_rows` OTHER matching docs of that group (the heads the
+    collapse kept are excluded, :472-505 collapsedSet). One extra
+    ranked pass over the already-scored match set, broadcast-joined to
+    the (tiny) surviving-group list."""
+    scored = searcher.search_df(q, None)
+    docs = searcher.docs.select("docid", group_col)
+    joined = scored.join(docs, "docid")
+    w_in = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docid"))
+    ranked = joined.withColumn("rn", F.row_number().over(w_in))
+    heads = (ranked.where(F.col("rn") == 1)
+             .select(group_col, F.col("score").alias("best_score"),
+                     F.col("docid").alias("best_docid"))
+             .orderBy(F.desc("best_score"), F.asc("best_docid"))
+             .limit(k_groups))
+    return (ranked.join(F.broadcast(heads.select(group_col)), group_col)
+            .where(F.col("rn") > 1)  # the collapsed-away docs only
+            .where(F.col("rn") <= expand_rows + 1)
+            .select(group_col, "docid", "score",
+                    (F.col("rn") - 1).alias("expand_rank")))
+
+
+def naive_bayes_classify(searcher: IndexSearcher, text: str,
+                         label_col: str = "lang",
+                         analyzer: StandardAnalyzer | None = None) -> DataFrame:
+    """SimpleNaiveBayesClassifier (classification/
+    SimpleNaiveBayesClassifier.java): per class c,
+
+      score(c) = log(docFreq(c)) - log(docsWithClass)              (:266-268)
+               + Σ_w log( (hits(w,c) + 1) /
+                          (avgUniqueTermsPerDoc·docFreq(c) + docsWithClass) )
+                                                                    (:203-223)
+
+    with hits(w,c) = docs of class c containing w (:250-264),
+    avgUniqueTermsPerDoc = sumDocFreq/docCount (:231-240), then a
+    log-sum-exp softmax normalization (:279-300). Returns
+    DataFrame(label, score) descending, scores summing to 1.
+
+    Plan: ONE pass — postings filtered to the query's words (sargable
+    term predicate), joined to doc labels, grouped by (class, word);
+    the per-class fold is a broadcast-joined agg, and the softmax runs
+    over #classes rows. The word loop of the reference (one
+    TotalHitCountCollector search per word×class, :250) collapses into
+    that single join-aggregate."""
+    analyzer = analyzer or StandardAnalyzer()
+    terms, _ = analyzer.analyze(text)
+    spark = searcher.docs.sparkSession
+    if not terms:
+        return searcher.docs.select(
+            F.col(label_col).alias("label")).limit(0).withColumn(
+            "score", F.lit(0.0))
+    tf: dict[str, int] = {}
+    for t in terms:
+        tf[t] = tf.get(t, 0) + 1
+    words = spark.createDataFrame(list(tf.items()), "term string, wcount long")
+    docs = searcher.docs.select("docid", F.col(label_col).alias("label"))
+    # class priors + docsWithClass
+    cls = docs.groupBy("label").agg(F.count("*").alias("df_c"))
+    docs_with_class = searcher.doc_count
+    # avg unique terms per doc = sumDocFreq / docCount
+    sum_doc_freq = searcher.dict.agg(F.sum("df")).collect()[0][0]
+    avg_unique = float(sum_doc_freq) / docs_with_class
+    # hits(w, c): postings ∩ words → labels → per-(class, word) doc count
+    hits = (searcher.postings.join(F.broadcast(words), "term")
+            .select("term", "docid", "wcount").dropDuplicates(["term", "docid"])
+            .join(docs, "docid")
+            .groupBy("label", "term", "wcount")
+            .agg(F.count("*").alias("hits")))
+    # every (class, word) pair contributes — absent pairs hit the +1
+    # smoothing, so build the full grid first
+    grid = cls.crossJoin(F.broadcast(words))
+    ll = (grid.join(hits, ["label", "term", "wcount"], "left")
+          .na.fill({"hits": 0})
+          .withColumn("den", avg_unique * F.col("df_c") + F.lit(float(docs_with_class)))
+          .withColumn("w_ll", F.col("wcount") * F.log((F.col("hits") + 1) / F.col("den")))
+          .groupBy("label", "df_c")
+          .agg(F.sum("w_ll").alias("loglik")))
+    scored = ll.select(
+        "label",
+        (F.log(F.col("df_c").cast("double")) - F.lit(float(__import__("math").log(docs_with_class)))
+         + F.col("loglik")).alias("raw"))
+    # log-sum-exp softmax over #classes rows (normClassificationResults)
+    mx = scored.agg(F.max("raw").alias("mx"))
+    return (scored.crossJoin(F.broadcast(mx))
+            .withColumn("_e", F.exp(F.col("raw") - F.col("mx")))
+            .withColumn("_z", F.sum("_e").over(Window.partitionBy()))
+            .select("label", F.exp(F.col("raw") - F.col("mx") - F.log("_z")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("label")))
