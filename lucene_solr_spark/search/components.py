@@ -590,3 +590,34 @@ def naive_bayes_classify(searcher: IndexSearcher, text: str,
             .withColumn("_z", F.sum("_e").over(Window.partitionBy()))
             .select("label", F.exp(F.col("raw") - F.col("mx") - F.log("_z")).alias("score"))
             .orderBy(F.desc("score"), F.asc("label")))
+
+
+def explain(searcher: IndexSearcher, q: Query, docid: int) -> DataFrame:
+    """IndexSearcher.explain role (search/IndexSearcher.java:684-706 →
+    Weight.explain; Solr DebugComponent's `explain` section): break a
+    doc's score into per-clause contributions. For a BooleanQuery,
+    each scoring clause (MUST/SHOULD — FILTER and MUST_NOT contribute
+    no score, BooleanWeight.explain) gets a row with ITS score on the
+    doc (0 when the clause misses it), plus a 'total' row equal to the
+    engine's actual score for the full query.
+
+    Each clause probe is the same DataFrame plan as a search, filtered
+    to one docid — the postings scan prunes to the clause's terms and
+    the docid predicate pushes into it."""
+    from .queries import BooleanQuery as BQ
+
+    legs = []
+    if isinstance(q, BQ):
+        for i, cl in enumerate(q.clauses):
+            if cl.occur in ("MUST", "SHOULD"):
+                legs.append((f"{i}:{cl.occur}:{cl.query!r}", cl.query))
+    rows = searcher.search_df(q, None).where(F.col("docid") == docid).select(
+        F.lit("total").alias("clause"),
+        F.col("score").cast("double").alias("score"))
+    for label, leg in legs:
+        leg_df = (searcher.search_df(leg, None)
+                  .where(F.col("docid") == docid)
+                  .select(F.lit(label).alias("clause"),
+                          F.col("score").cast("double").alias("score")))
+        rows = rows.unionByName(leg_df)
+    return rows

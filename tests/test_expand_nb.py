@@ -89,3 +89,24 @@ def test_naive_bayes_matches_hand_computation(built):
         assert got[c] == pytest.approx(expect[c], rel=1e-9)
     # scores form a distribution and the argmax is the doc's own lang
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_explain_clause_sum_matches_total(built):
+    searcher, _ = built
+    import numpy as np
+
+    from lucene_solr_spark.search.components import explain
+
+    q = BooleanQuery.of(should=[TermQuery("type"), TermQuery("switch")],
+                        must=[TermQuery("break")])
+    top = searcher.search_df(q, 1).collect()[0]
+    rows = explain(searcher, q, top.docid).collect()
+    by = {r.clause: r.score for r in rows}
+    total = by.pop("total")
+    assert len(by) == 3  # MUST + 2 SHOULD all scoring clauses
+    # float32 accumulation: clause scores sum (in f32) to the total
+    acc = np.float32(0.0)
+    for v in sorted(by.values(), reverse=True):  # engine sums desc-idf?
+        acc = np.float32(acc + np.float32(v))
+    # order-insensitive check at f32 tolerance
+    assert float(acc) == pytest.approx(float(total), rel=1e-6)
