@@ -867,9 +867,22 @@ def cartesian_unnest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # ANN / embeddings
 # ---------------------------------------------------------------------------
-def _ann_sql() -> str:
-    from .pipeline import _QE_DUCK, _SRP_BAND_UNION_DUCK, _srp_bits_duck
+def _flip_sql(i: int, band: int) -> str:
+    """band_hash with bit i flipped (1-indexed substr arithmetic)."""
+    return (f"substr(band_hash, 1, {i}) || "
+            f"(CASE WHEN substr(band_hash, {i + 1}, 1) = '0' "
+            f"THEN '1' ELSE '0' END) || "
+            f"substr(band_hash, {i + 2}, {band - i - 1})")
 
+
+def _ann_sql() -> str:
+    from .pipeline import (
+        _QE_DUCK, _SRP_BAND_UNION_DUCK, _srp_bits_duck, SRP_BAND)
+
+    probes = " UNION ALL ".join(
+        ["SELECT band_id, band_hash FROM qb0"] + [
+            f"SELECT band_id, {_flip_sql(i, SRP_BAND)} AS band_hash FROM qb0"
+            for i in range(SRP_BAND)])
     return f"""
     WITH n AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -879,7 +892,8 @@ def _ann_sql() -> str:
     ),
     sk AS (SELECT vec_id, {_srp_bits_duck()} AS bits FROM n),
     bands AS ({_SRP_BAND_UNION_DUCK}),
-    qb AS (SELECT band_id, band_hash FROM bands WHERE vec_id = 0),
+    qb0 AS (SELECT band_id, band_hash FROM bands WHERE vec_id = 0),
+    qb AS (SELECT DISTINCT band_id, band_hash FROM ({probes})),
     cand AS (
       SELECT DISTINCT b.vec_id FROM bands b
       JOIN qb USING (band_id, band_hash) WHERE b.vec_id <> 0
@@ -924,7 +938,18 @@ def ann_cosine_knn(spark, sf_dir):
         "vec_id",
         F.expr(f"stack({_N_SRP_BANDS}, {band_rows}) as (band_id, band_hash)"),
     ).select("vec_id", "band_id", "band_hash")
-    qb = bands.where(F.col("vec_id") == 0).select("band_id", "band_hash")
+    # multi-probe LSH (Lv et al., VLDB'07): probe the query's band
+    # hash AND every 1-bit-flip neighbor — 5 probes per 4-bit band,
+    # still O(1) buckets per query, recall jumps vs single-probe
+    flips = [F.col("band_hash")] + [
+        F.concat(F.substring("band_hash", 1, i),
+                 F.when(F.substring("band_hash", i + 1, 1) == "0",
+                        F.lit("1")).otherwise(F.lit("0")),
+                 F.substring("band_hash", i + 2, SRP_BAND - i - 1))
+        for i in range(SRP_BAND)]
+    qb = (bands.where(F.col("vec_id") == 0)
+          .select("band_id", F.explode(F.array(*flips)).alias("band_hash"))
+          .distinct())
     cand = (
         bands.where(F.col("vec_id") != 0)
         .join(F.broadcast(qb), ["band_id", "band_hash"])

@@ -67,10 +67,10 @@ def test_plan_probes_with_broadcast_join(spark, sf_dir):
 def test_recall_vs_exact(ann_rows, sf_dir):
     exact = {r[0] for r in _exact_topk(sf_dir)}
     approx = {r["vec_id"] for r in ann_rows}
-    # the SRP sketch is coarse (16 x 4-bit bands) but the near
-    # neighbors share sign patterns; on the synthetic embeddings the
-    # top of the exact list must be substantially recovered
-    assert len(approx & exact) >= len(exact) // 2
+    # multi-probe (query band hash + every 1-bit flip) recovers nearly
+    # all of the exact top-20 on the test embeddings (measured 1.0;
+    # gate at 0.9 for seed robustness)
+    assert len(approx & exact) >= int(len(exact) * 0.9)
 
 
 def test_matches_duckdb_oracle(ann_rows, sf_dir):
