@@ -1,4 +1,9 @@
 from .builder import IndexTables, assign_docids, build_index  # noqa: F401
+from .replication import (  # noqa: F401
+    fetch_index,
+    publish_file_list,
+    replication_details,
+)
 from .segments import (  # noqa: F401
     SegmentIndex,
     build_segment_index,

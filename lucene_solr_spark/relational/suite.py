@@ -1375,3 +1375,46 @@ def json_facet_api(spark, sf_dir):
     return out.select("langs_val", "langs_count",
                       F.round("avg_len", 4).alias("avg_len"),
                       "srcs_val", "srcs_count")
+
+
+@register(
+    "sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                  > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 64
+    ), sid AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM sid GROUP BY user_id, sid
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap sessionization (batch twin of the applyInPandasWithState
+    streaming operator, streaming/stateful.py — TopicStream/daemon
+    per-key-state role): sessions break where a user's inter-event gap
+    exceeds 30 min. Two window passes over ONE user_id shuffle (lag →
+    running sum), then the session agg reuses the same partitioning —
+    no UDF, fully codegen'd, skew-safe at 100 TB because the key space
+    is user_id (high cardinality) and state never leaves the
+    executor."""
+    from ..streaming.stateful import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 64)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (sessionize_batch(ev, gap_seconds=1800)
+            .select("user_id",
+                    F.date_format("session_start", fmt).alias("session_start"),
+                    F.date_format("session_end", fmt).alias("session_end"),
+                    "n_events",
+                    F.round("value_sum", 4).alias("value_sum")))

@@ -113,3 +113,116 @@ def test_extended_parsers(searcher):
     rows = [r["score"] for r in
             c.dataframe("scale(dl(content), 0, 100)").collect()]
     assert min(rows) == 0.0 and max(rows) == 100.0
+
+
+def test_math_bool_comparison_parsers(searcher):
+    """Math zoo + boolean/comparison + def (round-3 registry widening:
+    ValueSourceParser's DoubleFunction / BoolFunction /
+    ComparisonBoolFunction blocks)."""
+    c = FunctionQueryCompiler(searcher)
+    dls = {r["docid"]: r["dl"] for r in
+           searcher.docs.select("docid", "dl").collect()}
+
+    rows = {r["docid"]: r["score"] for r in
+            c.dataframe("ceil(div(dl(content), 7))").collect()}
+    for d, s in rows.items():
+        assert s == math.ceil(dls[d] / 7)
+
+    rows = {r["docid"]: r["score"] for r in
+            c.dataframe("if(gt(dl(content), 50), 1, 0)").collect()}
+    for d, s in rows.items():
+        assert s == (1 if dls[d] > 50 else 0)
+
+    rows = {r["docid"]: r["score"] for r in c.dataframe(
+        "if(and(gte(dl(content), 0), not(eq(dl(content), -1))), 2, 3)"
+    ).collect()}
+    assert set(rows.values()) == {2}
+
+    one = c.dataframe("def(field(dl), 7)").limit(1).collect()[0]["score"]
+    assert one is not None
+
+    v = c.dataframe("sum(atan2(1, 1), hypot(3, 4), pi())").limit(
+        1).collect()[0]["score"]
+    assert v == pytest.approx(math.atan2(1, 1) + 5.0 + math.pi)
+
+
+def test_vector_and_geo_parsers(searcher):
+    """dist/sqedist (VectorDistanceFunction) and geodist
+    (HaversineConstFunction)."""
+    c = FunctionQueryCompiler(searcher)
+    get1 = lambda e: c.dataframe(e).limit(1).collect()[0]["score"]
+    assert get1("sqedist(1, 2, 4, 6)") == 25.0
+    assert get1("dist(2, 1, 2, 4, 6)") == pytest.approx(5.0)
+    assert get1("dist(1, 1, 2, 4, 6)") == pytest.approx(7.0)
+    assert get1("dist(0, 1, 2, 4, 2)") == 1  # sparseness norm
+
+    # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278)
+    got = get1("geodist(48.8566, 2.3522, 51.5074, -0.1278)")
+    lat1, lon1, lat2, lon2 = map(
+        math.radians, (48.8566, 2.3522, 51.5074, -0.1278))
+    a = (math.sin((lat1 - lat2) / 2) ** 2
+         + math.cos(lat1) * math.cos(lat2)
+         * math.sin((lon1 - lon2) / 2) ** 2)
+    want = 2 * 6371.0087714 * math.asin(math.sqrt(a))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_ms_date_parser(searcher):
+    c = FunctionQueryCompiler(searcher)
+    got = c.dataframe(
+        "ms('2020-01-02T00:00:00Z', '2020-01-01T00:00:00Z')"
+    ).limit(1).collect()[0]["score"]
+    assert got == 86_400_000
+    got = c.dataframe("ms('1970-01-01T00:00:10Z')").limit(
+        1).collect()[0]["score"]
+    assert got == 10_000
+
+
+def test_tf_ord_rord(searcher):
+    """tf = similarity tf = sqrt(raw freq) (TFValueSource over
+    TFIDFSimilarity); ord/rord = 1-based ordinal in the field's sorted
+    value space (OrdFieldSource/ReverseOrdFieldSource)."""
+    row = _common_term(searcher)
+    t = row["term"]
+    c = FunctionQueryCompiler(searcher)
+    raw = {r["docid"]: r["score"] for r in
+           c.dataframe(f"termfreq(content,'{t}')").collect()}
+    got = {r["docid"]: r["score"] for r in
+           c.dataframe(f"tf(content,'{t}')").collect()}
+    for d, v in got.items():
+        assert v == pytest.approx(math.sqrt(raw[d]))
+
+    dls = {r["docid"]: r["dl"] for r in
+           searcher.docs.select("docid", "dl").collect()}
+    ranks = {v: i + 1 for i, v in enumerate(sorted(set(dls.values())))}
+    got = {r["docid"]: r["score"] for r in
+           c.dataframe("ord(dl)").collect()}
+    for d, v in got.items():
+        assert v == ranks[dls[d]]
+    rranks = {v: i + 1 for i, v in
+              enumerate(sorted(set(dls.values()), reverse=True))}
+    got = {r["docid"]: r["score"] for r in
+           c.dataframe("rord(dl)").collect()}
+    for d, v in got.items():
+        assert v == rranks[dls[d]]
+
+
+def test_query_and_boost_parsers(spark, searcher):
+    """query('...') = subquery score or 0 (QueryValueSource);
+    boost(q, f) = score x f (BoostedQuery role)."""
+    from lucene_solr_spark.search.parser import QueryParser
+
+    row = _common_term(searcher)
+    t = row["term"]
+    c = FunctionQueryCompiler(searcher)
+    want = {r["docid"]: r["score"] for r in
+            searcher.search_df(QueryParser().parse(t), k=None).collect()}
+    got = {r["docid"]: r["score"] for r in
+           c.dataframe(f"query('{t}')").collect()}
+    assert len(got) == N_DOCS
+    for d, v in got.items():
+        assert v == pytest.approx(want.get(d, 0.0))
+    got2 = {r["docid"]: r["score"] for r in
+            c.dataframe(f"boost('{t}', 2)").collect()}
+    for d, v in got2.items():
+        assert v == pytest.approx(2 * want.get(d, 0.0))
