@@ -326,6 +326,74 @@ class IncrementalIndexer:
                            max_docid=int(state.get("doc_count", 0)))
         self.process_batch(batch_df, batch_id)
 
+    def atomic_update(self, spark, ops_df: DataFrame, batch_id: int,
+                      ops: dict[str, str],
+                      key_cols: tuple[str, ...] = ("repo", "path"),
+                      ) -> int:
+        """Solr atomic updates: partial-document field operations
+        merged against the LATEST stored version, then re-ingested as
+        an update (AtomicUpdateDocumentMerger.merge,
+        solr/core/src/java/org/apache/solr/update/processor/
+        AtomicUpdateDocumentMerger.java:91-130 — op dispatch
+        set/add/remove/inc at :100-116, doSet/doAdd/doInc/doRemove at
+        :315-399; like Solr, requires the fields to be stored — here
+        the docmap is the stored-fields table).
+
+        ``ops_df`` carries ``key_cols`` plus one operand column per
+        updated field; ``ops`` maps field → one of:
+
+        * ``set`` — replace with the operand (doSet),
+        * ``inc`` — numeric increment (doInc),
+        * ``add`` — append to an array field (doAdd),
+        * ``remove`` — drop matching values from an array field
+          (doRemove).
+
+        Keys not currently live are skipped (counted in the return) —
+        an atomic op against a missing doc has nothing to merge.
+        Returns the number of docs updated. The merge is one broadcast
+        point-lookup join (realtime_get) + a per-field Catalyst
+        projection; the re-ingest is the ordinary upsert path
+        (tombstone + new segment), so concurrency/idempotence
+        guarantees are inherited from upsert_batch."""
+        # fetch everything the re-ingest needs: the full PK (docmap
+        # keys can be a subset of it, e.g. repo+path vs repo+path+
+        # commit), the stored fields, and every op target
+        current = self.realtime_get(
+            spark, ops_df, key_cols,
+            fields=tuple(dict.fromkeys(
+                [*(c for c in PK if c not in key_cols),
+                 "lang", "content", *ops])))
+        operands = ops_df.select(
+            *key_cols, *[F.col(f).alias(f"_op_{f}") for f in ops])
+        base = current.drop("docid").join(operands, list(key_cols))
+        base.persist()
+        n_hit = base.count()
+        merged = base
+        for f, op in ops.items():
+            cur, new = F.col(f), F.col(f"_op_{f}")
+            if op == "set":
+                val = new
+            elif op == "inc":
+                val = (F.coalesce(cur.cast("double"), F.lit(0.0))
+                       + new.cast("double"))
+            elif op == "add":
+                val = F.concat(F.coalesce(cur, F.array()),
+                               F.array(new))
+            elif op == "remove":
+                val = F.array_remove(F.coalesce(cur, F.array()), new)
+            else:
+                raise ValueError(f"unknown atomic op {op!r} for {f!r}")
+            merged = merged.withColumn(f, val)
+        merged = merged.drop(*[f"_op_{f}" for f in ops])
+        try:
+            if n_hit:
+                self.upsert_batch(merged, batch_id, key_cols)
+        finally:
+            base.unpersist()
+        # Solr raises on atomic ops against missing docs (no base to
+        # merge); callers see the miss as n_hit < len(requested keys)
+        return n_hit
+
     def realtime_get(self, spark, keys_df: DataFrame,
                      key_cols: tuple[str, ...] = ("repo", "path"),
                      fields: tuple[str, ...] = ("lang", "content"),

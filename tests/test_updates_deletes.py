@@ -134,3 +134,69 @@ def test_realtime_get(spark, indexed):
     row = rtg[(other["repo"], other["path"])]
     assert row["docid"] > other["docid"]
     assert row["content"] == "freshly updated body"
+
+
+def test_atomic_update_set_and_inc(spark, indexed):
+    """Solr atomic updates (AtomicUpdateDocumentMerger.java:91-130):
+    set replaces a stored field, the merged doc is re-ingested as an
+    update (new docid, old version tombstoned), untouched fields
+    survive the merge, realtime_get reflects the result immediately,
+    and a miss (unknown key) merges nothing."""
+    indexer, idx, corpus = indexed
+    keys = idx.docmap().orderBy("docid").limit(2).select(
+        "repo", "path").collect()
+    before = {(r["repo"], r["path"]): r for r in
+              indexer.realtime_get(
+                  spark, spark.createDataFrame(keys)).collect()}
+
+    ops_rows = [(k["repo"], k["path"], "xx") for k in keys]
+    ops_df = spark.createDataFrame(ops_rows, "repo string, path string, "
+                                             "lang string")
+    n = indexer.atomic_update(spark, ops_df, batch_id=1,
+                              ops={"lang": "set"})
+    assert n == 2
+
+    after = {(r["repo"], r["path"]): r for r in
+             indexer.realtime_get(
+                 spark, spark.createDataFrame(keys)).collect()}
+    assert set(after) == set(before)
+    for key, row in after.items():
+        assert row["lang"] == "xx"                        # set applied
+        assert row["content"] == before[key]["content"]   # preserved
+        assert row["docid"] > before[key]["docid"]        # new version
+
+    # the old versions are tombstoned: docs() joined via docmap shows
+    # each key resolving only to the new docid
+    dm = idx.docmap()
+    for (repo, path), row in after.items():
+        live = (dm.where((F.col("repo") == repo) & (F.col("path") == path))
+                .join(idx.deletes(), "docid", "left_anti")
+                .select("docid").collect())
+        assert [r["docid"] for r in live] == [row["docid"]]
+
+    # missing key: nothing merged, nothing ingested
+    miss = spark.createDataFrame(
+        [("no-such-repo", "nope.py", "yy")],
+        "repo string, path string, lang string")
+    assert indexer.atomic_update(spark, miss, batch_id=2,
+                                 ops={"lang": "set"}) == 0
+
+
+def test_atomic_update_content_reindexes(spark, indexed):
+    """Setting content via an atomic op changes what the doc MATCHES —
+    the re-ingest runs the full analysis chain, exactly Solr's
+    stored-fields-in, reindexed-out contract."""
+    indexer, idx, _corpus = indexed
+    key = idx.docmap().orderBy("docid").limit(1).select(
+        "repo", "path").collect()
+    ops_df = spark.createDataFrame(
+        [(key[0]["repo"], key[0]["path"],
+          "zanzibar zanzibar zanzibar unique sentinel text")],
+        "repo string, path string, content string")
+    assert indexer.atomic_update(spark, ops_df, batch_id=1,
+                                 ops={"content": "set"}) == 1
+    hits = SegmentSearcher(idx).search(TermQuery("zanzibar"), 5)
+    assert len(hits) == 1
+    got = idx.docmap().where(F.col("docid") == hits[0].docid).select(
+        "repo", "path").collect()[0]
+    assert (got["repo"], got["path"]) == (key[0]["repo"], key[0]["path"])
