@@ -407,6 +407,284 @@ def cjk_bigram_filter(han: bool = True, hiragana: bool = True,
     return f
 
 
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter
+# ---------------------------------------------------------------------------
+# char classes — WordDelimiterIterator.java:25-28
+_WD_LOWER, _WD_UPPER, _WD_DIGIT, _WD_DELIM = 0x01, 0x02, 0x04, 0x08
+_WD_ALPHA = _WD_LOWER | _WD_UPPER
+_WD_DONE = -1
+
+
+def _wd_char_type(ch: str) -> int:
+    """WordDelimiterIterator.getType (java:289-331): Unicode category →
+    LOWER/UPPER/ALPHA/DIGIT, everything else a subword delimiter."""
+    cat = unicodedata.category(ch)
+    if cat == "Lu":
+        return _WD_UPPER
+    if cat == "Ll":
+        return _WD_LOWER
+    if cat in ("Lt", "Lm", "Lo", "Mn", "Me", "Mc"):
+        return _WD_ALPHA
+    if cat in ("Nd", "Nl", "No"):
+        return _WD_DIGIT
+    if cat == "Cs":  # surrogate: prevent splitting (java:314-315)
+        return _WD_ALPHA | _WD_DIGIT
+    return _WD_DELIM
+
+
+class _WordDelimiterIterator:
+    """Faithful port of WordDelimiterIterator.java (subword boundary
+    scan: delimiter runs, case transitions, alpha<->digit transitions,
+    trailing-possessive stripping)."""
+
+    def __init__(self, text: str, split_on_case_change: bool,
+                 split_on_numerics: bool, stem_english_possessive: bool):
+        self.text = text
+        self.split_case = split_on_case_change
+        self.split_num = split_on_numerics
+        self.stem_poss = stem_english_possessive
+        self.types = [_wd_char_type(c) for c in text]
+        self.current = 0
+        self.end = 0
+        self.skip_possessive = False
+        self.has_final_possessive = False
+        # setBounds (java:241-253): trim leading/trailing delimiter runs
+        self.start_bounds = 0
+        self.end_bounds = len(text)
+        while (self.start_bounds < len(text)
+               and self.types[self.start_bounds] & _WD_DELIM):
+            self.start_bounds += 1
+        while (self.end_bounds > self.start_bounds
+               and self.types[self.end_bounds - 1] & _WD_DELIM):
+            self.end_bounds -= 1
+        if self._ends_with_possessive(self.end_bounds):
+            self.has_final_possessive = True
+        self.current = self.start_bounds
+
+    def _ends_with_possessive(self, pos: int) -> bool:
+        # java:261-268
+        t = self.text
+        return (self.stem_poss and pos > 2
+                and t[pos - 2] == "'" and t[pos - 1] in ("s", "S")
+                and (self.types[pos - 3] & _WD_ALPHA) != 0
+                and (pos == self.end_bounds
+                     or (self.types[pos] & _WD_DELIM) != 0))
+
+    def _is_break(self, last_type: int, cur_type: int) -> bool:
+        # java:204-221
+        if cur_type & last_type:
+            return False
+        is_alpha = lambda x: (x & _WD_ALPHA) != 0
+        if not self.split_case and is_alpha(last_type) and is_alpha(cur_type):
+            return False
+        if (last_type & _WD_UPPER) and is_alpha(cur_type):
+            return False  # UPPER->letter: don't split (WiFi -> Wi,Fi not W,i...)
+        if not self.split_num and (
+                (is_alpha(last_type) and (cur_type & _WD_DIGIT))
+                or ((last_type & _WD_DIGIT) and is_alpha(cur_type))):
+            return False
+        return True
+
+    def next(self) -> int:
+        # java:122-156
+        self.current = self.end
+        if self.current == _WD_DONE:
+            return _WD_DONE
+        if self.skip_possessive:
+            self.current += 2
+            self.skip_possessive = False
+        last_type = 0
+        while self.current < self.end_bounds:
+            last_type = self.types[self.current]
+            if not (last_type & _WD_DELIM):
+                break
+            self.current += 1
+        if self.current >= self.end_bounds:
+            self.end = _WD_DONE
+            return _WD_DONE
+        self.end = self.current + 1
+        while self.end < self.end_bounds:
+            t = self.types[self.end]
+            if self._is_break(last_type, t):
+                break
+            last_type = t
+            self.end += 1
+        if self.end < self.end_bounds - 1 and self._ends_with_possessive(self.end + 2):
+            self.skip_possessive = True
+        return self.end
+
+    def type(self) -> int:
+        # java:165-179 — type of first char; LOWER/UPPER both -> ALPHA
+        if self.end == _WD_DONE:
+            return 0
+        t = self.types[self.current]
+        return _WD_ALPHA if t & _WD_ALPHA and not t & _WD_DIGIT else t
+
+    def is_single_word(self) -> bool:
+        # java:228-235
+        if self.has_final_possessive:
+            return (self.current == self.start_bounds
+                    and self.end == self.end_bounds - 2)
+        return self.current == self.start_bounds and self.end == self.end_bounds
+
+
+class _WDConcat:
+    """WordDelimiterConcatenation (WordDelimiterGraphFilter.java:595-646)."""
+
+    __slots__ = ("parts", "start_pos", "type", "subword_count")
+
+    def __init__(self):
+        self.parts: list[str] = []
+        self.start_pos = 0
+        self.type = 0
+        self.subword_count = 0
+
+    def append(self, text: str):
+        self.parts.append(text)
+        self.subword_count += 1
+
+    def clear(self):
+        self.parts = []
+        self.type = self.subword_count = 0
+
+
+def word_delimiter_graph_filter(
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+    protected_words: frozenset[str] = frozenset(),
+) -> TokenFilter:
+    """WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter
+    .java, boundary scan per WordDelimiterIterator.java) — splits
+    tokens into subwords on delimiters / case changes / alpha<->digit
+    transitions and optionally catenates runs; the filter that makes
+    ``camelCase``/``snake_case``/``wi-fi`` identifiers searchable by
+    subword, which is why it matters for a source-code corpus.
+
+    Defaults match WordDelimiterGraphFilterFactory's (generate parts,
+    split on case + numerics, stem possessives; no catenation).
+
+    Graph positions are rendered into this package's flat ``(terms,
+    positions)`` stream the same way the index consumes Lucene's graph:
+    each subword takes one position; a catenation/preserved original
+    starts at its run's first position (posLength is dropped, as
+    Lucene's indexer itself drops it); a token of pure delimiters is
+    swallowed leaving a position hole (accumPosInc semantics,
+    WordDelimiterGraphFilter.java:361-369)."""
+
+    def should_concat(word_type: int) -> bool:
+        return ((catenate_words and word_type & _WD_ALPHA != 0)
+                or (catenate_numbers and word_type & _WD_DIGIT != 0))
+
+    def should_generate(word_type: int) -> bool:
+        return ((generate_word_parts and word_type & _WD_ALPHA != 0)
+                or (generate_number_parts and word_type & _WD_DIGIT != 0))
+
+    def buffer_word_parts(text: str, it: _WordDelimiterIterator):
+        """bufferWordParts (java:259-337): returns the sorted list of
+        (term, start_pos, end_pos) plus the token's position width."""
+        parts: list[tuple[str, int, int]] = []
+        word_pos = 0
+        concat = _WDConcat()
+        concat_all = _WDConcat()
+        last_concat_count = 0
+
+        def flush_concat(c: _WDConcat):
+            # flushConcatenation (java:533-543)
+            nonlocal word_pos, last_concat_count
+            if word_pos == c.start_pos:
+                word_pos += 1
+            last_concat_count = c.subword_count
+            if c.subword_count != 1 or not should_generate(c.type):
+                parts.append(("".join(c.parts), c.start_pos, word_pos))
+            c.clear()
+
+        if it.is_single_word():
+            parts.append((text[it.current:it.end], 0, 1))
+            word_pos = 1
+            it.next()
+        else:
+            while it.end != _WD_DONE:
+                word_type = it.type()
+                if concat.parts and (concat.type & word_type) == 0:
+                    flush_concat(concat)
+                if should_concat(word_type):
+                    if not concat.parts:
+                        concat.type = word_type
+                        concat.start_pos = word_pos
+                    concat.append(text[it.current:it.end])
+                if catenate_all:
+                    if not concat_all.parts:
+                        concat_all.type = word_type
+                        concat_all.start_pos = word_pos
+                    concat_all.append(text[it.current:it.end])
+                if should_generate(word_type):
+                    parts.append((text[it.current:it.end], word_pos, word_pos + 1))
+                    word_pos += 1
+                it.next()
+            if concat.parts:
+                flush_concat(concat)
+            if concat_all.parts:
+                # only if not already emitted by CATENATE_WORDS (java:310-319)
+                if concat_all.subword_count > last_concat_count:
+                    if word_pos == concat_all.start_pos:
+                        word_pos += 1
+                    parts.append(("".join(concat_all.parts),
+                                  concat_all.start_pos, word_pos))
+                concat_all.clear()
+        if preserve_original:
+            if word_pos == 0:
+                word_pos = 1
+            parts.append((text, 0, word_pos))
+        # PositionSorter (java:439-460): start asc, longer span first
+        parts.sort(key=lambda x: (x[1], -x[2]))
+        return parts, word_pos
+
+    def f(terms: list[str], positions: list[int]):
+        out_t: list[str] = []
+        out_p: list[int] = []
+        next_out = 0
+        prev_in: int | None = None
+        for tok, pin in zip(terms, positions):
+            gap = (pin - prev_in - 1) if prev_in is not None else pin
+            base = next_out + gap
+            prev_in = pin
+            it = _WordDelimiterIterator(
+                tok, split_on_case_change, split_on_numerics,
+                stem_english_possessive)
+            it.next()
+            # no delimiters at all, or protected: pass through (java:358-364)
+            if ((it.current == 0 and it.end == len(tok))
+                    or tok in protected_words):
+                out_t.append(tok)
+                out_p.append(base)
+                next_out = base + 1
+                continue
+            # pure delimiters: swallow, leaving a hole (java:366-374)
+            if it.end == _WD_DONE:
+                if preserve_original:
+                    out_t.append(tok)
+                    out_p.append(base)
+                next_out = base + 1
+                continue
+            parts, width = buffer_word_parts(tok, it)
+            for text_part, sp, _ep in parts:
+                out_t.append(text_part)
+                out_p.append(base + sp)
+            next_out = base + max(width, 1)
+        return out_t, out_p
+
+    f.__name__ = "word_delimiter_graph_filter"
+    return f
+
+
 def stop_filter(stop_words: frozenset[str]) -> TokenFilter:
     """StopFilter as a chain member (position-gap preserving)."""
 
@@ -433,20 +711,32 @@ class CustomAnalyzer:
 
     ``char_filters`` — str→str transforms applied BEFORE tokenization
     (HTMLStripCharFilter / MappingCharFilter role, see
-    ``analysis/charfilters.py``)."""
+    ``analysis/charfilters.py``).
+
+    ``tokenizer`` — a ``(text, max_token_length) -> list[str]``
+    callable; defaults to ``standard_tokenize``.  ``lowercase=False``
+    skips the built-in LowerCaseFilter stage so case-sensitive filters
+    (WordDelimiterGraphFilter's splitOnCaseChange) can run first and
+    lowercase later in their own chain — the whitespace→WDGF→lowercase
+    ordering the reference recommends (WordDelimiterGraphFilter.java:
+    94-97)."""
 
     def __init__(self, filters: Iterable[TokenFilter] = (),
                  max_token_length: int = MAX_TOKEN_LENGTH,
-                 char_filters: Iterable = ()):
+                 char_filters: Iterable = (),
+                 tokenizer: Callable[[str, int], list[str]] | None = None,
+                 lowercase: bool = True):
         self.filters = list(filters)
         self.char_filters = list(char_filters)
         self.max_token_length = max_token_length
+        self.tokenizer = tokenizer or standard_tokenize
+        self.lowercase = lowercase
 
     def analyze(self, text: str) -> tuple[list[str], list[int]]:
         for cf in self.char_filters:
             text = cf(text)
-        toks = standard_tokenize(text, self.max_token_length)
-        terms = [t.lower() for t in toks]
+        toks = self.tokenizer(text, self.max_token_length)
+        terms = [t.lower() for t in toks] if self.lowercase else list(toks)
         positions = list(range(len(terms)))
         for f in self.filters:
             terms, positions = f(terms, positions)

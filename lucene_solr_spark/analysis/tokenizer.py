@@ -146,6 +146,19 @@ def standard_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> li
     return out
 
 
+def whitespace_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """WhitespaceTokenizer (analysis/core/WhitespaceTokenizer.java):
+    split on ``Character.isWhitespace`` runs, keep everything else —
+    punctuation stays inside tokens. The recommended front end for
+    WordDelimiterGraphFilter (WordDelimiterGraphFilter.java:94-97:
+    StandardTokenizer already removes the intra-word delimiters the
+    filter wants to see)."""
+    out: list[str] = []
+    for tok in text.split():
+        out.extend(_chop(tok, max_token_length))
+    return out
+
+
 def standard_tokenize_typed(
     text: str, max_token_length: int = MAX_TOKEN_LENGTH
 ) -> list[tuple[str, str]]:

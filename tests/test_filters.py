@@ -217,3 +217,109 @@ class TestCJKBigram:
         an = CustomAnalyzer([cjk_bigram_filter()])
         terms, _ = an.analyze("データベース検索")
         assert "データベース検" in terms and "検索" in terms
+
+
+class TestWordDelimiterGraph:
+    """WordDelimiterGraphFilter goldens — examples straight from the
+    reference javadoc (WordDelimiterGraphFilter.java:40-100) rendered
+    to flat indexed positions (posInc semantics: catenations land at
+    their run's start position)."""
+
+    @staticmethod
+    def run(f, toks):
+        return f(list(toks), list(range(len(toks))))
+
+    def test_case_split(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter()
+        assert self.run(f, ["PowerShot"]) == (["Power", "Shot"], [0, 1])
+
+    def test_no_case_split_flag(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter(split_on_case_change=False)
+        assert self.run(f, ["PowerShot"]) == (["PowerShot"], [0])
+        # "Power-Shot" remains two parts regardless (iterator javadoc:106)
+        assert self.run(f, ["Power-Shot"]) == (["Power", "Shot"], [0, 1])
+
+    def test_possessive_and_numerics(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter()
+        assert self.run(f, ["O'Neil's"]) == (["O", "Neil"], [0, 1])
+        assert self.run(f, ["j2se"]) == (["j", "2", "se"], [0, 1, 2])
+        assert self.run(f, ["snake_case_name"]) == (
+            ["snake", "case", "name"], [0, 1, 2])
+
+    def test_catenate_words(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter(catenate_words=True)
+        assert self.run(f, ["PowerShot"]) == (
+            ["PowerShot", "Power", "Shot"], [0, 0, 1])
+        # javadoc: "A's+B's&C's" -> A B C + ABC
+        assert self.run(f, ["A's+B's&C's"]) == (
+            ["ABC", "A", "B", "C"], [0, 0, 1, 2])
+        # javadoc: Super-Duper-XL500-42-AutoCoder!
+        terms, pos = self.run(f, ["Super-Duper-XL500-42-AutoCoder!"])
+        assert terms == ["SuperDuperXL", "Super", "Duper", "XL", "500",
+                         "42", "AutoCoder", "Auto", "Coder"]
+        assert pos == [0, 0, 1, 2, 3, 4, 5, 5, 6]
+
+    def test_catenate_all_and_preserve(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter(catenate_all=True)
+        assert self.run(f, ["wi-fi-4000"]) == (
+            ["wifi4000", "wi", "fi", "4000"], [0, 0, 1, 2])
+        fp = word_delimiter_graph_filter(preserve_original=True)
+        assert self.run(fp, ["500-42"]) == (
+            ["500-42", "500", "42"], [0, 0, 1])
+
+    def test_protected_and_holes(self):
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter(
+            protected_words=frozenset(["wi-fi"]))
+        assert self.run(f, ["wi-fi"]) == (["wi-fi"], [0])
+        # pure-delimiter token swallowed, leaving a position hole
+        assert self.run(f, ["foo", "++", "bar"]) == (["foo", "bar"], [0, 2])
+        # leading/trailing delimiters trimmed, single subword kept
+        assert self.run(f, ["-foo-"]) == (["foo"], [0])
+
+    def test_position_shift_downstream(self):
+        """Subword expansion shifts later tokens' positions (graph
+        positions are real positions)."""
+        from lucene_solr_spark.analysis.filters import word_delimiter_graph_filter
+        f = word_delimiter_graph_filter()
+        terms, pos = self.run(f, ["getFooBar", "baz"])
+        assert terms == ["get", "Foo", "Bar", "baz"]
+        assert pos == [0, 1, 2, 3]
+
+    def test_whitespace_wdgf_analyzer_end_to_end(self):
+        """whitespace -> WDGF -> lowercase, the reference-recommended
+        chain: camelCase identifiers match subword queries, and phrase
+        positions line up."""
+        from lucene_solr_spark.analysis.filters import (
+            CustomAnalyzer, lowercase_filter, word_delimiter_graph_filter)
+        from lucene_solr_spark.analysis.tokenizer import whitespace_tokenize
+        from lucene_solr_spark.oracle import OracleIndex
+        from lucene_solr_spark.search.queries import PhraseQuery, TermQuery
+
+        an = CustomAnalyzer(
+            [word_delimiter_graph_filter(catenate_words=True),
+             lowercase_filter],
+            tokenizer=whitespace_tokenize, lowercase=False)
+        idx = OracleIndex(analyzer=an)
+        idx.add("public int getWidgetCount() { return widget_count; }")
+        idx.add("void resetAll() {}")
+        idx.add("plain words only")
+        hits = idx.search(TermQuery("widget"), 10)
+        assert sorted(h.docid for h in hits) == [0]
+        # catenation makes the smushed form searchable too
+        hits = idx.search(TermQuery("widgetcount"), 10)
+        assert [h.docid for h in hits] == [0]
+        # subword positions are consecutive -> phrase match
+        hits = idx.search(PhraseQuery(["widget", "count"]), 10)
+        assert [h.docid for h in hits] == [0]
+
+    def test_whitespace_tokenizer(self):
+        from lucene_solr_spark.analysis.tokenizer import whitespace_tokenize
+        assert whitespace_tokenize("foo  bar\tbaz\nqux") == [
+            "foo", "bar", "baz", "qux"]
+        assert whitespace_tokenize("a-b.c") == ["a-b.c"]
