@@ -456,6 +456,100 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "gopher_repetition",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, n_chars, len(w) AS word_count,
+             len(list_distinct(w)) AS distinct_words,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bigrams
+      FROM d WHERE len(w) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM stats)
+      GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, bigram AS top_bigram, c AS top_count
+      FROM (SELECT doc_id, bigram, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, bigram) AS rn
+            FROM bgc) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.word_count,
+           round(1.0 - s.distinct_words / CAST(s.word_count AS DOUBLE), 4)
+             AS dup_word_frac,
+           t.top_bigram,
+           round(t.top_count * length(t.top_bigram)
+                 / CAST(s.n_chars AS DOUBLE), 4) AS top_bigram_char_frac,
+           CASE WHEN round(1.0 - s.distinct_words
+                           / CAST(s.word_count AS DOUBLE), 4) <= 0.3
+                 AND round(t.top_count * length(t.top_bigram)
+                           / CAST(s.n_chars AS DOUBLE), 4) <= 0.2
+                THEN 1 ELSE 0 END AS gopher_ok
+    FROM stats s JOIN top t USING (doc_id)
+    """,
+)
+def gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    word-level: the corpus has no newlines so the duplicate-LINE rules
+    become duplicate-WORD fraction, and the "fraction of characters in
+    the most frequent 2-gram" rule is taken verbatim; a doc passes when
+    dup_word_frac <= 0.3 and top-2-gram char occupancy <= 0.2 — Gopher's
+    published thresholds). Training-data pipeline op.
+
+    Scale shape: everything is keyed by doc_id — the bigram count is a
+    map-side-combinable groupBy and the argmax is a per-doc window, so
+    the whole plan is embarrassingly parallel across documents (no
+    global state, no skew beyond single-document length). Thresholds
+    compare the ROUNDED values so both engines agree at the boundary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("w"),
+    )
+    stats = docs.where(F.size("w") >= 2).select(
+        "doc_id", "n_chars",
+        F.size("w").alias("word_count"),
+        F.size(F.array_distinct("w")).alias("distinct_words"),
+        # index-free bigram build (zip of w with its own 1-shift): safe
+        # under codegen subexpression sharing even for 1-word docs,
+        # where sequence(0, size-2) would descend to [0, -1]
+        F.expr(
+            "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    bgc = (
+        stats.select(
+            "doc_id", "word_count", "distinct_words", "n_chars",
+            F.explode("bigrams").alias("bigram"),
+        )
+        .groupBy("doc_id", "word_count", "distinct_words", "n_chars", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
+    top = bgc.withColumn("rn", F.row_number().over(w_top)).where(F.col("rn") == 1)
+    dup = F.round(
+        F.lit(1.0) - F.col("distinct_words") / F.col("word_count").cast("double"), 4
+    )
+    occ = F.round(
+        F.col("c") * F.length("bigram") / F.col("n_chars").cast("double"), 4
+    )
+    return top.select(
+        "doc_id", "word_count",
+        dup.alias("dup_word_frac"),
+        F.col("bigram").alias("top_bigram"),
+        occ.alias("top_bigram_char_frac"),
+        F.when((dup <= 0.3) & (occ <= 0.2), 1).otherwise(0).alias("gopher_ok"),
+    )
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,
