@@ -4,3 +4,4 @@ from .tokenizer import (  # noqa: F401
     StandardAnalyzer,
     standard_tokenize,
 )
+from .cjk import CJKAnalyzer  # noqa: F401

@@ -169,12 +169,26 @@ def standard_tokenize_typed(
     also matches the NUMERIC rule is <NUM>, etc.
     (StandardTokenizerImpl.jflex:134-197.)
     """
+    return [(t, typ) for t, typ, _, _ in standard_tokenize_full(text, max_token_length)]
+
+
+def standard_tokenize_full(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> list[tuple[str, str, int, int]]:
+    """Like :func:`standard_tokenize_typed` but also carries character
+    offsets: ``(term, type, start_offset, end_offset)``. Offsets are
+    what CJKBigramFilter keys cross-token chaining on
+    (CJKBigramFilter.java:183 ``startOffset != lastEndOffset``) — two
+    Han chars separated by a space must NOT bigram even though their
+    token positions are consecutive."""
     if text.isascii():
         out = []
         for m in _ASCII_TOKEN_RE.finditer(text):
             typ = "<NUM>" if _ASCII_NUMERIC_RE.fullmatch(m.group()) else "<ALPHANUM>"
+            off = m.start()
             for piece in _chop(m.group(), max_token_length):
-                out.append((piece, typ))
+                out.append((piece, typ, off, off + len(piece)))
+                off += len(piece)
         return out
     master, numeric_full, hangul_full, katakana_full = _unicode_patterns()
     out = []
@@ -195,8 +209,10 @@ def standard_tokenize_typed(
             typ = "<KATAKANA>"
         else:
             typ = "<ALPHANUM>"
+        off = m.start()
         for piece in _chop(tok, max_token_length):
-            out.append((piece, typ))
+            out.append((piece, typ, off, off + len(piece)))
+            off += len(piece)
     return out
 
 

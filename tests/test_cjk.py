@@ -1,0 +1,111 @@
+"""CJK analysis chain: CJKWidthFilter / CJKBigramFilter / CJKAnalyzer
+(cjk/CJKWidthFilter.java, cjk/CJKBigramFilter.java, cjk/CJKAnalyzer.java)."""
+
+from lucene_solr_spark.analysis.cjk import (
+    ALL_CJK,
+    HAN,
+    CJKAnalyzer,
+    cjk_bigrams,
+    cjk_width_fold,
+)
+from lucene_solr_spark.analysis.tokenizer import standard_tokenize_full
+from lucene_solr_spark.oracle.engine import OracleIndex
+from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
+
+
+# ---------------------------------------------------------------- width
+def test_width_fullwidth_ascii():
+    assert cjk_width_fold("Ｔｅｓｔ１２３") == "Test123"
+
+
+def test_width_halfwidth_katakana_combining():
+    # ﾃ + ﾞ composes to デ; ｰ maps to the prolonged sound mark
+    assert cjk_width_fold("ﾃﾞｰﾀ") == "データ"
+    # semi-voiced: ﾊ + ﾟ → パ
+    assert cjk_width_fold("ﾊﾟﾝ") == "パン"
+
+
+def test_width_lone_voiced_mark_falls_back():
+    # ｱ has no composed voiced form → mark kept standalone (U+3099)
+    assert cjk_width_fold("ｱﾞ") == "ア゙"
+    # leading mark with nothing to combine with
+    assert cjk_width_fold("ﾞx") == "゙x"
+
+
+# --------------------------------------------------------------- bigram
+def _toks(text):
+    return standard_tokenize_full(text)
+
+
+def test_bigram_han_run():
+    out = cjk_bigrams(_toks("中国語"))
+    assert [(t, p) for t, _ty, p in out] == [("中国", 0), ("国語", 1)]
+    assert all(ty == "<DOUBLE>" for _t, ty, _p in out)
+
+
+def test_bigram_space_breaks_run():
+    # offsets unaligned across the space → two lone unigrams
+    out = cjk_bigrams(_toks("中 国"))
+    assert [(t, ty) for t, ty, _p in out] == [("中", "<SINGLE>"), ("国", "<SINGLE>")]
+
+
+def test_bigram_passthrough_and_lone_unigram():
+    out = cjk_bigrams(_toks("abc 中 def"))
+    assert [(t, ty, p) for t, ty, p in out] == [
+        ("abc", "<ALPHANUM>", 0),
+        ("中", "<SINGLE>", 1),
+        ("def", "<ALPHANUM>", 2),
+    ]
+
+
+def test_bigram_katakana_run_token_decomposed():
+    # a multi-char KATAKANA token is bigrammed per codepoint
+    out = cjk_bigrams(_toks("データ"))
+    assert [t for t, _ty, _p in out] == ["デー", "ータ"]
+
+
+def test_bigram_flags_disable_script():
+    # HAN-only: katakana passes through whole
+    out = cjk_bigrams(_toks("中国 データ"), flags=HAN)
+    assert [t for t, _ty, _p in out] == ["中国", "データ"]
+
+
+def test_bigram_output_unigrams_stacking():
+    out = cjk_bigrams(_toks("中国語"), flags=ALL_CJK, output_unigrams=True)
+    # A, AB, B, BC, C with bigrams stacked at the first unigram's position
+    assert [(t, p) for t, _ty, p in out] == [
+        ("中", 0), ("中国", 0), ("国", 1), ("国語", 1), ("語", 2),
+    ]
+
+
+def test_bigram_mixed_script_run_chains():
+    # hiragana directly adjacent to han chains into one run
+    # (CJKBigramFilter only breaks on unaligned offsets / non-CJK)
+    out = cjk_bigrams(_toks("日本ごが"))
+    assert [t for t, _ty, _p in out] == ["日本", "本ご", "ごが"]
+
+
+# ------------------------------------------------------------- analyzer
+def test_cjk_analyzer_end_to_end():
+    a = CJKAnalyzer()
+    terms, positions = a.analyze("Ｔｏｋｙｏの天気")
+    # fullwidth latin folded+lowered, の bridges the CJK run
+    assert terms == ["tokyo", "の天", "天気"]
+    assert positions == [0, 1, 2]
+
+
+def test_cjk_analyzer_search_identity():
+    """Bigrammed index + bigrammed query = substring-style CJK match."""
+    idx = OracleIndex(analyzer=CJKAnalyzer())
+    docs = ["東京の天気は晴れ", "大阪の天気", "東京タワー", "nothing here"]
+    for d in docs:
+        idx.add(d)
+    # query "天気" analyzes to the single bigram 天気 → docs 0 and 1
+    qterms, _ = CJKAnalyzer().analyze("天気")
+    q = BooleanQuery.of(must=[TermQuery(t) for t in qterms])
+    hits = idx.search(q, 10)
+    assert sorted(h.docid for h in hits) == [0, 1]
+    # "東京タ" spans the han→katakana boundary: bigrams 東京, 京タ
+    qterms2, _ = CJKAnalyzer().analyze("東京タ")
+    q2 = BooleanQuery.of(must=[TermQuery(t) for t in qterms2])
+    assert [h.docid for h in idx.search(q2, 10)] == [2]
