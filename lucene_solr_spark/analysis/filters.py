@@ -227,6 +227,47 @@ def ascii_folding_filter(terms: list[str], positions: list[int]):
     return [ascii_fold(t) for t in terms], positions
 
 
+# default-ignorable ranges removed by UTR#30 folding (variation
+# selectors + Mongolian FVS; Cf chars are caught by category), plus
+# the spacing kana voicing marks and prolonged-sound mark that the
+# reference's DiacriticFolding.txt:131-132 removes (3099..309C>,
+# 30FC> — the combining 3099/309A fall to the ccc>0 strip)
+_IGNORABLE_RANGES = ((0xFE00, 0xFE0F), (0x180B, 0x180D),
+                     (0x309B, 0x309C), (0x30FC, 0x30FC))
+
+
+def icu_fold(s: str) -> str:
+    """ICUFoldingFilter role (analysis/icu/src/java/.../ICUFoldingFilter
+    .java: UTR#30 character foldings — accent removal, case folding,
+    width folding, canonical duplicates, sub/superscripts, NFKC; "all
+    foldings ... applied recursively to ensure a fully folded and
+    normalized result"). Approximated from Unicode data the stdlib
+    ships: NFKC + casefold + true-diacritic strip (combining class >
+    0, which spares Indic matras and other ccc=0 spacing vowels) +
+    default-ignorable removal, iterated to a fixpoint. The reference's
+    data file (utr30.nrm) additionally folds Han radicals, Jamo, and
+    Suzhou numerals — out of scope here, documented divergence."""
+    prev = None
+    while s != prev:
+        prev = s
+        s = unicodedata.normalize("NFKC", s).casefold()
+        s = "".join(
+            c for c in unicodedata.normalize("NFD", s)
+            if unicodedata.combining(c) == 0
+        )
+        s = unicodedata.normalize("NFKC", s)
+        s = "".join(
+            c for c in s
+            if unicodedata.category(c) != "Cf"
+            and not any(lo <= ord(c) <= hi for lo, hi in _IGNORABLE_RANGES)
+        )
+    return s
+
+
+def icu_folding_filter(terms: list[str], positions: list[int]):
+    return [icu_fold(t) for t in terms], positions
+
+
 def length_filter(min_len: int = 1, max_len: int = MAX_TOKEN_LENGTH) -> TokenFilter:
     """LengthFilter.java — drops out-of-range tokens, KEEPING position
     gaps (FilteringTokenFilter semantics)."""
@@ -364,9 +405,14 @@ def cjk_bigram_filter(han: bool = True, hiragana: bool = True,
     bigrams (the CJKAnalyzer strategy); a lone eligible token passes
     through as a unigram (SINGLE type, CJKBigramFilter.java:62,150);
     with ``output_unigrams`` both unigrams and bigrams are emitted
-    (:42-44, :308,344). A bigram carries the position of its first
-    member; adjacency requires consecutive positions (a stopword gap
-    breaks the run, like the reference's position-increment check)."""
+    (:42-44, :308,344). A run's tokens are decomposed to CODEPOINTS
+    before bigramming (refill(), :276-291) — a lone multi-char
+    katakana token still emits char bigrams, and only a lone single
+    codepoint passes as a unigram. A bigram carries the position of
+    its first member codepoint's source token; adjacency requires
+    consecutive positions (a stopword gap breaks the run, like the
+    reference's offset-alignment check — the offset-faithful variant,
+    fed by the typed tokenizer, lives in ``analysis/cjk.py``)."""
     enabled = frozenset(
         n for n, on in (("han", han), ("hiragana", hiragana),
                         ("katakana", katakana), ("hangul", hangul)) if on)
@@ -381,21 +427,23 @@ def cjk_bigram_filter(han: bool = True, hiragana: bool = True,
                 while (j + 1 < n and _cjk_script(terms[j + 1], enabled)
                        and positions[j + 1] == positions[j] + 1):
                     j += 1
-                run_t = terms[i:j + 1]
-                run_p = positions[i:j + 1]
-                if len(run_t) == 1:
-                    out_t.append(run_t[0])
-                    out_p.append(run_p[0])
+                # per-codepoint buffer, each char tagged with its
+                # source token's position
+                buf = [(c, positions[k])
+                       for k in range(i, j + 1) for c in terms[k]]
+                if len(buf) == 1:
+                    out_t.append(buf[0][0])
+                    out_p.append(buf[0][1])
                 else:
-                    for k in range(len(run_t) - 1):
+                    for k in range(len(buf) - 1):
                         if output_unigrams:
-                            out_t.append(run_t[k])
-                            out_p.append(run_p[k])
-                        out_t.append(run_t[k] + run_t[k + 1])
-                        out_p.append(run_p[k])
+                            out_t.append(buf[k][0])
+                            out_p.append(buf[k][1])
+                        out_t.append(buf[k][0] + buf[k + 1][0])
+                        out_p.append(buf[k][1])
                     if output_unigrams:
-                        out_t.append(run_t[-1])
-                        out_p.append(run_p[-1])
+                        out_t.append(buf[-1][0])
+                        out_p.append(buf[-1][1])
                 i = j + 1
             else:
                 out_t.append(terms[i])

@@ -109,3 +109,21 @@ def test_cjk_analyzer_search_identity():
     qterms2, _ = CJKAnalyzer().analyze("東京タ")
     q2 = BooleanQuery.of(must=[TermQuery(t) for t in qterms2])
     assert [h.docid for h in idx.search(q2, 10)] == [2]
+
+
+# ---------------------------------------------------------- icu folding
+def test_icu_folding():
+    from lucene_solr_spark.analysis.filters import CustomAnalyzer, icu_fold, icu_folding_filter
+
+    assert icu_fold("Café") == "cafe"
+    assert icu_fold("straße") == "strasse"
+    assert icu_fold("Ⅻ") == "xii"          # compatibility numeral
+    assert icu_fold("ﬁne") == "fine"        # ligature expansion
+    assert icu_fold("ＡＢＣ１２３") == "abc123"  # width folding
+    assert icu_fold("x²") == "x2"            # superscript folding
+    assert icu_fold("a​b‍c") == "abc"  # default ignorables
+    # Indic matra (ccc=0 vowel sign) must survive the diacritic strip
+    assert icu_fold("कि") == "कि"
+    an = CustomAnalyzer([icu_folding_filter])
+    terms, _ = an.analyze("Über Straße ﬁne")
+    assert terms == ["uber", "strasse", "fine"]

@@ -213,10 +213,16 @@ class TestCJKBigram:
         assert "处" in terms and "理" in terms
 
     def test_katakana_word_bigrams_with_han(self):
-        # katakana run-token + adjacent han chars combine
+        # katakana run-token decomposes to codepoints and chains into
+        # the adjacent han chars (CJKBigramFilter.java refill())
         an = CustomAnalyzer([cjk_bigram_filter()])
         terms, _ = an.analyze("データベース検索")
-        assert "データベース検" in terms and "検索" in terms
+        assert terms == ["デー", "ータ", "タベ", "ベー", "ース", "ス検", "検索"]
+
+    def test_lone_katakana_token_still_bigrams(self):
+        an = CustomAnalyzer([cjk_bigram_filter()])
+        terms, _ = an.analyze("one データ two")
+        assert terms == ["one", "デー", "ータ", "two"]
 
 
 class TestWordDelimiterGraph:
