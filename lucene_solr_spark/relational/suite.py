@@ -550,6 +550,59 @@ def gopher_repetition(spark, sf_dir):
 
 
 @register(
+    "source_quota_sample",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             round(len(list_distinct(list_filter(string_split(text, ' '),
+                                                 x -> x <> '')))
+                   / CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS DOUBLE), 4)
+               AS quality
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rnk
+      FROM q
+    )
+    SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def source_quota_sample(spark, sf_dir):
+    """Per-source quota sampling: cap any one source's share of the
+    training mix by keeping only its top-N docs by a quality key
+    (domain-quota curation, the C4/Gopher "don't let one domain
+    dominate" step). Quality = distinct-word fraction, ties broken by
+    doc_id for determinism.
+
+    Scale shape: ONE shuffle on `source`; the ``rnk <= N`` predicate
+    over a row_number window triggers Spark's WindowGroupLimit
+    rewrite (per-partition top-N heap inserted BEFORE the exchange +
+    final per-key limit after), so a source with billions of rows
+    never gets fully sorted — the op is safe against domain skew
+    without salting. Plan-asserted in test_source_quota."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("w"),
+    ).where(F.size("w") > 0)
+    q = docs.select(
+        "doc_id", "source",
+        F.round(
+            F.size(F.array_distinct("w")) / F.size("w").cast("double"), 4
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "source", "quality", "rnk")
+    )
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,
