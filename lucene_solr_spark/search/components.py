@@ -49,15 +49,33 @@ from .queries import (
 def edismax_query(query_string: str, qf: dict[str, float],
                   tie: float = 0.0, analyzer: StandardAnalyzer | None = None,
                   default_operator: str = "OR",
-                  minimum_should_match: int = 0) -> Query:
+                  minimum_should_match: int = 0,
+                  pf: dict[str, float] | None = None,
+                  pf2: dict[str, float] | None = None,
+                  pf3: dict[str, float] | None = None,
+                  ps: int = 0, ps2: int = 0, ps3: int = 0) -> Query:
     """Solr edismax (ExtendedDismaxQParser.java role): each whitespace
     clause of the user query becomes a DisjunctionMaxQuery over the
     query fields ``qf`` with per-field boosts; ``+``/``-`` prefixes set
     required/prohibited; multi-token clauses (after analysis) become
     per-field phrases. The resulting AST runs on the multi-field index
-    (per-field postings/stats, builder.py fields=...)."""
+    (per-field postings/stats, builder.py fields=...).
+
+    ``pf``/``pf2``/``pf3`` add phrase-proximity boosting
+    (ExtendedDismaxQParser.addPhraseFieldQueries:209-248 +
+    addShingledPhraseQueries:509-543): the query's bare words are
+    shingled into whole-phrase (pf), bigram (pf2) and trigram (pf3)
+    sloppy phrases (slop ``ps``/``ps2``/``ps3``), each shingle a
+    DisjunctionMax across its phrase fields, all shingles SHOULD'd
+    into one optional boost clause — matching is unchanged, ranking
+    rewards proximity. When boosts are present the main query is
+    wrapped MUST alongside the SHOULD boosts (the reference's
+    BooleanQuery.Builder mainQuery shape). Divergence: we require at
+    least 2 bare words before any phrase boost fires (the reference
+    would emit a degenerate one-word "phrase")."""
     analyzer = analyzer or StandardAnalyzer()
     clauses = []
+    bare_words: list[str] = []  # analyzed normal-clause tokens, in order
     for word in query_string.split():
         mod = None
         if word.startswith("+") and len(word) > 1:
@@ -67,6 +85,7 @@ def edismax_query(query_string: str, qf: dict[str, float],
         terms, positions = analyzer.analyze(word)
         if not terms:
             continue
+        bare_words.extend(terms)
         per_field: list[Query] = []
         for f, b in sorted(qf.items()):
             if len(terms) == 1:
@@ -79,8 +98,32 @@ def edismax_query(query_string: str, qf: dict[str, float],
         dm = DisjunctionMaxQuery(tuple(per_field), tie_breaker=tie)
         occur = mod or ("MUST" if default_operator == "AND" else "SHOULD")
         clauses.append(BooleanClause(dm, occur))
-    return BooleanQuery(tuple(clauses),
+    main = BooleanQuery(tuple(clauses),
                         minimum_should_match=minimum_should_match)
+
+    boost_clauses: list[BooleanClause] = []
+    for fields, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
+        if not fields or len(bare_words) < max(size, 2):
+            continue
+        n = size or len(bare_words)  # 0 = one whole-query phrase
+        shingles: list[Query] = []
+        for i in range(len(bare_words) - n + 1):
+            per_field = tuple(
+                PhraseQuery(tuple(bare_words[i:i + n]), tuple(range(n)),
+                            slop, b, f)
+                for f, b in sorted(fields.items())
+            )
+            shingles.append(DisjunctionMaxQuery(per_field, tie_breaker=tie))
+        if len(shingles) == 1:
+            boost_clauses.append(BooleanClause(shingles[0], "SHOULD"))
+        else:
+            boost_clauses.append(BooleanClause(
+                BooleanQuery(tuple(
+                    BooleanClause(s, "SHOULD") for s in shingles)),
+                "SHOULD"))
+    if not boost_clauses:
+        return main
+    return BooleanQuery((BooleanClause(main, "MUST"), *boost_clauses))
 
 
 def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,

@@ -125,3 +125,35 @@ def test_parser_field_syntax(built):
                     fields=("content", "title"))
     q = p.parse("title:python AND return")
     _identical(searcher, oracle, q)
+
+
+def test_edismax_phrase_boost_identity(built):
+    """pf/pf2 boosts: matching unchanged, proximity rewarded, engine
+    and oracle bit-identical on the boosted AST."""
+    searcher, oracle = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    kw = dict(tie=0.3, analyzer=an)
+    q_nopf = edismax_query("python file", {"title": 2.0, "content": 1.0}, **kw)
+    q_pf = edismax_query(
+        "python file", {"title": 2.0, "content": 1.0},
+        pf={"title": 3.0}, pf2={"title": 1.5, "content": 0.5}, ps=1, **kw)
+    _identical(searcher, oracle, q_pf)
+    base = {d.docid: d.score for d in oracle.search(q_nopf, N_DOCS)}
+    boosted = {d.docid: d.score for d in oracle.search(q_pf, N_DOCS)}
+    assert set(boosted) == set(base)          # SHOULD boost can't change matching
+    assert any(boosted[d] > base[d] + 1e-6 for d in boosted)  # proximity rewarded
+    assert all(boosted[d] >= base[d] - 1e-6 for d in boosted)
+
+
+def test_edismax_pf3_and_single_word(built):
+    searcher, oracle = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    # trigram boost over a 3-bare-word query (stopword 'of' drops out
+    # of the phrase shingles like the reference's analyzed pf phrases)
+    q = edismax_query("python file of scan", {"title": 2.0, "content": 1.0},
+                      analyzer=an, pf3={"title": 2.0}, ps3=1)
+    _identical(searcher, oracle, q)
+    # single bare word: no phrase boost fires, AST is the plain edismax
+    q1 = edismax_query("python", {"title": 2.0, "content": 1.0},
+                       analyzer=an, pf={"title": 3.0}, pf2={"title": 1.0})
+    _identical(searcher, oracle, q1)
