@@ -216,6 +216,64 @@ def standard_tokenize_full(
     return out
 
 
+def keyword_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """KeywordTokenizer (analysis/core/KeywordTokenizer.java): the
+    entire input is one token (id/zipcode-style fields)."""
+    return _chop(text, max_token_length) if text else []
+
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def letter_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """LetterTokenizer (analysis/core/LetterTokenizer.java): maximal
+    runs of Unicode letters; digits/punctuation split."""
+    out: list[str] = []
+    for m in _LETTER_RE.finditer(text):
+        out.extend(_chop(m.group(), max_token_length))
+    return out
+
+
+# practical RFC-subset patterns for UAX29URLEmailTokenizer's <URL> /
+# <EMAIL> rules (the reference compiles the full RFC 3986/5322
+# grammars into the jflex scanner; this covers the scheme/www URL and
+# dot-atom email forms that dominate web text). Trailing sentence
+# punctuation is excluded from URLs.
+_EMAIL_RE_SRC = r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z]{2,}"
+_URL_RE_SRC = r"(?:(?:https?|ftp|file)://|www\.)[^\s<>\"{}|\\^`\[\]]*[^\s<>\"{}|\\^`\[\].,;:!?')]"
+_URL_EMAIL_RE = re.compile(
+    f"(?P<url>{_URL_RE_SRC})|(?P<email>{_EMAIL_RE_SRC})", re.IGNORECASE
+)
+
+
+def uax29_url_email_tokenize(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> list[str]:
+    """UAX29URLEmailTokenizer role (analysis/common/.../standard/
+    UAX29URLEmailTokenizer.java:60-74 — StandardTokenizer plus <URL>
+    and <EMAIL> token types kept as single tokens). URLs/emails pass
+    through whole; the text between them tokenizes with the standard
+    UAX#29 rules. Plugs into ``CustomAnalyzer(tokenizer=...)``."""
+    return [t for t, _ty in uax29_url_email_tokenize_typed(text, max_token_length)]
+
+
+def uax29_url_email_tokenize_typed(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    last = 0
+    for m in _URL_EMAIL_RE.finditer(text):
+        for t, ty in standard_tokenize_typed(text[last:m.start()], max_token_length):
+            out.append((t, ty))
+        typ = "<URL>" if m.lastgroup == "url" else "<EMAIL>"
+        for piece in _chop(m.group(), max_token_length):
+            out.append((piece, typ))
+        last = m.end()
+    for t, ty in standard_tokenize_typed(text[last:], max_token_length):
+        out.append((t, ty))
+    return out
+
+
 _MISS = object()  # memo-miss sentinel (None is a valid memo value)
 
 

@@ -127,3 +127,42 @@ def test_icu_folding():
     an = CustomAnalyzer([icu_folding_filter])
     terms, _ = an.analyze("Über Straße ﬁne")
     assert terms == ["uber", "strasse", "fine"]
+
+
+# --------------------------------------------------------- tokenizer zoo
+def test_keyword_and_letter_tokenizers():
+    from lucene_solr_spark.analysis.tokenizer import keyword_tokenize, letter_tokenize
+
+    assert keyword_tokenize("Hello World 42") == ["Hello World 42"]
+    assert keyword_tokenize("") == []
+    assert letter_tokenize("abc123def gh_i j'k") == ["abc", "def", "gh", "i", "j", "k"]
+
+
+def test_url_email_tokenizer():
+    from lucene_solr_spark.analysis.tokenizer import (
+        uax29_url_email_tokenize,
+        uax29_url_email_tokenize_typed,
+    )
+
+    toks = uax29_url_email_tokenize_typed(
+        "see https://example.com/a?b=1 or mail bob.smith@corp.example.org now."
+    )
+    d = dict(toks)
+    assert d["https://example.com/a?b=1"] == "<URL>"
+    assert d["bob.smith@corp.example.org"] == "<EMAIL>"
+    assert d["see"] == "<ALPHANUM>" and d["now"] == "<ALPHANUM>"
+    # trailing sentence punctuation is not swallowed into the URL
+    toks2 = uax29_url_email_tokenize("go to www.example.com.")
+    assert "www.example.com" in toks2 and "www.example.com." not in toks2
+    # plain text still standard-tokenizes (foo.bar stays one token)
+    assert uax29_url_email_tokenize("foo.bar baz") == ["foo.bar", "baz"]
+
+
+def test_url_email_analyzer_chain():
+    from lucene_solr_spark.analysis.filters import CustomAnalyzer
+    from lucene_solr_spark.analysis.tokenizer import uax29_url_email_tokenize
+
+    an = CustomAnalyzer(tokenizer=uax29_url_email_tokenize)
+    terms, _ = an.analyze("Visit HTTPS://EXAMPLE.COM/Path today")
+    # lowercased downstream like any token
+    assert "https://example.com/path" in terms and "today" in terms
