@@ -274,6 +274,82 @@ def uax29_url_email_tokenize_typed(
     return out
 
 
+def pattern_tokenizer(pattern: str, group: int = -1):
+    """PatternTokenizer (analysis/pattern/PatternTokenizer.java):
+    ``group == -1`` treats the pattern as the DELIMITER (split, empty
+    pieces dropped); ``group >= 0`` emits that capture group of every
+    match as a token. Returns a ``(text, max_token_length) -> tokens``
+    callable for ``CustomAnalyzer(tokenizer=...)``."""
+    rx = re.compile(pattern)
+
+    def tok(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+        out: list[str] = []
+        if group < 0:
+            pieces = rx.split(text)
+        else:
+            pieces = [m.group(group) for m in rx.finditer(text)]
+        for p in pieces:
+            if p:
+                out.extend(_chop(p, max_token_length))
+        return out
+
+    tok.__name__ = "pattern_tokenizer"
+    return tok
+
+
+def path_hierarchy_tokenizer(delimiter: str = "/", replacement: str | None = None,
+                             skip: int = 0, reverse: bool = False):
+    """PathHierarchyTokenizer (analysis/path/PathHierarchyTokenizer.java):
+    ``/a/b/c`` → ``/a``, ``/a/b``, ``/a/b/c`` (every ancestor prefix —
+    drill-up faceting on paths); ``skip`` drops that many leading
+    chunks and tokens then start at the following delimiter
+    (TestPathHierarchyTokenizer.testBasicSkip: "/a/b/c" skip=1 →
+    "/b", "/b/c"). ``reverse`` gives ReversePathHierarchyTokenizer:
+    suffix tokens longest-first ("/a/b/c" → "/a/b/c", "a/b/c", "b/c",
+    "c"); reverse ``skip`` cuts that many trailing chunks keeping the
+    delimiter ("a/b/c" skip=1 → "a/b/", "b/"). The delimiter is
+    rewritten to ``replacement`` inside emitted tokens. The reference
+    stacks all tokens at one position (posInc 1,0,0…); this flat-list
+    tokenizer form loses the stacking — use it for faceting/filter
+    fields, not phrase fields."""
+    repl = delimiter if replacement is None else replacement
+
+    def tok(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+        if not text:
+            return []
+        dpos = [i for i, c in enumerate(text) if c == delimiter]
+        out: list[str] = []
+        if not reverse:
+            if skip:
+                # chunk-ending delimiters: a leading delimiter belongs
+                # to the first chunk, it doesn't end one
+                ends_chunk = [p for p in dpos if p != 0]
+                if len(ends_chunk) < skip:
+                    return []
+                start = ends_chunk[skip - 1]
+            else:
+                start = 0
+            for p in dpos:
+                if p > start:
+                    out.append(text[start:p])
+            out.append(text[start:])
+        else:
+            t = text
+            if skip:
+                cuts = dpos[:-1] if text.endswith(delimiter) else dpos
+                if len(cuts) < skip:
+                    return []
+                t = text[: cuts[-skip] + 1]
+            starts = [0] + [p + 1 for p in dpos if 0 < p + 1 < len(t)]
+            out.extend(t[s:] for s in starts)
+        return [
+            o.replace(delimiter, repl)[:max_token_length] for o in out if o
+        ]
+
+    tok.__name__ = "path_hierarchy_tokenizer"
+    return tok
+
+
 _MISS = object()  # memo-miss sentinel (None is a valid memo value)
 
 

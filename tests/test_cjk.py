@@ -166,3 +166,33 @@ def test_url_email_analyzer_chain():
     terms, _ = an.analyze("Visit HTTPS://EXAMPLE.COM/Path today")
     # lowercased downstream like any token
     assert "https://example.com/path" in terms and "today" in terms
+
+
+def test_pattern_tokenizer():
+    from lucene_solr_spark.analysis.tokenizer import pattern_tokenizer
+
+    split = pattern_tokenizer(r"[;,]\s*")          # delimiter mode
+    assert split("a; b,c;; d") == ["a", "b", "c", "d"]
+    grab = pattern_tokenizer(r"'([^']+)'", group=1)  # group mode
+    assert grab("say 'hello' and 'bye'") == ["hello", "bye"]
+
+
+def test_path_hierarchy_tokenizer():
+    """Goldens from TestPathHierarchyTokenizer / TestReversePath...java."""
+    from lucene_solr_spark.analysis.tokenizer import path_hierarchy_tokenizer as P
+
+    assert P()("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    assert P()("/a/b/c/") == ["/a", "/a/b", "/a/b/c", "/a/b/c/"]
+    assert P()("a/b/c") == ["a", "a/b", "a/b/c"]
+    assert P(skip=1)("/a/b/c") == ["/b", "/b/c"]
+    assert P(skip=1)("a/b/c") == ["/b", "/b/c"]
+    assert P(skip=1)("/") == []
+    assert P(skip=1)("//") == ["/"]
+    assert P(reverse=True)("/a/b/c") == ["/a/b/c", "a/b/c", "b/c", "c"]
+    assert P(reverse=True)("a/b/c/") == ["a/b/c/", "b/c/", "c/"]
+    assert P(reverse=True, skip=1)("/a/b/c/") == ["/a/b/", "a/b/", "b/"]
+    assert P(reverse=True, skip=1)("a/b/c") == ["a/b/", "b/"]
+    # domain-style suffix hierarchy + replacement delimiter
+    rev = P(delimiter=".", reverse=True)
+    assert rev("www.example.com") == ["www.example.com", "example.com", "com"]
+    assert P(replacement="|")("a/b") == ["a", "a|b"]
