@@ -833,6 +833,41 @@ def filter_tokens_column(df, chain: Iterable[TokenFilter],
     return df.withColumn(out_col or tokens_col, apply_chain(F.col(tokens_col)))
 
 
+def tokenize_column(df, text_col: str = "content",
+                    out_col: str = "tokens",
+                    tokenizer: Callable[[str, int], list[str]] | None = None,
+                    chain: Iterable[TokenFilter] = (),
+                    lowercase: bool = True,
+                    max_token_length: int = MAX_TOKEN_LENGTH):
+    """The §2.12 "swappable tokenize UDF" extension point as a Spark
+    column op: text column → ``array<string>`` tokens with any zoo
+    tokenizer (standard/whitespace/keyword/letter/pattern/
+    path-hierarchy/URL-email) + optional filter chain, one Arrow-
+    batched pandas UDF for the whole pipeline. The flagship build path
+    keeps its JVM-expression tokenizer (analysis/jvm.py) — this is the
+    pluggable slow-path twin for custom per-field analyzers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    tok = tokenizer or standard_tokenize
+    chain = list(chain)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_pipeline(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            terms = tok(t, max_token_length) if t is not None else []
+            if lowercase:
+                terms = [w.lower() for w in terms]
+            positions = list(range(len(terms)))
+            for f in chain:
+                terms, positions = f(terms, positions)
+            out.append(terms)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, apply_pipeline(F.col(text_col)))
+
+
 def analysis_stages(analyzer: CustomAnalyzer, text: str) -> list[dict]:
     """FieldAnalysisRequestHandler role (solr/core/src/java/org/apache/
     solr/handler/FieldAnalysisRequestHandler.java + AnalysisRequestHandlerBase

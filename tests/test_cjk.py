@@ -196,3 +196,23 @@ def test_path_hierarchy_tokenizer():
     rev = P(delimiter=".", reverse=True)
     assert rev("www.example.com") == ["www.example.com", "example.com", "com"]
     assert P(replacement="|")("a/b") == ["a", "a|b"]
+
+
+def test_tokenize_column_swappable(spark):
+    from lucene_solr_spark.analysis.filters import porter_stem_filter, tokenize_column
+    from lucene_solr_spark.analysis.tokenizer import (
+        path_hierarchy_tokenizer,
+        uax29_url_email_tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Running tests at https://example.com/x", "/a/b/c")],
+        "id long, content string, path string",
+    )
+    out = tokenize_column(df, tokenizer=uax29_url_email_tokenize,
+                          chain=[porter_stem_filter]).collect()[0]["tokens"]
+    assert "https://example.com/x" in out and "run" in out and "test" in out
+    out2 = tokenize_column(df, text_col="path", out_col="ancestors",
+                           tokenizer=path_hierarchy_tokenizer(),
+                           lowercase=False).collect()[0]["ancestors"]
+    assert out2 == ["/a", "/a/b", "/a/b/c"]
