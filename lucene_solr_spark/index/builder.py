@@ -296,6 +296,42 @@ class IndexTables:
             return json.load(f)
 
 
+def _analyzer_tokens_udf(analyzer):
+    """Custom-analyzer front end for the build path: ``analyze(text)``
+    → a gap-shaped ``array<string>`` where array index = Lucene
+    position and removed tokens (stop gaps) leave ``""`` holes — the
+    exact contract :func:`_invert_field` consumes (position = raw
+    index, ``""`` stop-filtered). Analyzers that STACK tokens at one
+    position (synonym/WDGF graphs) can't be flattened to this layout
+    and are rejected."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def analyze_col(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            terms, positions = analyzer.analyze(t)
+            if not terms:
+                out.append([])
+                continue
+            arr = [""] * (positions[-1] + 1)
+            prev = -1
+            for w, p in zip(terms, positions):
+                if p <= prev:
+                    raise ValueError(
+                        "custom analyzers with stacked positions are not "
+                        "supported on the array-position build path")
+                arr[p] = w
+                prev = p
+            out.append(arr)
+        return pd.Series(out)
+
+    return analyze_col
+
+
 def build_index(
     corpus: DataFrame,
     out_root: str,
@@ -304,6 +340,7 @@ def build_index(
     n_buckets: int | None = None,
     build_partitions: int | None = None,
     fields: tuple[str, ...] = ("content",),
+    analyzer=None,
 ) -> IndexTables:
     """Full index build. See module docstring for the plan & shuffles.
 
@@ -311,6 +348,15 @@ def build_index(
     per-field postings/dict/stats dimension (FieldInfos role,
     index/FieldInfo.java:31-71). The first field containing "content"
     (or fields[0]) carries the per-row sha256 invariant.
+
+    ``analyzer`` swaps the whole analysis chain (the §2.12 custom
+    Analyzer extension point, analysis/Analyzer.java role): any object
+    with ``analyze(text) -> (terms, positions)`` — StandardAnalyzer,
+    CustomAnalyzer chains, CJKAnalyzer — runs as one Arrow-batched UDF
+    per field instead of the default JVM-expression tokenizer; the
+    analyzer is responsible for its own stopword handling (position
+    gaps survive into phrase positions). Default ``None`` keeps the
+    fast JVM path + ``stop_words``.
     """
     spark = corpus.sparkSession
     t0 = time.time()
@@ -322,27 +368,44 @@ def build_index(
 
     base = assign_docids(corpus, build_partitions)
     parent = getattr(base, "_lss_persisted_parent", None)
-    # deferred analyze per field (ONE regex eval per row per field; see
-    # analysis/jvm.py — the union shape ran it 3x over 2 scans), with
-    # the persist as the materialization barrier, then finalize the
-    # (rare) Python-analyzer rows per field on top of the cache
-    analyzed = base
-    for f in fields:
-        analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
-        analyzed = analyzed_deferred(
-            analyzed, max_token_length=max_token_length, content_col=f,
-            tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
-            py_content_col=f"_lss_py_{f}")
-    deferred = analyzed
-    deferred.persist(StorageLevel.MEMORY_AND_DISK)
-    for f in fields:
-        analyzed = finalize_analyzed(
-            analyzed, max_token_length=max_token_length, content_col=f,
-            tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
-            py_content_col=f"_lss_py_{f}")
+    if analyzer is not None:
+        # pluggable-analyzer path: gap-shaped tokens from the analyzer,
+        # sha256 stays a JVM expression (per-row invariant)
+        analyzed = base
+        udf = _analyzer_tokens_udf(analyzer)
+        for f in fields:
+            analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
+            analyzed = analyzed.withColumn(f"tokens_{f}", udf(F.col(f)))
+        analyzed = analyzed.withColumn(
+            "content_sha256",
+            F.sha2(F.coalesce(F.col(sha_field), F.lit("")), 256))
+        deferred = analyzed
+        deferred.persist(StorageLevel.MEMORY_AND_DISK)
+        segment_stops: frozenset[str] = frozenset({""})
+    else:
+        # deferred analyze per field (ONE regex eval per row per field;
+        # see analysis/jvm.py — the union shape ran it 3x over 2
+        # scans), with the persist as the materialization barrier, then
+        # finalize the (rare) Python-analyzer rows per field on top of
+        # the cache
+        analyzed = base
+        for f in fields:
+            analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
+            analyzed = analyzed_deferred(
+                analyzed, max_token_length=max_token_length, content_col=f,
+                tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
+                py_content_col=f"_lss_py_{f}")
+        deferred = analyzed
+        deferred.persist(StorageLevel.MEMORY_AND_DISK)
+        for f in fields:
+            analyzed = finalize_analyzed(
+                analyzed, max_token_length=max_token_length, content_col=f,
+                tokens_col=f"tokens_{f}", with_sha=(f == sha_field),
+                py_content_col=f"_lss_py_{f}")
+        segment_stops = stop_words
 
     segments = analyzed.mapInPandas(
-        _make_segment_fn(stop_words, fields, sha_field), schema=SEGMENT_SCHEMA)
+        _make_segment_fn(segment_stops, fields, sha_field), schema=SEGMENT_SCHEMA)
     segments.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- postings: merge to term-bucket layout --------------------------
