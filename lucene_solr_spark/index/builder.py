@@ -355,8 +355,11 @@ def build_index(
     CustomAnalyzer chains, CJKAnalyzer — runs as one Arrow-batched UDF
     per field instead of the default JVM-expression tokenizer; the
     analyzer is responsible for its own stopword handling (position
-    gaps survive into phrase positions). Default ``None`` keeps the
-    fast JVM path + ``stop_words``.
+    gaps survive into phrase positions). A dict ``{field: analyzer}``
+    assigns per-field chains (the Solr schema fieldType model —
+    PerFieldAnalyzerWrapper.java role); fields absent from the dict
+    use StandardAnalyzer(stop_words). Default ``None`` keeps the fast
+    JVM path + ``stop_words``.
     """
     spark = corpus.sparkSession
     t0 = time.time()
@@ -371,11 +374,20 @@ def build_index(
     if analyzer is not None:
         # pluggable-analyzer path: gap-shaped tokens from the analyzer,
         # sha256 stays a JVM expression (per-row invariant)
+        from ..analysis import StandardAnalyzer
+
+        if isinstance(analyzer, dict):
+            default_an = StandardAnalyzer(stop_words=stop_words,
+                                          max_token_length=max_token_length)
+            per_field = {f: analyzer.get(f, default_an) for f in fields}
+        else:
+            per_field = {f: analyzer for f in fields}
         analyzed = base
-        udf = _analyzer_tokens_udf(analyzer)
+        udfs = {id(a): _analyzer_tokens_udf(a) for a in per_field.values()}
         for f in fields:
             analyzed = analyzed.withColumn(f"null_{f}", F.col(f).isNull())
-            analyzed = analyzed.withColumn(f"tokens_{f}", udf(F.col(f)))
+            analyzed = analyzed.withColumn(
+                f"tokens_{f}", udfs[id(per_field[f])](F.col(f)))
         analyzed = analyzed.withColumn(
             "content_sha256",
             F.sha2(F.coalesce(F.col(sha_field), F.lit("")), 256))

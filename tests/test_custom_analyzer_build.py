@@ -104,3 +104,28 @@ def test_sha_invariant_kept_on_analyzer_path(stemmed, spark):
             for r in searcher.docs.select("docid", "content_sha256").collect()}
     for i, t in enumerate(DOCS):
         assert rows[i] == hashlib.sha256(t.encode()).hexdigest()
+
+
+def test_per_field_analyzers(spark, tmp_path_factory):
+    """{field: analyzer} dict = PerFieldAnalyzerWrapper / Solr schema
+    fieldType: stemmed content, raw-keyword title."""
+    from lucene_solr_spark.analysis.tokenizer import keyword_tokenize
+
+    an_content = CustomAnalyzer([porter_stem_filter])
+    an_title = CustomAnalyzer(tokenizer=keyword_tokenize)
+    rows = [("r0", "p0", "0", "en", "running races", "My Exact Title"),
+            ("r1", "p1", "1", "en", "racing runs", "Another One")]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string, title string")
+    root = str(tmp_path_factory.mktemp("idx_perfield_an"))
+    tables = build_index(corpus, root,
+                         analyzer={"content": an_content, "title": an_title},
+                         fields=("content", "title"), n_buckets=2,
+                         build_partitions=1)
+    searcher = IndexSearcher(tables, cache=True)
+    # content stemmed: "races"→"race" (doc 0) and "racing"→"race" (doc 1)
+    assert sorted(h.docid for h in searcher.search(TermQuery("race"), 5)) == [0, 1]
+    # title kept whole (keyword tokenizer, lowercased by CustomAnalyzer)
+    assert [h.docid for h in
+            searcher.search(TermQuery("my exact title", field="title"), 5)] == [0]
