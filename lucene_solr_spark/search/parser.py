@@ -49,7 +49,8 @@ from .queries import (
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?:[^"\\]|\\.)*"(?:~\d+)?      # quoted phrase with optional slop
+        [^\s()"]+:"(?:[^"\\]|\\.)*"(?:~\d+)?  # field:"phrase"[~slop]
+      | "(?:[^"\\]|\\.)*"(?:~\d+)?      # quoted phrase with optional slop
       | /(?:[^/\\]|\\.)*/               # regex
       | \[[^\]]*\]                      # inclusive range
       | \{[^}]*\}                       # exclusive range
@@ -71,7 +72,8 @@ class QueryParser:
     def __init__(self, analyzer: StandardAnalyzer | None = None,
                  default_operator: str = "OR",
                  default_field: str = "content",
-                 fields: tuple[str, ...] | None = None):
+                 fields: tuple[str, ...] | None = None,
+                 field_analyzers: dict | None = None):
         self.analyzer = analyzer or StandardAnalyzer()
         if default_operator not in ("OR", "AND"):
             raise ValueError(default_operator)
@@ -79,6 +81,14 @@ class QueryParser:
         self.default_field = default_field
         #: known indexed fields accepted by the `field:term` syntax
         self.fields = tuple(fields) if fields is not None else (default_field,)
+        #: per-field analyzer overrides (QueryParserBase.getFieldQuery
+        #: analyzes with the FIELD's analyzer — the
+        #: PerFieldAnalyzerWrapper / Solr schema fieldType model, pairs
+        #: with build_index(analyzer={field: ...}))
+        self.field_analyzers = dict(field_analyzers or {})
+
+    def _analyzer_for(self, field: str):
+        return self.field_analyzers.get(field, self.analyzer)
 
     # -- lexer ----------------------------------------------------------
     def _lex(self, s: str) -> list[str]:
@@ -220,7 +230,7 @@ class QueryParser:
                 raise QueryParseError(f"bad phrase {t!r}")
             body = re.sub(r"\\(.)", r"\1", m.group(1))
             slop = int(m.group(2) or 0)
-            terms, positions = self.analyzer.analyze(body)
+            terms, positions = self._analyzer_for(qfield).analyze(body)
             if not terms:
                 return None
             if len(terms) == 1:
@@ -255,7 +265,7 @@ class QueryParser:
                 return PrefixQuery(body[:-1], field=qfield)
             return WildcardQuery(body, field=qfield)
         # plain analyzed term
-        terms, positions = self.analyzer.analyze(t)
+        terms, positions = self._analyzer_for(qfield).analyze(t)
         if not terms:
             return None
         if len(terms) == 1:

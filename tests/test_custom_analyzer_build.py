@@ -129,3 +129,22 @@ def test_per_field_analyzers(spark, tmp_path_factory):
     # title kept whole (keyword tokenizer, lowercased by CustomAnalyzer)
     assert [h.docid for h in
             searcher.search(TermQuery("my exact title", field="title"), 5)] == [0]
+
+
+def test_query_parser_per_field_analyzers():
+    """QueryParser(field_analyzers={...}): field:term analyzes with that
+    field's chain (QueryParserBase.getFieldQuery via the field analyzer)."""
+    from lucene_solr_spark.analysis import StandardAnalyzer
+    from lucene_solr_spark.search.parser import QueryParser
+
+    stem = CustomAnalyzer([porter_stem_filter])
+    p = QueryParser(analyzer=StandardAnalyzer(),
+                    fields=("content", "title"),
+                    field_analyzers={"content": stem})
+    q = p.parse("content:running")
+    assert isinstance(q, TermQuery) and q.term == "run"
+    q2 = p.parse("title:running")
+    assert isinstance(q2, TermQuery) and q2.term == "running"
+    # phrases route through the field analyzer too
+    q3 = p.parse('content:"running races"')
+    assert isinstance(q3, PhraseQuery) and tuple(q3.terms) == ("run", "race")
