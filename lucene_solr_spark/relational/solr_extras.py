@@ -342,7 +342,10 @@ def graph_traversal(spark, sf_dir):
     """
     from ..streaming.expressions import StreamFactory
 
-    edges = _purchase_edges(spark, sf_dir)
+    # the edge relation is an orders⋈lineitem join consumed by EVERY
+    # BFS level of both legs (~8 scans) — materialize it once; the
+    # distinct variant rides the same cache
+    edges = _purchase_edges(spark, sf_dir).persist()
     roots = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
     sf = StreamFactory({"edges": edges, "dedges": edges.distinct(),
                         "roots": roots})
