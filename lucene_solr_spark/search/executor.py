@@ -201,8 +201,10 @@ class IndexSearcher:
     DICT_CACHE_MAX = 5_000_000
     #: driver-safety cap on one multi-term dictionary expansion scan
     MAX_EXPANSION_SCAN = 1_000_000
+    #: LRU capacity (term buckets) for cache="buckets" mode
+    BUCKET_CACHE_MAX = 64
 
-    def __init__(self, tables: IndexTables, cache: bool = False,
+    def __init__(self, tables: IndexTables, cache: bool | str = False,
                  similarity: str = "bm25"):
         from .similarities import make_scorer
 
@@ -256,10 +258,25 @@ class IndexSearcher:
         #: real cluster (per-executor Arrow streams) it is the
         #: scale-out strategy.
         self.batch_collector = False
-        if cache:
+        #: cache modes: False/None = pure lazy plans; True/"full" =
+        #: persist the whole slim postings projection (searcher-
+        #: lifetime, single-box QPS mode); "buckets" = LRU of persisted
+        #: per-term-bucket slices populated on first touch — memory is
+        #: bounded by the QUERY WORKING SET (≤ BUCKET_CACHE_MAX
+        #: buckets), not the index size, which is the 100-TB-safe
+        #: variant of the full persist (round-2 plan-audit note).
+        self._cache_mode = cache if isinstance(cache, str) else (
+            "full" if cache else None)
+        if self._cache_mode not in (None, "full", "buckets"):
+            raise ValueError(f"unknown cache mode {cache!r}")
+        from collections import OrderedDict
+        self._bucket_cache: "OrderedDict[int, DataFrame]" = OrderedDict()
+        self.bucket_cache_evictions = 0
+        if self._cache_mode == "full":
             self.postings.persist()
+        if self._cache_mode is not None:
             self.dict.persist()
-            n_terms = self.dict.count()  # also materializes both caches lazily
+            n_terms = self.dict.count()  # also materializes the caches lazily
             if n_terms <= self.DICT_CACHE_MAX:
                 pdf = self.dict.select("field", "term", "df", "ttf").toPandas()
                 self._df_map = {(f, t): int(d) for f, t, d in
@@ -268,6 +285,28 @@ class IndexSearcher:
                     self._ttf_map = {(f, t): int(x) for f, t, x in
                                      zip(pdf["field"], pdf["term"],
                                          pdf["ttf"])}
+
+    def _bucket_frame(self, buckets: list[int]) -> DataFrame:
+        """cache="buckets": union of persisted per-bucket postings
+        slices, loading misses (one partition-pruned scan each) and
+        evicting least-recently-used buckets past BUCKET_CACHE_MAX."""
+        frames = []
+        for b in buckets:
+            f = self._bucket_cache.get(b)
+            if f is None:
+                f = self.postings.where(F.col("bucket") == b).persist()
+                self._bucket_cache[b] = f
+                while len(self._bucket_cache) > self.BUCKET_CACHE_MAX:
+                    _b, old = self._bucket_cache.popitem(last=False)
+                    old.unpersist()
+                    self.bucket_cache_evictions += 1
+            else:
+                self._bucket_cache.move_to_end(b)
+            frames.append(f)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _batch_table(self) -> DataFrame:
         """Slim DOCID-partitioned postings projection for the batched
@@ -477,6 +516,12 @@ class IndexSearcher:
                       field: str = "content") -> DataFrame:
         present = [t for t in terms]
         buckets = sorted({term_bucket(t, self.n_buckets) for t in present})
+        if self._cache_mode == "buckets" and not with_positions:
+            # LRU'd per-bucket slices; the term/field filters prune
+            # inside the cached batches (positions path stays a direct
+            # column-pruned parquet scan — arrays would bloat the cache)
+            return self._bucket_frame(buckets).where(
+                _str_in("term", present) & (F.col("field") == field))
         src = self.postings_full if with_positions else self.postings
         return src.where(
             F.col("bucket").isin(buckets) & _str_in("term", present)
