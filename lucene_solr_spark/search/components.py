@@ -330,6 +330,57 @@ def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
     return out[:n]
 
 
+def spellcheck_collate(searcher: IndexSearcher, query_string: str,
+                       n_suggestions: int = 3,
+                       max_collation_tries: int = 10,
+                       max_collations: int = 3,
+                       max_edits: int = 2) -> list[tuple[str, int]]:
+    """SpellCheckCollator role (solr/core/.../spelling/
+    SpellCheckCollator.java:53-160 + PossibilityIterator rank order):
+    correct each out-of-vocabulary word of the query, enumerate
+    substitution combinations cheapest-total-rank first, re-run each
+    candidate collation against the index (``maxCollationTries``) and
+    return up to ``max_collations`` ``(collation, hits)`` pairs that
+    actually produce hits. Verification queries are a MUST
+    conjunction of the collation's words (the "will this query return
+    results" contract). In-dictionary words pass through unchanged."""
+    import itertools
+
+    words = [w for w in query_string.lower().split() if w]
+    stats = searcher.term_stats({("content", w) for w in words})
+    options: list[list[str]] = []
+    any_misspelled = False
+    for w in words:
+        if stats.get(("content", w), 0) > 0:
+            options.append([w])
+        else:
+            any_misspelled = True
+            cands = [c for c, _d, _df in
+                     spellcheck(searcher, w, n_suggestions, max_edits)]
+            options.append(cands or [w])
+    if not any_misspelled:
+        return []
+    # PossibilityIterator order: rank of a combination = sum of each
+    # word's correction index; emit ascending total rank
+    idx_ranges = [range(len(o)) for o in options]
+    combos = sorted(itertools.product(*idx_ranges),
+                    key=lambda ix: (sum(ix), ix))
+    out: list[tuple[str, int]] = []
+    tries = 0
+    for ix in combos:
+        if tries >= max_collation_tries or len(out) >= max_collations:
+            break
+        terms = [options[i][j] for i, j in enumerate(ix)]
+        if terms == words:
+            continue
+        tries += 1
+        q = BooleanQuery.of(must=[TermQuery(t) for t in terms])
+        hits = int(searcher.search_df(q, None).count())
+        if hits > 0:
+            out.append((" ".join(terms), hits))
+    return out
+
+
 def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
               window_tokens: int = 16, pre: str = "<b>", post: str = "</b>",
               corpus: DataFrame | None = None) -> DataFrame:

@@ -183,3 +183,22 @@ def test_match_no_docs(built):
 
     assert searcher.search(MatchNoDocsQuery(), 5) == []
     assert oracle.search(MatchNoDocsQuery(), 5) == []
+
+
+def test_spellcheck_collate(built):
+    """SpellCheckCollator: multi-word collation verified against the
+    index — corrected words substituted, in-vocab words untouched,
+    hit counts real."""
+    searcher, oracle, _, _ = built
+    w1, w2 = _common_terms(oracle)
+    typo = w1[:-1] + ("x" if w1[-1] != "x" else "y")
+    out = C.spellcheck_collate(searcher, f"{typo} {w2}")
+    assert out, "expected at least one verified collation"
+    collation, hits = out[0]
+    assert collation == f"{w1} {w2}"  # top correction substituted in
+    assert hits > 0
+    # hit count matches a direct MUST query
+    q = BooleanQuery.of(must=[TermQuery(w1), TermQuery(w2)])
+    assert hits == searcher.search_df(q, None).count()
+    # a fully in-vocabulary query produces no collations
+    assert C.spellcheck_collate(searcher, f"{w1} {w2}") == []
