@@ -550,6 +550,78 @@ def gopher_repetition(spark, sf_dir):
 
 
 @register(
+    "decontaminate_ngram",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                            i -> array_to_string(w[i:i+7], ' '))) AS g
+      FROM d WHERE len(w) >= 8
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.g) AS sh
+      FROM grams g JOIN eg USING (g)
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.sh, 0) AS BIGINT) AS shared_ngrams,
+           CASE WHEN COALESCE(h.sh, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination by n-gram overlap (the GPT-3 appendix-C
+    / PaLM method: flag training docs sharing any long n-gram with the
+    eval set; 8-gram here, proportional to these short docs). Eval set
+    = every 50th doc; output = every remaining doc with its count of
+    distinct shared 8-grams and a contaminated flag.
+
+    Scale shape: one exchange keyed on the n-gram for the
+    training⋈eval join (textbook decontamination plan); the eval-gram
+    side is DISTINCT'd first so a hot benchmark phrase can't fan out.
+    At 100 TB the join key becomes xxhash64(gram) (8-byte shuffle rows
+    instead of ~50-byte strings, collisions ~1e-10 at 1e9 grams); the
+    string key is kept here so the DuckDB oracle compares exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("w"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            # CASE-guarded so codegen subexpression sharing can't
+            # evaluate the descending sequence on short docs
+            F.when(
+                F.size("w") >= 8,
+                F.expr("transform(sequence(0, size(w)-8),"
+                       " i -> array_join(slice(w, i+1, 8), ' '))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    eval_grams = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    hits = (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("sh"))
+    )
+    base = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 50 != 0).select("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("sh"), F.lit(0)).cast("long").alias("shared_ngrams"),
+        F.when(F.coalesce(F.col("sh"), F.lit(0)) > 0, 1).otherwise(0)
+        .alias("contaminated"),
+    )
+
+
+@register(
     "source_quota_sample",
     """
     WITH q AS (

@@ -715,3 +715,40 @@ def explain(searcher: IndexSearcher, q: Query, docid: int) -> DataFrame:
                           F.col("score").cast("double").alias("score")))
         rows = rows.unionByName(leg_df)
     return rows
+
+
+def luke_info(searcher: IndexSearcher, top_terms: int = 10) -> dict:
+    """LukeRequestHandler role (solr/core/.../admin/LukeRequestHandler
+    .java:568-593 getIndexInfo + :660-690 per-field info): index-level
+    stats (numDocs/maxDoc/deletedDocs/hasDeletions) plus, per field,
+    distinct-term count, sum of term frequencies, and the
+    ``top_terms`` highest-docFreq terms — two small aggregate jobs
+    over the dict table (the postings are never touched)."""
+    max_doc = searcher.doc_count
+    n_deleted = int(searcher.deletes.count()) if searcher.deletes is not None else 0
+    info = {
+        "numDocs": max_doc - n_deleted,
+        "maxDoc": max_doc,
+        "deletedDocs": n_deleted,
+        "hasDeletions": n_deleted > 0,
+        "nBuckets": searcher.n_buckets,
+        "fields": {},
+    }
+    agg = {r["field"]: r for r in searcher.dict.groupBy("field").agg(
+        F.count("*").alias("distinct"),
+        F.sum("ttf").alias("sum_ttf")).collect()}
+    w = Window.partitionBy("field").orderBy(F.desc("df"), F.asc("term"))
+    top = (searcher.dict.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= top_terms)
+           .select("field", "term", "df", "rn").collect())
+    for f, r in agg.items():
+        stats = searcher.field_stats.get(f, {})
+        info["fields"][f] = {
+            "distinct": int(r["distinct"]),
+            "sumTotalTermFreq": int(r["sum_ttf"] or 0),
+            "docCount": int(stats.get("doc_count", max_doc)),
+            "topTerms": [(t["term"], int(t["df"]))
+                         for t in sorted((x for x in top if x["field"] == f),
+                                         key=lambda x: x["rn"])],
+        }
+    return info

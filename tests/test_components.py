@@ -202,3 +202,18 @@ def test_spellcheck_collate(built):
     assert hits == searcher.search_df(q, None).count()
     # a fully in-vocabulary query produces no collations
     assert C.spellcheck_collate(searcher, f"{w1} {w2}") == []
+
+
+def test_luke_info(built):
+    """LukeRequestHandler role: index + per-field introspection."""
+    searcher, oracle, _, _ = built
+    info = C.luke_info(searcher, top_terms=5)
+    assert info["maxDoc"] == N_DOCS and info["numDocs"] == N_DOCS
+    assert info["deletedDocs"] == 0 and info["hasDeletions"] is False
+    f = info["fields"]["content"]
+    assert f["distinct"] == len({t for _f, t in oracle.postings})
+    assert f["docCount"] == N_DOCS
+    # top terms = highest-df dictionary terms, df values exact
+    exp = sorted(((t, oracle.doc_freq(t)) for _f, t in oracle.postings),
+                 key=lambda x: (-x[1], x[0]))[:5]
+    assert f["topTerms"] == exp
