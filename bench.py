@@ -77,7 +77,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh", "dedup_simhash", "lang_id_heuristic",
         "token_counts", "graph_traversal", "cluster_kmeans",
         "suggest_freetext", "interval_facets", "facet_heatmap",
-        "sessionize", "gopher_repetition",
+        "sessionize", "gopher_repetition", "source_quota_sample",
+        "decontaminate_ngram",
     ]
     out = {}
     for name in names:
