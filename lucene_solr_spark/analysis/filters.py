@@ -268,6 +268,52 @@ def icu_folding_filter(terms: list[str], positions: list[int]):
     return [icu_fold(t) for t in terms], positions
 
 
+def protected_stem_filter(keywords: frozenset[str] = frozenset(),
+                          overrides: dict[str, str] | None = None,
+                          stem=porter_stem) -> TokenFilter:
+    """KeywordMarkerFilter + StemmerOverrideFilter + stemmer, fused
+    (miscellaneous/SetKeywordMarkerFilter.java:24-34 sets
+    KeywordAttribute so downstream stemmers skip the token;
+    miscellaneous/StemmerOverrideFilter.java replaces the term from a
+    dictionary AND marks it keyword). Our chain carries no attribute
+    channel, so the three stages collapse into one callable:
+    ``overrides`` wins, ``keywords`` pass through unstemmed, the rest
+    go through ``stem``."""
+    overrides = overrides or {}
+
+    def f(terms: list[str], positions: list[int]):
+        out = []
+        for t in terms:
+            if t in overrides:
+                out.append(overrides[t])
+            elif t in keywords:
+                out.append(t)
+            else:
+                out.append(stem(t))
+        return out, list(positions)
+
+    f.__name__ = "protected_stem_filter"
+    return f
+
+
+def trim_filter(terms: list[str], positions: list[int]):
+    """TrimFilter (miscellaneous/TrimFilter.java): strip leading/
+    trailing whitespace from each token (pattern/keyword tokenizers
+    can emit padded tokens); tokens trimming to empty keep their slot
+    removed with a position gap."""
+    keep = [(t.strip(), p) for t, p in zip(terms, positions)]
+    keep = [(t, p) for t, p in keep if t]
+    return [t for t, _ in keep], [p for _, p in keep]
+
+
+def reverse_string_filter(terms: list[str], positions: list[int]):
+    """ReverseStringFilter (reverse/ReverseStringFilter.java): reverse
+    each token — index-time front end for leading-wildcard search
+    (``*suffix`` becomes a prefix scan over the reversed field, the
+    ReversedWildcardFilterFactory trick)."""
+    return [t[::-1] for t in terms], list(positions)
+
+
 def length_filter(min_len: int = 1, max_len: int = MAX_TOKEN_LENGTH) -> TokenFilter:
     """LengthFilter.java — drops out-of-range tokens, KEEPING position
     gaps (FilteringTokenFilter semantics)."""

@@ -216,3 +216,26 @@ def test_tokenize_column_swappable(spark):
                            tokenizer=path_hierarchy_tokenizer(),
                            lowercase=False).collect()[0]["ancestors"]
     assert out2 == ["/a", "/a/b", "/a/b/c"]
+
+
+def test_protected_stem_trim_reverse_filters():
+    from lucene_solr_spark.analysis.filters import (
+        CustomAnalyzer,
+        protected_stem_filter,
+        reverse_string_filter,
+        trim_filter,
+    )
+
+    an = CustomAnalyzer([protected_stem_filter(
+        keywords=frozenset({"running"}), overrides={"mice": "mouse"})])
+    terms, _ = an.analyze("running racing mice maximum")
+    # 'running' protected, 'mice' overridden, rest Porter-stemmed
+    assert terms == ["running", "race", "mouse", "maximum"]
+
+    # trim: pattern tokenizer can emit padded tokens; empties leave gaps
+    t, p = trim_filter(["  a ", "b", "   "], [0, 1, 2])
+    assert (t, p) == (["a", "b"], [0, 1])
+
+    # reverse: the leading-wildcard trick — *fix becomes a prefix scan
+    t, _ = reverse_string_filter(["suffix", "ab"], [0, 1])
+    assert t == ["xiffus", "ba"]
