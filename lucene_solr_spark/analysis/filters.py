@@ -268,6 +268,108 @@ def icu_folding_filter(terms: list[str], positions: list[int]):
     return [icu_fold(t) for t in terms], positions
 
 
+def common_grams_filter(common_words: frozenset[str],
+                        separator: str = "_",
+                        query_mode: bool = False) -> TokenFilter:
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:85-90):
+    for each adjacent token pair where EITHER member is a common word,
+    also emit the bigram ``w1_w2`` stacked at the first member's
+    position (posIncrement 0) — phrase queries containing stopwords
+    hit the rare bigram posting instead of the huge stopword posting.
+
+    ``query_mode`` gives CommonGramsQueryFilter
+    (CommonGramsQueryFilter.java:72-90): output bigrams whenever
+    possible and a unigram only when it is not a member of any bigram
+    ("the rain in spain falls" → the_rain, rain_in, in_spain, falls),
+    with output positions renumbered sequentially (the filter resets
+    gram posIncrement to 1)."""
+
+    def f(terms: list[str], positions: list[int]):
+        n = len(terms)
+        gram_at = []  # (index i, gram text) for pair (i, i+1)
+        for i in range(n - 1):
+            if positions[i + 1] == positions[i] + 1 and (
+                    terms[i] in common_words or terms[i + 1] in common_words):
+                gram_at.append((i, terms[i] + separator + terms[i + 1]))
+        if not query_mode:
+            out_t, out_p = [], []
+            grams = dict(gram_at)
+            for i, (t, p) in enumerate(zip(terms, positions)):
+                out_t.append(t)
+                out_p.append(p)
+                if i in grams:
+                    out_t.append(grams[i])
+                    out_p.append(p)  # stacked (posInc 0)
+            return out_t, out_p
+        covered = set()
+        for i, _g in gram_at:
+            covered.add(i)
+            covered.add(i + 1)
+        grams = dict(gram_at)
+        out_t = []
+        for i in range(n):
+            if i in grams:
+                out_t.append(grams[i])
+            if i not in covered:
+                out_t.append(terms[i])
+        return out_t, list(range(len(out_t)))
+
+    f.__name__ = "common_grams_filter"
+    return f
+
+
+#: default elidable French articles (fr/FrenchAnalyzer.java
+#: DEFAULT_ARTICLES: l, m, t, qu, n, s, j, d, c, jusqu, quoiqu,
+#: lorsqu, puisqu)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+
+def elision_filter(articles: frozenset[str] = FRENCH_ARTICLES) -> TokenFilter:
+    """ElisionFilter (util/ElisionFilter.java): strip a leading
+    elided article + apostrophe (``l'avion`` → ``avion``); both the
+    ASCII apostrophe and U+2019 count."""
+
+    def f(terms: list[str], positions: list[int]):
+        out = []
+        for t in terms:
+            for apo in ("'", "’"):
+                k = t.find(apo)
+                if 0 < k and t[:k].lower() in articles:
+                    t = t[k + 1:]
+                    break
+            out.append(t)
+        keep = [(t, p) for t, p in zip(out, positions) if t]
+        return [t for t, _ in keep], [p for _, p in keep]
+
+    f.__name__ = "elision_filter"
+    return f
+
+
+def keyword_repeat_stem_filter(stem=porter_stem) -> TokenFilter:
+    """KeywordRepeatFilter + stemmer (miscellaneous/KeywordRepeatFilter
+    .java: emit each token twice, once keyword-marked so the stemmer
+    skips it — indexing BOTH the original and the stemmed form at one
+    position; RemoveDuplicatesTokenFilter then drops the pair when the
+    stem is a no-op). The three stages fused for our attribute-less
+    chain: emit original + stacked stem when they differ."""
+
+    def f(terms: list[str], positions: list[int]):
+        out_t, out_p = [], []
+        for t, p in zip(terms, positions):
+            out_t.append(t)
+            out_p.append(p)
+            s = stem(t)
+            if s != t:
+                out_t.append(s)
+                out_p.append(p)  # stacked (posInc 0)
+        return out_t, out_p
+
+    f.__name__ = "keyword_repeat_stem_filter"
+    return f
+
+
 def protected_stem_filter(keywords: frozenset[str] = frozenset(),
                           overrides: dict[str, str] | None = None,
                           stem=porter_stem) -> TokenFilter:

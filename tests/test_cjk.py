@@ -239,3 +239,37 @@ def test_protected_stem_trim_reverse_filters():
     # reverse: the leading-wildcard trick — *fix becomes a prefix scan
     t, _ = reverse_string_filter(["suffix", "ab"], [0, 1])
     assert t == ["xiffus", "ba"]
+
+
+def test_common_grams_filter():
+    from lucene_solr_spark.analysis.filters import CustomAnalyzer, common_grams_filter
+
+    common = frozenset({"the", "in"})
+    an = CustomAnalyzer([common_grams_filter(common)])
+    terms, pos = an.analyze("the rain in spain falls")
+    # unigrams all kept; bigrams stacked at first member's position
+    assert list(zip(terms, pos)) == [
+        ("the", 0), ("the_rain", 0), ("rain", 1), ("rain_in", 1),
+        ("in", 2), ("in_spain", 2), ("spain", 3), ("falls", 4)]
+    # query mode: grams + only uncovered unigrams (reference javadoc ex.)
+    anq = CustomAnalyzer([common_grams_filter(common, query_mode=True)])
+    qt, qp = anq.analyze("the rain in spain falls mainly")
+    assert qt == ["the_rain", "rain_in", "in_spain", "falls", "mainly"]
+    assert qp == list(range(5))
+
+
+def test_elision_and_keyword_repeat():
+    from lucene_solr_spark.analysis.filters import (
+        CustomAnalyzer,
+        elision_filter,
+        keyword_repeat_stem_filter,
+    )
+
+    an = CustomAnalyzer([elision_filter()])
+    terms, _ = an.analyze("l'avion d'été qu'il mange")
+    assert terms == ["avion", "été", "il", "mange"]
+
+    an2 = CustomAnalyzer([keyword_repeat_stem_filter()])
+    terms2, pos2 = an2.analyze("running fox")
+    # original + stacked stem; no-op stems don't duplicate
+    assert list(zip(terms2, pos2)) == [("running", 0), ("run", 0), ("fox", 1)]
