@@ -273,3 +273,42 @@ class QueryParser:
         base = positions[0]
         return PhraseQuery(tuple(terms), tuple(p - base for p in positions), 0,
                            field=qfield)
+
+
+def query_from_analysis(analyzer, text: str, field: str = "content",
+                        slop: int = 0) -> Query:
+    """QueryBuilder.createFieldQuery role (lucene/core/.../util/
+    QueryBuilder.java:107-160 analyzeTerm/analyzeBoolean/analyzePhrase/
+    analyzeMultiPhrase): analyze ``text`` with ANY analyzer — including
+    ones whose output stacks tokens at one position (synonym maps,
+    keyword-repeat, WDGF) — and build the structurally-right query:
+
+      one token                        → TermQuery
+      one position, stacked tokens    → SynonymQuery
+      many positions, no stacking     → PhraseQuery (gaps preserved)
+      many positions, any stacking    → MultiPhraseQuery (per-slot
+                                         alternatives)
+      nothing survives analysis       → MatchNoDocsQuery
+    """
+    from .queries import MatchNoDocsQuery, MultiPhraseQuery, SynonymQuery
+
+    terms, positions = analyzer.analyze(text)
+    if not terms:
+        return MatchNoDocsQuery()
+    slots: dict[int, list[str]] = {}
+    for t, p in zip(terms, positions):
+        slots.setdefault(p, []).append(t)
+    order = sorted(slots)
+    if len(order) == 1:
+        group = slots[order[0]]
+        if len(group) == 1:
+            return TermQuery(group[0], field=field)
+        return SynonymQuery(tuple(dict.fromkeys(group)), field=field)
+    base = order[0]
+    rel = tuple(p - base for p in order)
+    if all(len(slots[p]) == 1 for p in order):
+        return PhraseQuery(tuple(slots[p][0] for p in order), rel, slop,
+                           field=field)
+    return MultiPhraseQuery(
+        tuple(tuple(dict.fromkeys(slots[p])) for p in order), rel, slop,
+        field=field)

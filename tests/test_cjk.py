@@ -273,3 +273,40 @@ def test_elision_and_keyword_repeat():
     terms2, pos2 = an2.analyze("running fox")
     # original + stacked stem; no-op stems don't duplicate
     assert list(zip(terms2, pos2)) == [("running", 0), ("run", 0), ("fox", 1)]
+
+
+def test_query_from_analysis_shapes():
+    """QueryBuilder.createFieldQuery: analyzer output shape decides the
+    query class, stacked tokens → Synonym/MultiPhrase."""
+    from lucene_solr_spark.analysis.filters import (
+        CustomAnalyzer,
+        keyword_repeat_stem_filter,
+        stop_filter,
+    )
+    from lucene_solr_spark.search.parser import query_from_analysis
+    from lucene_solr_spark.search.queries import (
+        MatchNoDocsQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermQuery,
+    )
+
+    plain = CustomAnalyzer()
+    assert query_from_analysis(plain, "hello") == TermQuery("hello")
+    q = query_from_analysis(plain, "hello world")
+    assert isinstance(q, PhraseQuery) and q.terms == ("hello", "world")
+    # stop gap survives into the phrase positions
+    gap = CustomAnalyzer([stop_filter(frozenset({"the"}))])
+    q2 = query_from_analysis(gap, "over the moon")
+    assert isinstance(q2, PhraseQuery) and q2.positions == (0, 2)
+    # one position, stacked → SynonymQuery
+    rep = CustomAnalyzer([keyword_repeat_stem_filter()])
+    q3 = query_from_analysis(rep, "running")
+    assert isinstance(q3, SynonymQuery) and set(q3.terms) == {"running", "run"}
+    # many positions, stacking → MultiPhraseQuery with per-slot options
+    q4 = query_from_analysis(rep, "running fox")
+    assert isinstance(q4, MultiPhraseQuery)
+    assert q4.termss == (("running", "run"), ("fox",))
+    # everything analyzed away
+    assert isinstance(query_from_analysis(gap, "the"), MatchNoDocsQuery)
