@@ -227,6 +227,42 @@ def ascii_folding_filter(terms: list[str], positions: list[int]):
     return [ascii_fold(t) for t in terms], positions
 
 
+def ascii_folding_preserve_filter(terms: list[str], positions: list[int]):
+    """ASCIIFoldingFilter(preserveOriginal=true)
+    (miscellaneous/ASCIIFoldingFilter.java:66-75): when folding changes
+    the token, emit the folded form AND the original stacked at the
+    same position (posIncrement 0)."""
+    out_t, out_p = [], []
+    for t, p in zip(terms, positions):
+        f = ascii_fold(t)
+        out_t.append(f)
+        out_p.append(p)
+        if f != t:
+            out_t.append(t)
+            out_p.append(p)
+    return out_t, out_p
+
+
+def fingerprint_filter(separator: str = " ",
+                       max_output_token_size: int = 1024) -> TokenFilter:
+    """FingerprintFilter (miscellaneous/FingerprintFilter.java): the
+    whole stream collapses to ONE token — the sorted, deduplicated
+    terms joined by ``separator`` (Solr's FingerprintFilterFactory;
+    near-dup clustering keys). Streams whose fingerprint exceeds
+    ``max_output_token_size`` emit nothing, like the reference."""
+
+    def f(terms: list[str], positions: list[int]):
+        if not terms:
+            return [], []
+        fp = separator.join(sorted(set(terms)))
+        if len(fp) > max_output_token_size:
+            return [], []
+        return [fp], [0]
+
+    f.__name__ = "fingerprint_filter"
+    return f
+
+
 # default-ignorable ranges removed by UTR#30 folding (variation
 # selectors + Mongolian FVS; Cf chars are caught by category), plus
 # the spacing kana voicing marks and prolonged-sound mark that the

@@ -310,3 +310,22 @@ def test_query_from_analysis_shapes():
     assert q4.termss == (("running", "run"), ("fox",))
     # everything analyzed away
     assert isinstance(query_from_analysis(gap, "the"), MatchNoDocsQuery)
+
+
+def test_fingerprint_and_preserve_folding():
+    from lucene_solr_spark.analysis.filters import (
+        CustomAnalyzer,
+        ascii_folding_preserve_filter,
+        fingerprint_filter,
+    )
+
+    an = CustomAnalyzer([fingerprint_filter()])
+    terms, pos = an.analyze("the quick the brown quick")
+    assert (terms, pos) == (["brown quick the"], [0])
+    assert CustomAnalyzer([fingerprint_filter(max_output_token_size=5)]
+                          ).analyze("alpha beta") == ([], [])
+
+    an2 = CustomAnalyzer([ascii_folding_preserve_filter])
+    terms2, pos2 = an2.analyze("café bar")
+    # folded first, original stacked; unchanged tokens not duplicated
+    assert list(zip(terms2, pos2)) == [("cafe", 0), ("café", 0), ("bar", 1)]
