@@ -204,6 +204,38 @@ def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docid", F.col("score").cast("double").alias("score"))
 
 
+def _engine_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sort + early-terminated sorted top-k
+    (IndexWriterConfig.setIndexSort / TopFieldCollector.java:71-121):
+    documents range-clustered by (n_chars, doc_id) at build time; the
+    filtered top-25 walks segments in key order and stops at k hits —
+    partition-pruned scans only. Early termination itself is
+    pytest-gated (tests/test_sorted_index.py); this row checks values."""
+    from lucene_solr_spark.index.sorted import (
+        SortedIndex, build_sorted_index, sorted_topk)
+
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "lss_sortidx_" + key.strip("/").replace("/", "_"),
+    )
+    if not os.path.exists(os.path.join(root, "sorted_manifest.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_sorted_index(docs.select("doc_id", "n_chars", "lang"),
+                           root, "n_chars", num_segments=8)
+    df, _stats = sorted_topk(SortedIndex(root, spark), 25,
+                             filter_expr=F.col("lang") == "en")
+    return df.select("doc_id", "n_chars")
+
+
+_SORTED_TOPK_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = 'en'
+ORDER BY n_chars, doc_id
+LIMIT 25
+"""
+
+
 def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: tf-idf term extraction → disjunction query."""
     from lucene_solr_spark.search import components as C
@@ -238,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_mlt"] = _engine_mlt
     out["engine_edismax"] = _engine_edismax
     out["engine_synonym"] = _engine_synonym
+    out["engine_sorted_topk"] = _engine_sorted_topk
     out.update(QUERIES)
     return _reorder(out)
 
@@ -278,5 +311,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_mlt"] = sqlgen.mlt_sql()
     out["engine_edismax"] = sqlgen.edismax_topk()
     out["engine_synonym"] = sqlgen.synonym_topk(("array", "matrix", "vector"))
+    out["engine_sorted_topk"] = _SORTED_TOPK_SQL
     out.update(ORACLES)
     return _reorder(out)
