@@ -89,6 +89,59 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_sorted_index(spark, sf_dir: str) -> dict[str, float]:
+    """Index sort + early termination (index/sorted.py): sorted top-25
+    via the metadata-pruned segment walk vs the same answer by
+    exhaustive scan + global top-k, over a synthesized 5M-row table.
+
+    Honest read of the numbers: on an IDLE single box the exhaustive
+    scan parallelizes across all cores while the pruned walk touches
+    one small segment with little intra-job parallelism, so the full
+    scan can win on wall clock here. The pruning win is aggregate WORK
+    — ``sorted_rows_read_frac`` is the exact fraction of rows read
+    (from the manifest), and that fraction is what a shared
+    1000-executor cluster pays at 100 TB: a top-25 over a sorted
+    100 TB table reads ~3 TB instead of 100 TB regardless of this
+    box's crossover."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.sorted import (
+        SortedIndex, build_sorted_index, sorted_topk)
+
+    root = tempfile.mkdtemp(prefix="lss_bench_sortidx_")
+    out: dict[str, float] = {}
+    try:
+        n = 5_000_000
+        rows = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 7919 % 1_000_000).alias("size"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        t0 = time.time()
+        build_sorted_index(rows, root, "size", num_segments=32)
+        out["sorted_index_build"] = round(time.time() - t0, 3)
+        idx = SortedIndex(root, spark)
+        flt = F.col("payload").startswith("a")   # ~1/16 of rows
+        t0 = time.time()
+        df, stats = sorted_topk(idx, 25, filter_expr=flt)
+        df.collect()
+        out["sorted_topk_early"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        (idx._full().drop("seg").where(flt)
+         .orderBy("size", "doc_id").limit(25).collect())
+        out["sorted_topk_fullscan"] = round(time.time() - t0, 3)
+        out["sorted_segments_scanned"] = stats["segments_scanned"]
+        segs = {s["seg"]: s["count"] for s in idx.manifest["segments"]}
+        walked = sorted(segs)[: stats["segments_scanned"]]
+        out["sorted_rows_read_frac"] = round(
+            sum(segs[s] for s in walked) / n, 4)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
 def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
     """Flagship: index build docs/sec + closed-loop BM25 QPS."""
     from lucene_solr_spark.corpus import corpus_df
@@ -214,8 +267,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = bench_queries(spark, sf_dir)
+    sorted_stats = bench_sorted_index(spark, sf_dir)
+    queries["sorted_index_build"] = sorted_stats.pop("sorted_index_build")
+    queries["sorted_topk_early"] = sorted_stats.pop("sorted_topk_early")
     etimings, extras = bench_engine(spark)
     queries.update(etimings)
+    extras.update(sorted_stats)
 
     total = round(sum(queries.values()), 3)
     result = {

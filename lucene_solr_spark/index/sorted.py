@@ -200,25 +200,47 @@ def sorted_topk(
 
     # Early-termination walk: segments in key order (reverse for a
     # descending query — legal because segments are range-disjoint).
+    # Segments are scanned in geometrically growing batches (1, 2, 4,
+    # …) — one Spark job per batch, so the walk issues O(log n) jobs
+    # and reads at most ~2× the minimal segment prefix, instead of one
+    # job per segment (job-launch latency would otherwise dominate
+    # whenever segments are small relative to cluster overhead).
     walk = list(reversed(segs)) if descending else list(segs)
+
+    if filter_expr is None:
+        # Metadata-only planning: manifest counts say exactly which
+        # segment prefix holds the top k (TopFieldCollector.java:118's
+        # totalHits >= totalHitsThreshold, decided without any scan).
+        need, cum = 0, 0
+        for s in walk:
+            need += 1
+            cum += s["count"]
+            if cum >= k:
+                break
+        batches = [walk[:need]]
+    else:
+        batches, i, size = [], 0, 1
+        while i < len(walk):
+            batches.append(walk[i:i + size])
+            i += size
+            size *= 2
+
     collected: list = []
     schema = None
     scanned = 0
-    for s in walk:
+    for batch in batches:
         remaining = k - len(collected)
         if remaining <= 0:
             break
-        seg_df = index._segment(s["seg"])
+        paths = [os.path.join(index.root, "data", f"seg={s['seg']}")
+                 for s in batch]
+        seg_df = spark.read.parquet(*paths)
         if filter_expr is not None:
             seg_df = seg_df.where(filter_expr)
-        # The per-segment limit(remaining) is the collector's stop
-        # condition (TopFieldCollector.java:118 totalHits >=
-        # totalHitsThreshold): unfiltered, the first segment with
-        # count >= k finishes the walk after one pruned scan.
         rows = seg_df.orderBy(*order).limit(remaining).collect()
         schema = schema or seg_df.schema
         collected.extend(rows)
-        scanned += 1
+        scanned += len(batch)
         if len(collected) >= k:
             break
 
