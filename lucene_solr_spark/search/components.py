@@ -752,3 +752,39 @@ def luke_info(searcher: IndexSearcher, top_terms: int = 10) -> dict:
                                          key=lambda x: x["rn"])],
         }
     return info
+
+
+def cursor_page(searcher: IndexSearcher, q, k: int = 10,
+                cursor_mark: str = "*"):
+    """Solr cursorMark deep paging (solr/core/.../search/CursorMark.java:
+    ``parseSerializedTotem``/``getSerializedTotem`` :175-236 — an
+    opaque base64 totem of the last row's sort values; ``*`` is
+    ``CURSOR_MARK_START``; the sort always ends in the unique key so a
+    cursor never skips or duplicates docs while pages are fetched).
+
+    Returns ``(top_docs, next_cursor_mark)``. The Solr end-of-results
+    contract holds: a page that yields no docs returns the SAME totem
+    it was given — clients stop when nextCursorMark repeats.
+
+    Unlike offset paging (deep ``start=`` re-collects and throws away
+    N rows per page — quadratic over a full export), each page here is
+    a keyset predicate pushed into the postings scan, so page cost is
+    flat no matter how deep the cursor is."""
+    import base64
+    import json as _json
+
+    from .queries import TopDoc
+
+    if cursor_mark == "*":
+        docs = searcher.search(q, k)
+    else:
+        raw = _json.loads(base64.urlsafe_b64decode(
+            cursor_mark.encode()).decode())
+        after = TopDoc(int(raw[1]), float(raw[0]))
+        docs = searcher.search_after(q, after, k)
+    if not docs:
+        return [], cursor_mark
+    last = docs[-1]
+    totem = base64.urlsafe_b64encode(
+        _json.dumps([float(last.score), int(last.docid)]).encode()).decode()
+    return docs, totem
