@@ -498,3 +498,92 @@ def facet_options(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.lit("missing").alias("op"), F.lit("").alias("term"), "n"))
     return pre.unionByName(cont).unionByName(missing)
+
+
+# ---------------------------------------------------------------------------
+# Taxonomy facets — lucene/facet/src/java/org/apache/lucene/facet/
+# taxonomy/: a hierarchical dim ("region/nation") counted over the
+# docs matching a query, child counts rolled up into parents
+# (FastTaxonomyFacetCounts.java:97,132 rollup()), then
+# getTopChildren(topN, dim, path...) per level (TaxonomyFacets.java:128,
+# sorted count desc — tie-break here is label asc for determinism;
+# the reference tie-breaks on taxonomy ordinal, an insertion artifact).
+# ---------------------------------------------------------------------------
+
+@register(
+    "taxonomy_facets",
+    """
+    WITH matched AS (
+      SELECT r.r_name AS region, n.n_name AS nation
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    nat AS (
+      SELECT region, nation, count(*) AS cnt FROM matched
+      GROUP BY region, nation
+    ),
+    reg AS (
+      SELECT region, sum(cnt)::BIGINT AS cnt FROM nat GROUP BY region
+    ),
+    regr AS (
+      SELECT region, cnt,
+             row_number() OVER (ORDER BY cnt DESC, region) AS rank
+      FROM reg
+    ),
+    natr AS (
+      SELECT region, nation, cnt,
+             row_number() OVER (PARTITION BY region
+                                ORDER BY cnt DESC, nation) AS rank
+      FROM nat
+    )
+    SELECT region AS path, 1 AS depth, cnt, CAST(rank AS INT) AS rank
+    FROM regr
+    UNION ALL
+    SELECT region || '/' || nation AS path, 2 AS depth, cnt,
+           CAST(rank AS INT) AS rank
+    FROM natr WHERE rank <= 3
+    """,
+)
+def taxonomy_facets(spark, sf_dir):
+    """Hierarchical taxonomy facet counts over a filtered result set:
+    dim = region/nation of the ordering customer, query =
+    o_orderstatus = 'F'. Depth-1 rows are the rollup() parent counts
+    with a global rank; depth-2 rows are getTopChildren(3) within
+    each region.
+
+    Scale shape: dims are broadcast joins (region/nation/customer are
+    small vs orders — customer broadcasts at TPC-H ratios since it is
+    1.5% of orders rows); ONE exchange on the composite dim for the
+    leaf counts; the parent rollup re-aggregates the already-tiny leaf
+    table, mirroring the reference's children-into-parents rollup()
+    rather than re-counting docs."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    matched = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    leaf = matched.groupBy("region", "nation").agg(F.count("*").alias("cnt"))
+    parent = leaf.groupBy("region").agg(F.sum("cnt").alias("cnt"))
+    regr = parent.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("region"))))
+    natr = leaf.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("region").orderBy(F.desc("cnt"), F.asc("nation"))))
+    d1 = regr.select(F.col("region").alias("path"), F.lit(1).alias("depth"),
+                     "cnt", "rank")
+    d2 = (natr.where(F.col("rank") <= 3)
+          .select(F.concat_ws("/", "region", "nation").alias("path"),
+                  F.lit(2).alias("depth"), "cnt", "rank"))
+    return d1.unionByName(d2)
