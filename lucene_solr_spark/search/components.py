@@ -788,3 +788,56 @@ def cursor_page(searcher: IndexSearcher, q, k: int = 10,
     totem = base64.urlsafe_b64encode(
         _json.dumps([float(last.score), int(last.docid)]).encode()).decode()
     return docs, totem
+
+
+def build_suggester_with_contexts(entries: DataFrame, analyzer=None,
+                                  text_col: str = "text",
+                                  weight_col: str = "weight",
+                                  contexts_col: str = "contexts") -> DataFrame:
+    """ContextSuggestField role (suggest/document/ContextSuggestField.java):
+    a suggester entry carrying a set of context labels alongside its
+    analyzed key. Returns (key, text, weight, contexts array<string>)."""
+    base = build_suggester(entries, analyzer, text_col, weight_col)
+    # mapInPandas in build_suggester drops extra columns; re-join the
+    # contexts by surface text (unique in a suggester entry table).
+    return base.join(
+        entries.select(F.col(text_col).alias("text"),
+                       F.col(contexts_col).alias("contexts")),
+        "text")
+
+
+def suggest_with_contexts(sugg: DataFrame, query: str,
+                          contexts: dict[str, float] | None = None,
+                          n: int = 10, analyzer=None,
+                          exact: bool = True) -> DataFrame:
+    """ContextQuery (suggest/document/ContextQuery.java:40-78,
+    addContext :89-120): filter and boost completion hits by context —
+    a hit must carry at least one requested context (entries with
+    none are dropped; ``contexts=None`` matches all, the
+    "ignoring any context filtering/boosting" case at :72), its score
+    is ``weight × boost`` of the best matching context, and
+    ``exact=False`` treats the requested labels as context PREFIXES
+    (:67-69). All-JVM: per-row greatest-over-contexts via
+    array_contains / exists on the contexts column — no UDF, no
+    explode (the per-entry context set stays row-local)."""
+    if contexts is None:
+        return suggest_analyzing(sugg, query, n, analyzer=analyzer)
+    if analyzer is None:
+        from ..analysis import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+    qkey = SEP_LABEL.join(analyzer.terms(query))
+    hits = sugg.where(F.col("key").startswith(qkey))
+    boosts = []
+    for ctx, boost in contexts.items():
+        if exact:
+            m = F.array_contains(F.col("contexts"), ctx)
+        else:
+            m = F.exists(F.col("contexts"), lambda x: x.startswith(ctx))  # noqa: B023
+        boosts.append(F.when(m, F.lit(float(boost))))
+    best = F.greatest(*boosts) if len(boosts) > 1 else boosts[0]
+    return (hits.withColumn("boost", best)
+            .where(F.col("boost").isNotNull())
+            .withColumn("score", F.col("weight") * F.col("boost"))
+            .orderBy(F.desc("score"), F.asc("text"))
+            .select("text", "weight", "score").limit(n))

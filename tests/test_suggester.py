@@ -76,3 +76,57 @@ def test_fuzzy_short_query_falls_back_to_exact(spark, sugg):
     # len < minFuzzyLength(3) → exact prefix semantics
     got = [r["text"] for r in suggest_fuzzy(sugg, "lu").collect()]
     assert got == ["Luce Grande", "luce"]
+
+
+@pytest.fixture(scope="module")
+def ctx_sugg(spark):
+    from lucene_solr_spark.search.components import build_suggester_with_contexts
+
+    entries = spark.createDataFrame(
+        [
+            ("Apache Spark", 100, ["eng", "us"]),
+            ("apache solr", 80, ["eng/search", "eu"]),
+            ("Apache Lucene", 90, ["eng/search"]),
+            ("spark plug", 5, ["auto"]),
+        ],
+        "text string, weight long, contexts array<string>",
+    )
+    df = build_suggester_with_contexts(entries)
+    df.persist().count()
+    return df
+
+
+def test_context_filters_and_boosts(spark, ctx_sugg):
+    from lucene_solr_spark.search.components import suggest_with_contexts
+
+    rows = suggest_with_contexts(
+        ctx_sugg, "apache", {"eng": 1.0, "eu": 3.0}).collect()
+    # 'apache solr' (80×3 via eu) beats 'Apache Spark' (100×1 via eng);
+    # 'Apache Lucene' carries only 'eng/search' — exact match misses it
+    assert [(r["text"], r["score"]) for r in rows] == [
+        ("apache solr", 240.0), ("Apache Spark", 100.0)]
+
+
+def test_context_prefix_mode(spark, ctx_sugg):
+    from lucene_solr_spark.search.components import suggest_with_contexts
+
+    rows = suggest_with_contexts(
+        ctx_sugg, "apache", {"eng": 2.0}, exact=False).collect()
+    # prefix 'eng' now also matches 'eng/search'
+    assert [(r["text"], r["score"]) for r in rows] == [
+        ("Apache Spark", 200.0), ("Apache Lucene", 180.0),
+        ("apache solr", 160.0)]
+
+
+def test_context_none_matches_all(spark, ctx_sugg):
+    from lucene_solr_spark.search.components import suggest_with_contexts
+
+    rows = suggest_with_contexts(ctx_sugg, "spark", None).collect()
+    assert [r["text"] for r in rows] == ["spark plug"]
+
+
+def test_no_matching_context_drops_entry(spark, ctx_sugg):
+    from lucene_solr_spark.search.components import suggest_with_contexts
+
+    rows = suggest_with_contexts(ctx_sugg, "spark", {"eng": 1.0}).collect()
+    assert rows == []
