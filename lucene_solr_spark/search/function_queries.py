@@ -67,8 +67,13 @@ from ..streaming.expressions import ExprNode, _NUM, parse_expression
 class FunctionQueryCompiler:
     """Compiles one function-query string against an IndexSearcher."""
 
-    def __init__(self, searcher):
+    def __init__(self, searcher, dv_root: str | None = None):
         self.searcher = searcher
+        #: optional docvalues root (index/docvalues.py): field(x) then
+        #: resolves x through the merge-on-read DV overlay when the
+        #: field has a dv/ column there — Solr's in-place-updatable
+        #: docValues feeding function queries without reindex
+        self.dv_root = dv_root
 
     def dataframe(self, expr: str, alias: str = "score") -> DataFrame:
         """DataFrame(docid, <alias>) over ALL live docs (FunctionQuery
@@ -78,6 +83,7 @@ class FunctionQueryCompiler:
         self._scales: list[tuple[str, object, float, float]] = []
         self._query_cols: dict[str, str] = {}
         self._ord_cols: dict[tuple[str, bool], str] = {}
+        self._dv_cols: dict[str, str] = {}
         col = self._compile(node)
         df = self.searcher.docs.select("docid", "dl", "norm", *[
             c for c in self.searcher.docs.columns
@@ -86,6 +92,12 @@ class FunctionQueryCompiler:
             sub = (self.searcher._postings_for([term], field=field)
                    .select("docid", F.col("tf").alias(name)))
             df = df.join(sub, "docid", "left")
+        for fld, name in self._dv_cols.items():
+            from ..index.docvalues import read_docvalues
+
+            dv = read_docvalues(df.sparkSession, self.dv_root, fld).select(
+                "docid", F.col("value").alias(name))
+            df = df.join(dv, "docid", "left")
         # query(...) leaves: the subquery's scored set left-joined;
         # non-matching docs score 0 (QueryValueSource.objectVal)
         for qs, name in self._query_cols.items():
@@ -170,7 +182,16 @@ class FunctionQueryCompiler:
             self._scales.append((cname, inner, lo, hi))
             return F.col(cname)
         if name == "field":
-            return F.col(str(args[0]))
+            fld = str(args[0]).strip("'\"")
+            if self.dv_root is not None:
+                import os as _os
+
+                if _os.path.exists(_os.path.join(self.dv_root, "dv", fld)):
+                    cname = self._dv_cols.setdefault(
+                        fld, f"_dv_{len(self._dv_cols)}")
+                    # missing DV value reads as 0 (Solr numeric default)
+                    return F.coalesce(F.col(cname), F.lit(0))
+            return F.col(fld)
         if name == "exists":
             return self._compile(args[0]).isNotNull()
         if name == "if":

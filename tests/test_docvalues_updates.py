@@ -88,3 +88,32 @@ def test_absent_then_set_doc_appears(spark, root):
     update_numeric_docvalue(spark, root, "popularity",
                             _vals(spark, [(100, 12)]))
     assert _read(spark, root)[100] == 12
+
+
+def test_function_query_reads_dv_overlay(spark, tmp_path):
+    """field(popularity) in a function query resolves through the DV
+    overlay and sees in-place updates without a rebuild."""
+    from lucene_solr_spark.corpus import corpus_df
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search.executor import IndexSearcher
+    from lucene_solr_spark.search.function_queries import (
+        FunctionQueryCompiler,
+    )
+
+    root = str(tmp_path / "idx")
+    tables = build_index(corpus_df(spark, 30, partitions=2), root)
+    searcher = IndexSearcher(tables, cache=True)
+    write_docvalues(
+        _vals(spark, [(i, 100 + i) for i in range(30)]), root, "popularity")
+
+    comp = FunctionQueryCompiler(searcher, dv_root=root)
+    before = {r["docid"]: r["score"] for r in
+              comp.dataframe("sum(field(popularity), 1)").collect()}
+    assert before[5] == 106.0
+
+    update_numeric_docvalue(spark, root, "popularity",
+                            _vals(spark, [(5, 1000)]))
+    after = {r["docid"]: r["score"] for r in
+             comp.dataframe("sum(field(popularity), 1)").collect()}
+    assert after[5] == 1001.0
+    assert after[6] == before[6] == 107.0
