@@ -484,6 +484,81 @@ class StreamFactory:
             max_depth=int(node.kwargs.get("maxDepth", 4)),
         )
 
+    # -- set / enrichment streams ----------------------------------------
+    @staticmethod
+    def _on_pairs(spec: str) -> list[tuple[str, str]]:
+        """``on="a,x=y"`` → [(a, a), (x, y)] (left field, right field) —
+        the fieldName=fieldName aliasing of Join/Complement/Intersect
+        streams (io/eq/FieldEqualitor.java)."""
+        out = []
+        for part in spec.split(","):
+            l, _, r = part.strip().partition("=")
+            out.append((l.strip(), (r or l).strip()))
+        return out
+
+    def _semi(self, node: ExprNode, how: str) -> DataFrame:
+        left = self._stream(node.args[0])
+        right = self._stream(node.args[1])
+        pairs = self._on_pairs(node.kwargs["on"])
+        cond = None
+        for l, r in pairs:
+            c = left[l] == right[r]
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, how)
+
+    def _s_complement(self, node: ExprNode) -> DataFrame:
+        """complement(A, B, on=...) — ComplementStream.java: tuples of A
+        with NO matching tuple in B (anti join on the equalitor)."""
+        return self._semi(node, "left_anti")
+
+    def _s_intersect(self, node: ExprNode) -> DataFrame:
+        """intersect(A, B, on=...) — IntersectStream.java: tuples of A
+        WITH a matching tuple in B (semi join; B's fields not emitted)."""
+        return self._semi(node, "left_semi")
+
+    def _s_outerHashJoin(self, node: ExprNode) -> DataFrame:
+        # OuterHashJoinStream: left outer, hashed side fully in memory
+        return self._join(node, "left", broadcast=True)
+
+    def _s_cartesianProduct(self, node: ExprNode) -> DataFrame:
+        """cartesianProduct(stream, fieldA) — CartesianProductStream.java:
+        one output tuple per element of the multivalued field, the
+        array replaced by the element (F.explode — the row-local
+        unnest, no shuffle)."""
+        df = self._stream(node.args[0])
+        fld = str(node.args[1]).strip()
+        out = df.withColumn(fld, F.explode(F.col(fld)))
+        if "productSort" in node.kwargs:
+            out = out.orderBy(*self._sort_cols(node.kwargs["productSort"]))
+        return out
+
+    def _s_fetch(self, node: ExprNode) -> DataFrame:
+        """fetch(collection, stream, fl="a,b", on="id=key") —
+        FetchStream.java: enrich each tuple with fields fetched from
+        the collection by key. The reference batches point lookups
+        (batchSize); the relational rendering is one left join against
+        the collection projected to (key, fl) — the batching is the
+        join itself."""
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        df = self._stream(node.args[1])
+        (l, r), = self._on_pairs(node.kwargs["on"])
+        fl = [c.strip() for c in node.kwargs["fl"].split(",")]
+        proj = coll.select(F.col(r).alias(l), *[c for c in fl if c != r])
+        return df.join(F.broadcast(proj.dropDuplicates([l])), l, "left")
+
+    def _s_stats(self, node: ExprNode) -> DataFrame:
+        """stats(collection, q=..., <metrics>) — StatsStream.java: one
+        aggregate tuple over the matching docs."""
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        if "q" in node.kwargs:
+            coll = self._apply_q(coll, node.kwargs["q"])
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, ExprNode)]
+        return coll.agg(*metrics)
+
 
 def _autocast(v: str):
     if _NUM.match(v):

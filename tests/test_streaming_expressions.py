@@ -204,3 +204,53 @@ def test_vector_evaluator_zoo(spark):
     for i, (e, exp) in enumerate(arr_cases.items()):
         got = list(row[f"c{i}"])
         assert got == pytest.approx(exp, abs=1e-9), e
+
+
+def test_complement_and_intersect(spark, tables):
+    f = StreamFactory(tables)
+    comp = f.compile(
+        'complement(search(orders, q="*:*", fl="id,cat", sort="id asc"), '
+        'search(custs, q="country:us", fl="cat", sort="cat asc"), on="cat")')
+    assert sorted(r.id for r in comp.collect()) == [2]      # only cat b
+    inter = f.compile(
+        'intersect(search(orders, q="*:*", fl="id,cat", sort="id asc"), '
+        'search(custs, q="country:us", fl="cat", sort="cat asc"), on="cat")')
+    assert sorted(r.id for r in inter.collect()) == [1, 3, 4]
+    # B's fields are not emitted (IntersectStream contract)
+    assert inter.columns == ["id", "cat"]
+
+
+def test_outer_hash_join(spark, tables):
+    t2 = dict(tables)
+    t2["extra"] = tables["custs"].where("cat != 'c'")
+    df = StreamFactory(t2).compile(
+        'outerHashJoin(search(orders, q="*:*", fl="id,cat", sort="id asc"), '
+        'search(extra, q="*:*", fl="cat,country", sort="cat asc"), on="cat")')
+    rows = {r.id: r.country for r in df.collect()}
+    assert rows == {1: "us", 2: "de", 3: "us", 4: None}
+
+
+def test_cartesian_product_explodes_arrays(spark, tables):
+    t = dict(tables)
+    t["docs"] = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["z"])], "id int, tags array<string>")
+    df = StreamFactory(t).compile(
+        'cartesianProduct(search(docs, q="*:*", fl="id,tags", '
+        'sort="id asc"), tags, productSort="tags asc")')
+    assert [(r.id, r.tags) for r in df.collect()] == [
+        (1, "x"), (1, "y"), (2, "z")]
+
+
+def test_fetch_enriches_by_key(spark, tables):
+    df = StreamFactory(tables).compile(
+        'fetch(custs, search(orders, q="amount:[20 TO *]", fl="id,cat", '
+        'sort="id asc"), fl="country", on="cat=cat")')
+    assert [(r.id, r.country) for r in df.orderBy("id").collect()] == [
+        (2, "de"), (3, "us"), (4, "us")]
+
+
+def test_stats_single_tuple(spark, tables):
+    df = StreamFactory(tables).compile(
+        'stats(orders, q="cat:a", sum(amount), avg(amount), count(*))')
+    r = df.collect()[0]
+    assert (r["sum(amount)"], r["avg(amount)"], r["count(*)"]) == (40, 20.0, 2)
