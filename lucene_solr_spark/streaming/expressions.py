@@ -193,7 +193,36 @@ _EVALS: dict[str, Callable] = {
         a[0], lambda x: (x - F.array_min(a[0]))
         / (F.array_max(a[0]) - F.array_min(a[0]))),
     "coalesce": lambda a: F.coalesce(*a),
+    # string evaluator family (io/eval/UpperEvaluator.java,
+    # LowerEvaluator, TrimEvaluator, ConcatEvaluator)
+    "upper": lambda a: F.upper(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "trim": lambda a: F.trim(a[0]),
+    "concat": lambda a: F.concat(*a),
+    # temporal evaluator family (io/eval/TemporalEvaluatorYear.java
+    # and siblings — Lang.java registers year/month/day/dayOfYear/
+    # hour/minute/second/epoch/week/quarter over a date/timestamp)
+    "year": lambda a: F.year(a[0]),
+    "month": lambda a: F.month(a[0]),
+    "day": lambda a: F.dayofmonth(a[0]),
+    "dayofyear": lambda a: F.dayofyear(a[0]),
+    "hour": lambda a: F.hour(a[0]),
+    "minute": lambda a: F.minute(a[0]),
+    "second": lambda a: F.second(a[0]),
+    "week": lambda a: F.weekofyear(a[0]),
+    "quarter": lambda a: F.quarter(a[0]),
+    "epoch": lambda a: F.unix_timestamp(a[0]) * 1000,  # millis, like Date.getTime
+    # statistical array evaluators (io/eval/VarianceEvaluator.java,
+    # StandardDeviationEvaluator — commons-math SAMPLE variance, n-1)
+    "var": lambda a: _sample_var(a[0]),
+    "stddev": lambda a: F.sqrt(_sample_var(a[0])),
 }
+
+
+def _sample_var(arr):
+    n = F.size(arr)
+    mean = _asum(arr) / n
+    return _asum(F.transform(arr, lambda x: (x - mean) * (x - mean))) / (n - 1)
 
 
 def _asum(arr):

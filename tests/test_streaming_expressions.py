@@ -254,3 +254,32 @@ def test_stats_single_tuple(spark, tables):
         'stats(orders, q="cat:a", sum(amount), avg(amount), count(*))')
     r = df.collect()[0]
     assert (r["sum(amount)"], r["avg(amount)"], r["count(*)"]) == (40, 20.0, 2)
+
+
+def test_string_and_temporal_evaluators(spark):
+    df = spark.createDataFrame(
+        [("  Ab ", "2024-03-15 10:30:45")], "s string, t string"
+    ).withColumn("t", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("t"))
+    exprs = {
+        "upper(trim(s))": "AB",
+        "concat(trim(s), trim(s))": "AbAb",
+        "year(t)": 2024, "month(t)": 3, "day(t)": 15,
+        "dayofyear(t)": 75, "hour(t)": 10, "minute(t)": 30,
+        "second(t)": 45, "quarter(t)": 1, "week(t)": 11,
+    }
+    for e, want in exprs.items():
+        got = df.select(
+            compile_evaluator(parse_expression(e)).alias("v")).collect()[0]["v"]
+        assert got == want, (e, got, want)
+
+
+def test_variance_stddev_sample(spark):
+    df = spark.createDataFrame([([2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0],)],
+                               "a array<double>")
+    var = df.select(compile_evaluator(
+        parse_expression("var(a)")).alias("v")).collect()[0]["v"]
+    sd = df.select(compile_evaluator(
+        parse_expression("stddev(a)")).alias("v")).collect()[0]["v"]
+    import math
+    assert abs(var - 32.0 / 7) < 1e-9          # sample variance (n-1)
+    assert abs(sd - math.sqrt(32.0 / 7)) < 1e-9
