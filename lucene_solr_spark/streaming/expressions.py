@@ -82,9 +82,19 @@ def parse_expression(s: str) -> ExprNode:
     return node
 
 
+class Quoted(str):
+    """A string argument that was quoted in the source expression —
+    the reference's StreamExpressionValue keeps this distinction so
+    evaluators can tell a string LITERAL from a field reference
+    (io/stream/expr/StreamExpressionParser.java). Subclasses str so
+    every existing consumer (kwargs, select specs) is unaffected."""
+
+    __slots__ = ()
+
+
 def _unquote(t: str) -> str:
     if len(t) >= 2 and t[0] in "\"'" and t[-1] == t[0]:
-        return re.sub(r"\\(.)", r"\1", t[1:-1])
+        return Quoted(re.sub(r"\\(.)", r"\1", t[1:-1]))
     return t
 
 
@@ -248,6 +258,8 @@ _NUM = re.compile(r"^-?\d+(\.\d+)?$")
 def compile_evaluator(node) -> "F.Column":
     """Expression leaf/tree -> Column (BooleanEvaluator /
     NumberEvaluator roles)."""
+    if isinstance(node, Quoted):
+        return F.lit(str(node))
     if isinstance(node, str):
         if _NUM.match(node):
             return F.lit(float(node) if "." in node else int(node))

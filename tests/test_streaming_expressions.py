@@ -283,3 +283,16 @@ def test_variance_stddev_sample(spark):
     import math
     assert abs(var - 32.0 / 7) < 1e-9          # sample variance (n-1)
     assert abs(sd - math.sqrt(32.0 / 7)) < 1e-9
+
+
+def test_quoted_literal_vs_field_reference(spark):
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    # quoted "b" is the literal string; bare b is the column
+    lit = df.select(compile_evaluator(
+        parse_expression('concat(a, "b")')).alias("v")).collect()[0]["v"]
+    col = df.select(compile_evaluator(
+        parse_expression("concat(a, b)")).alias("v")).collect()[0]["v"]
+    assert (lit, col) == ("xb", "xy")
+    eq = df.select(compile_evaluator(
+        parse_expression('eq(a, "x")')).alias("v")).collect()[0]["v"]
+    assert eq is True
