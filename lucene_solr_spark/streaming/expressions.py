@@ -589,6 +589,78 @@ class StreamFactory:
         proj = coll.select(F.col(r).alias(l), *[c for c in fl if c != r])
         return df.join(F.broadcast(proj.dropDuplicates([l])), l, "left")
 
+    def _s_let(self, node: ExprNode) -> DataFrame:
+        """let(a=<stream>, b=<stream over get(a)>, <final stream>) —
+        LetStream.java: bind streams to variables in order, each
+        visible to the next via get(name); the positional arg (or the
+        last binding) is the result. Bindings are lazy DataFrames, so
+        a variable used twice shares one plan subtree."""
+        scoped = dict(self.tables)
+        sub = StreamFactory(scoped)
+        last = None
+        for k, v in node.kwargs.items():
+            scoped[k] = last = (sub._stream(v) if isinstance(v, ExprNode)
+                                else scoped[v])
+        exprs = [a for a in node.args if isinstance(a, ExprNode)]
+        if exprs:
+            return sub._stream(exprs[-1])
+        if last is None:
+            raise ValueError("let() needs at least one binding")
+        return last
+
+    def _s_get(self, node: ExprNode) -> DataFrame:
+        """get(name) — GetStream.java: read a let-bound variable."""
+        df = self.tables.get(node.args[0])
+        if df is None:
+            raise ValueError(f"unbound let variable {node.args[0]}")
+        return df
+
+    def _s_timeseries(self, node: ExprNode) -> DataFrame:
+        """timeseries(collection, q=..., field="ts",
+        start="2020-01-01T00:00:00Z", end="NOW", gap="+1DAY",
+        <metrics>) — TimeSeriesStream.java:419: date-math start/end/
+        gap (calendar-aware: +1MONTH buckets are unequal widths),
+        one row per bucket with the metrics.
+
+        Plan: the (tiny) bucket-edge table is computed driver-side
+        with the repo's DateMathParser and broadcast; rows range-join
+        to their bucket, then ONE exchange for the grouped metrics.
+        The [start, end) filter is a plain timestamp predicate —
+        partition/row-group prunable at the scan."""
+        from datetime import datetime
+
+        from ..functions.datemath import parse_date_math
+
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        if "q" in node.kwargs:
+            coll = self._apply_q(coll, node.kwargs["q"])
+        fld = node.kwargs["field"]
+        now = datetime.utcnow()
+        start = parse_date_math(node.kwargs["start"], now=now)
+        end = parse_date_math(node.kwargs["end"], now=now)
+        gap = node.kwargs["gap"]
+        edges = [start]
+        while edges[-1] < end:
+            nxt = parse_date_math(edges[-1].isoformat() + gap)
+            if nxt <= edges[-1]:
+                raise ValueError(f"non-advancing gap {gap!r}")
+            edges.append(nxt)
+        spark = coll.sparkSession
+        buckets = spark.createDataFrame(
+            [(lo.isoformat(sep=" "), lo, hi)
+             for lo, hi in zip(edges, edges[1:])],
+            f"{fld}_bucket string, _lo timestamp, _hi timestamp")
+        c = F.col(fld)
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, ExprNode)]
+        return (coll.where((c >= F.lit(start)) & (c < F.lit(edges[-1])))
+                .join(F.broadcast(buckets), (c >= F.col("_lo")) & (c < F.col("_hi")))
+                .groupBy(f"{fld}_bucket").agg(*metrics)
+                .orderBy(f"{fld}_bucket"))
+
+    _s_timeSeries = _s_timeseries
+
     def _s_stats(self, node: ExprNode) -> DataFrame:
         """stats(collection, q=..., <metrics>) — StatsStream.java: one
         aggregate tuple over the matching docs."""

@@ -296,3 +296,27 @@ def test_quoted_literal_vs_field_reference(spark):
     eq = df.select(compile_evaluator(
         parse_expression('eq(a, "x")')).alias("v")).collect()[0]["v"]
     assert eq is True
+
+
+def test_let_get_binding(spark, tables):
+    df = StreamFactory(tables).compile(
+        'let(a=search(orders, q="cat:a", fl="id,amount,cat", sort="id asc"), '
+        'b=rollup(get(a), over="cat", sum(amount)), get(b))')
+    assert [tuple(r) for r in df.collect()] == [("a", 40)]
+
+
+def test_timeseries_calendar_gap(spark):
+    from pyspark.sql import functions as SF
+
+    rows = [("2024-01-05 10:00:00", 1.0), ("2024-01-20 11:00:00", 2.0),
+            ("2024-02-02 09:00:00", 4.0), ("2024-03-30 23:59:59", 8.0),
+            ("2024-04-01 00:00:00", 99.0)]          # outside [start, end)
+    ev = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", SF.to_timestamp("ts"))
+    df = StreamFactory({"events": ev}).compile(
+        'timeseries(events, field="ts", start="2024-01-01T00:00:00", '
+        'end="2024-04-01T00:00:00", gap="+1MONTH", sum(value), count(*))')
+    got = [(r["ts_bucket"][:10], r["sum(value)"], r["count(*)"])
+           for r in df.collect()]
+    assert got == [("2024-01-01", 3.0, 2), ("2024-02-01", 4.0, 1),
+                   ("2024-03-01", 8.0, 1)]
