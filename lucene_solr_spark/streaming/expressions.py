@@ -589,6 +589,24 @@ class StreamFactory:
         proj = coll.select(F.col(r).alias(l), *[c for c in fl if c != r])
         return df.join(F.broadcast(proj.dropDuplicates([l])), l, "left")
 
+    def _s_sql(self, node: ExprNode) -> DataFrame:
+        """sql(stmt="SELECT ...") — Solr's Parallel SQL handler
+        (SqlStream.java / solr/core/.../handler/sql/*: Calcite plans a
+        SQL statement onto streaming expressions). Here the platform
+        IS a SQL engine: collections register as temp views and
+        Catalyst does what Calcite+streams do in the reference."""
+        stmt = node.kwargs.get("stmt") or node.args[0]
+        spark = next(iter(self.tables.values())).sparkSession
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+        return spark.sql(str(stmt))
+
+    def _s_echo(self, node: ExprNode) -> DataFrame:
+        """echo("text") — EchoStream.java: one tuple with the text."""
+        spark = next(iter(self.tables.values())).sparkSession
+        return spark.createDataFrame(
+            [(str(node.args[0]),)], "echo string")
+
     def _s_let(self, node: ExprNode) -> DataFrame:
         """let(a=<stream>, b=<stream over get(a)>, <final stream>) —
         LetStream.java: bind streams to variables in order, each

@@ -320,3 +320,12 @@ def test_timeseries_calendar_gap(spark):
            for r in df.collect()]
     assert got == [("2024-01-01", 3.0, 2), ("2024-02-01", 4.0, 1),
                    ("2024-03-01", 8.0, 1)]
+
+
+def test_sql_stream_and_echo(spark, tables):
+    f = StreamFactory(tables)
+    df = f.compile('sql(stmt="SELECT cat, sum(amount) AS s FROM orders '
+                   'GROUP BY cat ORDER BY cat")')
+    assert [tuple(r) for r in df.collect()] == [
+        ("a", 40), ("b", 20), ("c", 40)]
+    assert f.compile('echo("hi")').collect()[0]["echo"] == "hi"
