@@ -1081,3 +1081,40 @@ def analysis_stages(analyzer: CustomAnalyzer, text: str) -> list[dict]:
         out.append({"stage": f"filter:{name}", "terms": list(terms),
                     "positions": list(positions)})
     return out
+
+
+def delimited_payload_filter(delimiter: str = "|") -> TokenFilter:
+    """DelimitedPayloadTokenFilter (analysis/payloads/
+    DelimitedPayloadTokenFilter.java): tokens of the form
+    ``term|payload`` index as ``term``. The chain protocol carries
+    (terms, positions) only, so the payload side-channel is
+    materialized separately with :func:`extract_payloads` (the engine
+    keeps payloads as a positions-aligned float column — see the
+    ``payload_score`` suite row)."""
+
+    def f(terms: list[str], positions: list[int]):
+        return ([t.split(delimiter, 1)[0] for t in terms],
+                list(positions))
+
+    f.__name__ = "delimited_payload_filter"
+    return f
+
+
+def extract_payloads(terms: list[str], delimiter: str = "|",
+                     default: float = 1.0) -> tuple[list[str], list[float]]:
+    """Split delimited-payload tokens into (bare terms, float
+    payloads); tokens without a delimiter (or with a non-numeric
+    payload, which the reference's FloatEncoder would reject) carry
+    ``default``."""
+    out_t, out_p = [], []
+    for t in terms:
+        term, sep, pay = t.partition(delimiter)
+        if sep:
+            try:
+                out_p.append(float(pay))
+            except ValueError:
+                out_p.append(default)
+        else:
+            out_p.append(default)
+        out_t.append(term)
+    return out_t, out_p

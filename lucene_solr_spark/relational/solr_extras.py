@@ -587,3 +587,62 @@ def taxonomy_facets(spark, sf_dir):
           .select(F.concat_ws("/", "region", "nation").alias("path"),
                   F.lit(2).alias("depth"), "cnt", "rank"))
     return d1.unionByName(d2)
+
+
+# ---------------------------------------------------------------------------
+# Payload scoring — lucene/analysis/common/.../payloads/
+# DelimitedPayloadTokenFilter.java (token "term|1.5" → term + float
+# payload) and lucene/queries/.../payloads/PayloadScoreQuery.java +
+# PayloadFunction.java:31-56 (Average/Min/Max/Sum over the payloads of
+# the query term's matches in a doc; includeSpanScore=false returns
+# the payload function value alone — the Solr {!payload_score} default).
+# Payload source here: each doc's FIRST whitespace token is treated as
+# a delimited-payload token "<term>|<weight>" derived deterministically
+# from the doc (synthetic corpus has no real payloads; the derivation
+# term|((doc_id % 7) + 1) is identical in both engines so the oracle
+# is exact).
+# ---------------------------------------------------------------------------
+
+@register(
+    "payload_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             lower(string_split(text, ' ')[1]) AS term,
+             ((doc_id % 7) + 1)::DOUBLE AS payload
+      FROM documents WHERE length(text) > 0
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n,
+             round(avg(payload), 4) AS avg_p,
+             min(payload) AS min_p, max(payload) AS max_p,
+             round(sum(payload), 4) AS sum_p
+      FROM toks WHERE term = 'the' GROUP BY doc_id
+    )
+    SELECT doc_id, avg_p, min_p, max_p, sum_p FROM hits
+    """,
+)
+def payload_score(spark, sf_dir):
+    """PayloadScoreQuery over a delimited-payload field: for every doc
+    matching term 'the' in the payloaded position, the four
+    PayloadFunction docScores (avg = payloadScore/numPayloadsSeen per
+    AveragePayloadFunction.java:35-40, min/max/sum accumulate per
+    currentScore).
+
+    Scale shape: payload extraction is row-local JVM string ops
+    (split/element_at); the per-doc aggregate is ONE exchange on
+    doc_id — identical to any postings aggregation. At 100 TB payloads
+    ride the postings table as an extra float column aligned with
+    positions; no separate storage pass."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = docs.select(
+        "doc_id",
+        F.lower(F.element_at(F.split("text", " "), 1)).alias("term"),
+        ((F.col("doc_id") % 7) + 1).cast("double").alias("payload"),
+    )
+    return (toks.where(F.col("term") == "the")
+            .groupBy("doc_id")
+            .agg(F.round(F.avg("payload"), 4).alias("avg_p"),
+                 F.min("payload").alias("min_p"),
+                 F.max("payload").alias("max_p"),
+                 F.round(F.sum("payload"), 4).alias("sum_p")))

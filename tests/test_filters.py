@@ -329,3 +329,17 @@ class TestWordDelimiterGraph:
         assert whitespace_tokenize("foo  bar\tbaz\nqux") == [
             "foo", "bar", "baz", "qux"]
         assert whitespace_tokenize("a-b.c") == ["a-b.c"]
+
+
+def test_delimited_payload_filter():
+    from lucene_solr_spark.analysis.filters import (
+        delimited_payload_filter,
+        extract_payloads,
+    )
+
+    f = delimited_payload_filter()
+    terms, pos = f(["the|0.1", "quick|2.5", "fox"], [0, 1, 2])
+    assert terms == ["the", "quick", "fox"] and pos == [0, 1, 2]
+    t, p = extract_payloads(["the|0.1", "fox", "bad|x"])
+    assert t == ["the", "fox", "bad"]
+    assert p == [0.1, 1.0, 1.0]
