@@ -383,12 +383,16 @@ def spellcheck_collate(searcher: IndexSearcher, query_string: str,
 
 def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
               window_tokens: int = 16, pre: str = "<b>", post: str = "</b>",
-              corpus: DataFrame | None = None) -> DataFrame:
+              corpus: DataFrame | None = None,
+              max_passages: int = 1, separator: str = " ... ") -> DataFrame:
     """Snippets for the top-k hits: join hits back to the stored
     content (two-phase: slim top-k first, content fetch after — the
     Solr two-phase distributed search shape, QueryComponent.java:585),
     then a UDF re-analyzes ONLY those k rows and returns the densest
-    window with query terms wrapped."""
+    window(s) with query terms wrapped. ``max_passages`` > 1 emits up
+    to that many non-overlapping windows in document order joined by
+    ``separator`` (UnifiedHighlighter.java maxPassages/getFieldHighlighter
+    — passages ranked by match density, rendered in offset order)."""
     q = searcher.rewrite(q)
     from .executor import _collect_terms
 
@@ -414,25 +418,41 @@ def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
             if not flags.any() or not spans:
                 out.append(text[:120])
                 continue
-            # densest window of `window_tokens` tokens
+            # densest windows of `window_tokens` tokens; greedy
+            # non-overlapping top-N by match count (PassageScorer
+            # ranking role), emitted in document order
             csum = np.concatenate(([0], np.cumsum(flags)))
             w = min(window_tokens, len(flags))
             dens = csum[w:] - csum[:-w]
-            start = int(dens.argmax()) if dens.size else 0
-            end = min(start + w, len(spans)) - 1
-            lo = spans[start][1]
-            hi = spans[end][2]
-            piece = text[lo:hi]
-            # wrap matches (longest-first to avoid nested wraps)
-            rendered = []
-            cursor = lo
-            for t, a, b in spans[start:end + 1]:
-                if t in qterms:
-                    rendered.append(text[cursor:a])
-                    rendered.append(pre + text[a:b] + post)
-                    cursor = b
-            rendered.append(text[cursor:hi])
-            out.append("".join(rendered))
+            if dens.size == 0:
+                starts = [0]
+            else:
+                order = np.argsort(-dens, kind="stable")
+                starts, taken = [], []
+                for s in order:
+                    if dens[s] == 0 and starts:
+                        break
+                    if all(abs(int(s) - t) >= w for t in taken):
+                        starts.append(int(s))
+                        taken.append(int(s))
+                    if len(starts) >= max_passages:
+                        break
+                starts.sort()
+            pieces = []
+            for start in starts:
+                end = min(start + w, len(spans)) - 1
+                lo = spans[start][1]
+                hi = spans[end][2]
+                rendered = []
+                cursor = lo
+                for t, a, b in spans[start:end + 1]:
+                    if t in qterms:
+                        rendered.append(text[cursor:a])
+                        rendered.append(pre + text[a:b] + post)
+                        cursor = b
+                rendered.append(text[cursor:hi])
+                pieces.append("".join(rendered))
+            out.append(separator.join(pieces))
         return pd.Series(out)
 
     return with_text.select("docid", "score", snip(F.col("content")).alias("snippet")) \

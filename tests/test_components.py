@@ -137,6 +137,26 @@ def test_highlight(built):
     assert [r["docid"] for r in rows] == [h.docid for h in hits]
 
 
+def test_highlight_multi_passage(built):
+    searcher, oracle, corpus, _ = built
+    t1, t2 = _common_terms(oracle)
+    q = BooleanQuery.of(should=[TermQuery(t1), TermQuery(t2)])
+    one = C.highlight(searcher, q, k=3, corpus=corpus,
+                      window_tokens=6).collect()
+    multi = C.highlight(searcher, q, k=3, corpus=corpus,
+                        window_tokens=6, max_passages=3).collect()
+    for r1, r3 in zip(one, multi):
+        assert r1["docid"] == r3["docid"]
+        # passage 1 of the multi snippet is a superset start; every
+        # passage still wraps only query terms
+        inner = [s.split("</b>")[0].lower()
+                 for s in r3["snippet"].split("<b>")[1:]]
+        assert inner and all(tok in (t1, t2) for tok in inner)
+        assert len(r3["snippet"].split(" ... ")) >= 1
+    # at least one of the top docs yields >1 passage at window 6
+    assert any(len(r["snippet"].split(" ... ")) > 1 for r in multi)
+
+
 def test_token_spans_offsets(built):
     an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
     text = "The Quick foo.bar BAZ-code 3.14"
