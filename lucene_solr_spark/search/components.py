@@ -861,3 +861,31 @@ def suggest_with_contexts(sugg: DataFrame, query: str,
             .withColumn("score", F.col("weight") * F.col("boost"))
             .orderBy(F.desc("score"), F.asc("text"))
             .select("text", "weight", "score").limit(n))
+
+
+def mlt_interesting_terms(searcher: IndexSearcher, docid: int,
+                          max_query_terms: int = 25,
+                          min_term_freq: int = 1,
+                          min_doc_freq: int = 2) -> list[tuple[str, float]]:
+    """MoreLikeThis interestingTerms=details (Solr
+    MoreLikeThisHandler / MoreLikeThis.retrieveInterestingTerms): the
+    ranked (term, tf·idf score) list the MLT query is built from —
+    same selection rules as :func:`more_like_this`, exposed for
+    debugging/boost tuning."""
+    rows = (searcher.postings.where((F.col("docid") == docid)
+                                    & (F.col("field") == "content"))
+            .select("term", "tf").collect())
+    if not rows:
+        return []
+    stats = searcher.term_stats({("content", r["term"]) for r in rows})
+    n = searcher.doc_count
+    scored = []
+    for r in rows:
+        t, tf = r["term"], int(r["tf"])
+        df = stats.get(("content", t), 0)
+        if tf < min_term_freq or df < min_doc_freq:
+            continue
+        idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        scored.append((tf * idf, t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [(t, s) for s, t in scored[:max_query_terms]]

@@ -237,3 +237,13 @@ def test_luke_info(built):
     exp = sorted(((t, oracle.doc_freq(t)) for _f, t in oracle.postings),
                  key=lambda x: (-x[1], x[0]))[:5]
     assert f["topTerms"] == exp
+
+
+def test_mlt_interesting_terms_match_query(built):
+    searcher, _, _, _ = built
+    terms = C.mlt_interesting_terms(searcher, docid=1, max_query_terms=15)
+    assert terms and all(s > 0 for _t, s in terms)
+    # scores are non-increasing; term set equals the MLT query's clauses
+    assert all(a[1] >= b[1] for a, b in zip(terms, terms[1:]))
+    q = C.more_like_this(searcher, docid=1, max_query_terms=15)
+    assert {t for t, _s in terms} == {c.query.term for c in q.clauses}
