@@ -49,7 +49,7 @@ from .queries import (
 def edismax_query(query_string: str, qf: dict[str, float],
                   tie: float = 0.0, analyzer: StandardAnalyzer | None = None,
                   default_operator: str = "OR",
-                  minimum_should_match: int = 0,
+                  minimum_should_match: int | str = 0,
                   pf: dict[str, float] | None = None,
                   pf2: dict[str, float] | None = None,
                   pf3: dict[str, float] | None = None,
@@ -98,6 +98,16 @@ def edismax_query(query_string: str, qf: dict[str, float],
         dm = DisjunctionMaxQuery(tuple(per_field), tie_breaker=tie)
         occur = mod or ("MUST" if default_operator == "AND" else "SHOULD")
         clauses.append(BooleanClause(dm, occur))
+    if isinstance(minimum_should_match, str):
+        # Solr mm spec grammar ("75%", "-2", "2<-25% 9<-3") applied to
+        # the count of optional clauses (SolrPluginUtils.java
+        # setMinShouldMatch:620-645, mmAutoRelax=false branch: every
+        # SHOULD clause counts)
+        from .mm import calc_min_should_match
+
+        optional = sum(c.occur == "SHOULD" for c in clauses)
+        minimum_should_match = calc_min_should_match(
+            optional, minimum_should_match)
     main = BooleanQuery(tuple(clauses),
                         minimum_should_match=minimum_should_match)
 
