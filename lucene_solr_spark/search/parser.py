@@ -174,6 +174,22 @@ class QueryParser:
                 sub = self._boosted(sub, boost)
             return sub, j
 
+        # ^=N — Solr constant-score operator (ConstantScorePrefixQuery
+        # syntax, SolrQueryParserBase.java handles "^=" as
+        # ConstantScoreQuery(boost)): the clause matches normally but
+        # scores exactly N.
+        m = re.match(r"^(.*)\^=(\d+(?:\.\d+)?)$", t)
+        if m:
+            head, cscore = m.group(1), float(m.group(2))
+            if not head.startswith('"') or re.match(
+                    r'^"(?:[^"\\]|\\.)*"(?:~\d+)?$', head):
+                from .queries import ConstantScoreQuery
+
+                q = self._primitive(head)
+                if q is None:
+                    return None, i + 1
+                return ConstantScoreQuery(q, boost=cscore), i + 1
+
         boost = None
         m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", t)
         if m:

@@ -44,3 +44,22 @@ def test_edismax_accepts_spec_string():
     q3 = edismax_query("+alpha beta gamma -delta", {"content": 1.0},
                        minimum_should_match="100%")
     assert q3.minimum_should_match == 2
+
+
+def test_parser_constant_score_operator():
+    """^=N (SolrQueryParserBase constant-score operator) parses to
+    ConstantScoreQuery with the given score."""
+    from lucene_solr_spark.search.parser import QueryParser
+    from lucene_solr_spark.search.queries import (
+        BooleanQuery,
+        ConstantScoreQuery,
+        TermQuery,
+    )
+
+    p = QueryParser()
+    q = p.parse("content:spark^=3")
+    assert q == ConstantScoreQuery(TermQuery("spark"), boost=3.0)
+    mixed = p.parse("spark^=2.5 vector")
+    assert isinstance(mixed, BooleanQuery)
+    kinds = {type(c.query) for c in mixed.clauses}
+    assert ConstantScoreQuery in kinds and TermQuery in kinds
