@@ -12,9 +12,20 @@ CALENDAR_UNITS): YEAR, MONTH, DAY/DATE, HOUR, MINUTE/MIN, SECOND/SEC,
 MILLI/MILLISECOND. Month arithmetic clamps the day-of-month like
 java.util.Calendar (Jan 31 + 1MONTH = Feb 28/29).
 
-All arithmetic is timezone-naive UTC (Solr's default TZ=UTC), so the
-resolved instants are deterministic given the base — which is what the
-TimeSeries/range-facet entries need for oracle-checkable windows.
+All arithmetic is timezone-naive UTC by default (Solr's default
+TZ=UTC), so the resolved instants are deterministic given the base —
+which is what the TimeSeries/range-facet entries need for
+oracle-checkable windows.
+
+``tz=`` renders Solr's TZ request param: DateMathParser.java:364-420
+converts the instant to a LocalDateTime in that zone, applies EVERY
+op as wall-clock arithmetic there (so ``/DAY`` rounds to the zone's
+midnight, ``+1DAY`` across a DST change keeps the wall time), then
+re-localizes — ports here as aware-UTC → zone wall time →
+the same ``_add``/``_round_down`` (already wall-clock) → zone →
+UTC. Ambiguous/nonexistent wall times resolve like
+``LocalDateTime.atZone`` (earlier offset / shifted forward), which is
+Python ``ZoneInfo``'s fold=0 behavior.
 """
 
 from __future__ import annotations
@@ -82,8 +93,12 @@ def _add(dt: datetime, n: int, unit: str) -> datetime:
     return dt + delta
 
 
-def parse_date_math(expr: str, now: datetime | None = None) -> datetime:
-    """Resolve a date-math expression to a (naive-UTC) datetime."""
+def parse_date_math(expr: str, now: datetime | None = None,
+                    tz: str | None = None) -> datetime:
+    """Resolve a date-math expression to a (naive-UTC) datetime.
+
+    ``tz`` is an IANA zone name (Solr's TZ param); rounding and
+    calendar adds then use that zone's wall clock."""
     expr = expr.strip()
     if expr.upper().startswith("NOW"):
         base = now if now is not None else datetime.utcnow()
@@ -98,6 +113,16 @@ def parse_date_math(expr: str, now: datetime | None = None) -> datetime:
         except ValueError as e:
             raise ValueError(f"bad date math base in {expr!r}") from e
         rest = expr[m.end():]
+
+    zone = None
+    if tz is not None and tz.upper() != "UTC":
+        from datetime import timezone as _tzutc
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        # instant → the zone's wall clock (LocalDateTime in the TZ)
+        base = (base.replace(tzinfo=_tzutc.utc).astimezone(zone)
+                .replace(tzinfo=None))
 
     pos = 0
     while pos < len(rest):
@@ -114,4 +139,10 @@ def parse_date_math(expr: str, now: datetime | None = None) -> datetime:
                 raise ValueError(f"{op}{unit} needs a count")
             base = _add(base, int(n) if op == "+" else -int(n), unit)
         pos = m.end()
+    if zone is not None:
+        from datetime import timezone as _tzutc
+
+        # wall time → instant (LocalDateTime.atZone, fold=0) → UTC
+        base = (base.replace(tzinfo=zone).astimezone(_tzutc.utc)
+                .replace(tzinfo=None))
     return base
