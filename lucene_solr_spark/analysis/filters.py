@@ -1118,3 +1118,96 @@ def extract_payloads(terms: list[str], delimiter: str = "|",
             out_p.append(default)
         out_t.append(term)
     return out_t, out_p
+
+
+def keep_word_filter(words, lower_case: bool = False) -> TokenFilter:
+    """KeepWordFilter (miscellaneous/KeepWordFilter.java): the inverse
+    of a stop filter — only tokens IN ``words`` survive; removed slots
+    leave a position gap like StopFilter (the reference extends
+    FilteringTokenFilter, which bumps posIncrement)."""
+    keep = {w.lower() for w in words} if lower_case else set(words)
+
+    def f(terms: list[str], positions: list[int]):
+        pairs = [(t, p) for t, p in zip(terms, positions)
+                 if (t.lower() if lower_case else t) in keep]
+        return [t for t, _ in pairs], [p for _, p in pairs]
+
+    f.__name__ = "keep_word_filter"
+    return f
+
+
+def limit_token_count_filter(max_token_count: int) -> TokenFilter:
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:
+    34-44): index only the first ``max_token_count`` tokens of a field
+    (huge-document guard). consumeAllTokens has no analogue here — the
+    chain owns the whole token list either way."""
+
+    def f(terms: list[str], positions: list[int]):
+        return terms[:max_token_count], positions[:max_token_count]
+
+    f.__name__ = "limit_token_count_filter"
+    return f
+
+
+def truncate_filter(length: int) -> TokenFilter:
+    """TruncateTokenFilter (miscellaneous/TruncateTokenFilter.java):
+    cut every token to at most ``length`` chars (agrammatical-language
+    stemming / prefix bucketing)."""
+
+    def f(terms: list[str], positions: list[int]):
+        return [t[:length] for t in terms], list(positions)
+
+    f.__name__ = "truncate_filter"
+    return f
+
+
+def decimal_digit_filter(terms: list[str], positions: list[int]):
+    """DecimalDigitFilter (core/DecimalDigitFilter.java:42-56): fold
+    any Unicode decimal digit (Nd category — Arabic-Indic, Devanagari,
+    fullwidth…) to its 0-9 equivalent."""
+    import unicodedata
+
+    def fold(t: str) -> str:
+        return "".join(
+            chr(ord("0") + unicodedata.decimal(c))
+            if c > "\x7f" and unicodedata.category(c) == "Nd" else c
+            for c in t)
+
+    return [fold(t) for t in terms], list(positions)
+
+
+def pattern_capture_group_filter(patterns, preserve_original: bool = True
+                                 ) -> TokenFilter:
+    """PatternCaptureGroupTokenFilter (pattern/
+    PatternCaptureGroupTokenFilter.java:31-102): emit one token per
+    capture group per match of each pattern, all stacked at the
+    original token's position (posIncrement 0 in the reference);
+    ``preserve_original`` keeps the input token too, and a token no
+    pattern matches always passes through."""
+    import re as _re
+
+    pats = [_re.compile(p) if isinstance(p, str) else p for p in patterns]
+
+    def f(terms: list[str], positions: list[int]):
+        out_t, out_p = [], []
+        for t, p in zip(terms, positions):
+            emitted = []
+            for pat in pats:
+                for m in pat.finditer(t):
+                    for g in range(1, (pat.groups or 0) + 1):
+                        if m.group(g):
+                            emitted.append(m.group(g))
+            if not emitted:
+                out_t.append(t)
+                out_p.append(p)
+                continue
+            if preserve_original:
+                out_t.append(t)
+                out_p.append(p)
+            for e in emitted:
+                out_t.append(e)
+                out_p.append(p)          # stacked, posIncrement 0
+        return out_t, out_p
+
+    f.__name__ = "pattern_capture_group_filter"
+    return f

@@ -343,3 +343,37 @@ def test_delimited_payload_filter():
     t, p = extract_payloads(["the|0.1", "fox", "bad|x"])
     assert t == ["the", "fox", "bad"]
     assert p == [0.1, 1.0, 1.0]
+
+
+def test_keep_limit_truncate_decimal_capture():
+    from lucene_solr_spark.analysis.filters import (
+        decimal_digit_filter,
+        keep_word_filter,
+        limit_token_count_filter,
+        pattern_capture_group_filter,
+        truncate_filter,
+    )
+
+    t, p = keep_word_filter({"spark", "flink"})(
+        ["spark", "beam", "flink"], [0, 1, 2])
+    assert (t, p) == (["spark", "flink"], [0, 2])   # position gap kept
+    t, p = keep_word_filter({"spark"}, lower_case=True)(["SPARK"], [0])
+    assert t == ["SPARK"]
+
+    assert limit_token_count_filter(2)(["a", "b", "c"], [0, 1, 2]) == (
+        ["a", "b"], [0, 1])
+
+    assert truncate_filter(3)(["abcdef", "ab"], [0, 1]) == (
+        ["abc", "ab"], [0, 1])
+
+    # Arabic-Indic ٣ = 3, Devanagari ७ = 7, fullwidth ５ = 5
+    t, _ = decimal_digit_filter(["a٣b७５"], [0])
+    assert t == ["a3b75"]
+
+    # capture groups stack at the original position; original kept
+    f = pattern_capture_group_filter([r"([a-z]+)"], preserve_original=True)
+    t, p = f(["camelCase"], [5])
+    assert t == ["camelCase", "camel", "ase"] and p == [5, 5, 5]
+    f2 = pattern_capture_group_filter([r"(\d+)"], preserve_original=False)
+    t2, p2 = f2(["abc123def45", "plain"], [0, 1])
+    assert t2 == ["123", "45", "plain"] and p2 == [0, 0, 1]
