@@ -899,3 +899,37 @@ def mlt_interesting_terms(searcher: IndexSearcher, docid: int,
         scored.append((tf * idf, t))
     scored.sort(key=lambda x: (-x[0], x[1]))
     return [(t, s) for s, t in scored[:max_query_terms]]
+
+
+def parse_elevate_xml(text: str) -> dict[str, tuple[list[str], list[str]]]:
+    """Parse Solr's ``elevate.xml`` (QueryElevationComponent's
+    config-file format, solr/core/.../component/QueryElevationComponent.java
+    loadElevationConfiguration role):
+
+        <elevate>
+          <query text="foo bar">
+            <doc id="1" />
+            <doc id="2" exclude="true" />
+          </query>
+        </elevate>
+
+    Returns {query text: (elevated ids in config order, excluded ids)}
+    — feed the id lists (resolved to docids) to :func:`elevate_topk`."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    out: dict[str, tuple[list[str], list[str]]] = {}
+    for qel in root.findall("query"):
+        qtext = qel.get("text") or ""
+        ups: list[str] = []
+        downs: list[str] = []
+        for doc in qel.findall("doc"):
+            did = doc.get("id")
+            if did is None:
+                continue
+            if (doc.get("exclude") or "").lower() == "true":
+                downs.append(did)
+            else:
+                ups.append(did)
+        out[qtext] = (ups, downs)
+    return out

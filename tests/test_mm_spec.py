@@ -63,3 +63,17 @@ def test_parser_constant_score_operator():
     assert isinstance(mixed, BooleanQuery)
     kinds = {type(c.query) for c in mixed.clauses}
     assert ConstantScoreQuery in kinds and TermQuery in kinds
+
+
+def test_parse_elevate_xml():
+    from lucene_solr_spark.search.components import parse_elevate_xml
+
+    cfg = parse_elevate_xml("""
+    <elevate>
+      <query text="aaa">
+        <doc id="7"/><doc id="3"/>
+        <doc id="9" exclude="true"/>
+      </query>
+      <query text="bbb"><doc id="1"/></query>
+    </elevate>""")
+    assert cfg == {"aaa": (["7", "3"], ["9"]), "bbb": (["1"], [])}
