@@ -101,12 +101,19 @@ def update_numeric_docvalue(spark: SparkSession, root: str, field: str,
     return gen
 
 
-def read_docvalues(spark: SparkSession, root: str, field: str) -> DataFrame:
+def read_docvalues(spark: SparkSession, root: str, field: str,
+                   include_new_docs: bool = True) -> DataFrame:
     """Merge-on-read view (docid, value): highest generation wins,
-    else the base value. Docs first seen in an update (no base row)
-    are included — Lucene requires the field to exist at index time,
-    but Solr's in-place path allows absent-then-set; we take the
-    permissive contract and document it."""
+    else the base value.
+
+    The overlay is a broadcast LEFT join (patches ≪ base — a full
+    outer join here would silently refuse the broadcast and
+    sort-merge the whole base). ``include_new_docs`` additionally
+    unions docs first seen in an update (no base row): Lucene requires
+    the field to exist at index time, but Solr's in-place path allows
+    absent-then-set; the union costs one extra column-pruned pass over
+    the base's docid column, so pass ``False`` on the strict contract
+    when reads dominate."""
     froot = _field_root(root, field)
     base = spark.read.parquet(os.path.join(froot, "base"))
     meta = _load_meta(froot)
@@ -124,11 +131,16 @@ def read_docvalues(spark: SparkSession, root: str, field: str) -> DataFrame:
         allp.groupBy("docid")
         .agg(F.max_by("value", "gen").alias("pvalue"))
     )
-    return (
-        base.join(F.broadcast(latest), "docid", "full_outer")
+    out = (
+        base.join(F.broadcast(latest), "docid", "left")
         .select("docid",
                 F.coalesce("pvalue", "value").alias("value"))
     )
+    if include_new_docs:
+        fresh = latest.join(base.select("docid"), "docid", "left_anti") \
+            .select("docid", F.col("pvalue").alias("value"))
+        out = out.unionByName(fresh)
+    return out
 
 
 def fold_docvalues(spark: SparkSession, root: str, field: str) -> None:

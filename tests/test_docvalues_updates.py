@@ -117,3 +117,15 @@ def test_function_query_reads_dv_overlay(spark, tmp_path):
              comp.dataframe("sum(field(popularity), 1)").collect()}
     assert after[5] == 1001.0
     assert after[6] == before[6] == 107.0
+
+
+def test_strict_contract_excludes_new_docs_and_broadcasts(spark, root):
+    update_numeric_docvalue(spark, root, "popularity",
+                            _vals(spark, [(100, 12), (1, 5)]))
+    strict = read_docvalues(spark, root, "popularity",
+                            include_new_docs=False)
+    ids = {r["docid"] for r in strict.collect()}
+    assert 100 not in ids and strict.count() == 8
+    # the overlay join must actually broadcast the patch side
+    plan = strict._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
