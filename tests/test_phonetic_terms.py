@@ -97,3 +97,92 @@ def test_terms_enum_regex_and_mincount(searcher):
     dict_rows = searcher.dict.where(
         searcher.dict["term"].isin(*d)).select("term", "df").collect()
     assert {r["term"]: r["df"] for r in dict_rows} == d
+
+
+# ---------------------------------------------------------------------------
+# Round-3 encoder zoo: the remaining PhoneticFilterFactory encoders
+# (Metaphone, Nysiis, Caverphone2, ColognePhonetic — commons-codec /
+# published-spec semantics). Goldens hand-derived from the published
+# rule tables; the spec-document examples are cited inline.
+
+from lucene_solr_spark.analysis.phonetic import (
+    metaphone,
+    nysiis,
+    caverphone2,
+    cologne_phonetic,
+)
+
+
+def test_metaphone_initial_clusters():
+    # silent initial clusters: KN/GN/PN/WR drop the first letter,
+    # X- → S, WH- → W, AE- → E
+    assert metaphone("Knight") == "NT"
+    assert metaphone("gnome") == "NM"
+    assert metaphone("pneumonia")[0] == "N"
+    assert metaphone("wright") == "RT"
+    assert metaphone("Xavier")[0] == "S"
+    assert metaphone("what")[0] == "W"
+    assert metaphone("aegis")[0] == "E"
+
+
+def test_metaphone_rule_table():
+    assert metaphone("metaphone") == "MTFN"   # P before H → F
+    assert metaphone("testing") == "TSTN"
+    assert metaphone("thought") == "0T"       # TH → 0, GH silent
+    assert metaphone("judge") == "JJ"         # -DGE- → J
+    assert metaphone("school") == "SKL"       # SCH → K
+    assert metaphone("station") == "STXN"     # -TIO- → X
+    assert metaphone("vision")[1] == "X"      # -SIO- → X (after initial F)
+    assert metaphone("lamb") == "LM"          # terminal MB: B silent
+    assert metaphone("box") == "BKS"          # X → KS
+    assert metaphone("quick") == "KK"         # Q → K, CK collapses
+    assert metaphone("cellar") == "SLR"       # C before E → S
+    assert metaphone("chair")[0] == "X"       # CH → X
+    assert metaphone("science")[:2] == "SN"   # SCI: C dropped
+
+
+def test_metaphone_cap_and_case():
+    assert metaphone("Schwarzenegger", max_code_len=4) == metaphone("schwarzenegger")
+    assert len(metaphone("Schwarzenegger")) == 4
+    assert metaphone("") == ""
+    assert metaphone("a") == "A"
+
+
+def test_nysiis_goldens():
+    # boundary transcodes + body rules; KNIGHT/BISHOP are the
+    # widely-published worked examples
+    assert nysiis("KNIGHT") == "NAGT"
+    assert nysiis("Bishop") == "BASAP"
+    assert nysiis("MACINTOSH") == "MCANT"
+    assert nysiis("KNUTH") == "NAT"
+    # matching variants collide
+    assert nysiis("Brian") == nysiis("Brown") == nysiis("Brun") == "BRAN"
+    # strict=False removes the 6-char cap
+    assert nysiis("Schwarzenegger", strict=False).startswith(nysiis("Schwarzenegger"))
+
+
+def test_caverphone2_spec_examples():
+    # worked examples from the Caverphone 2.0 revision paper
+    assert caverphone2("Thompson") == "TMPSN11111"
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Peter") == "PTA1111111"
+    assert len(caverphone2("x")) == 10
+    # spelling variants collide
+    assert caverphone2("Stephenson") == caverphone2("Stevenson")
+
+
+def test_cologne_goldens():
+    # published worked examples (Postel's table)
+    assert cologne_phonetic("Müller-Lüdenscheidt") == "65752682"
+    assert cologne_phonetic("Breschnew") == "17863"
+    assert cologne_phonetic("Wikipedia") == "3412"
+    # the motivating German collision pair
+    assert cologne_phonetic("Meyer") == cologne_phonetic("Mair") == "67"
+    # terminal D/T is '2' (not the before-C/S/Z '8' branch)
+    assert cologne_phonetic("Schmidt").endswith("2")
+
+
+def test_new_encoders_in_phonetic_filter():
+    f = phonetic_filter(metaphone, inject=False)
+    terms, pos = f(["knight", "night"], [0, 1])
+    assert terms[0] == terms[1] == "nt" and pos == [0, 1]
