@@ -977,6 +977,38 @@ class CustomAnalyzer:
     def terms(self, text: str) -> list[str]:
         return self.analyze(text)[0]
 
+    def analyze_stages(self, text: str) -> list[tuple[str, list[tuple[str, int]]]]:
+        """Per-stage analysis trace — the FieldAnalysisRequestHandler /
+        AnalysisRequestHandlerBase role (solr/core/.../handler/
+        FieldAnalysisRequestHandler.java:56-71,
+        AnalysisRequestHandlerBase.java:90-145: the response lists the
+        token stream AFTER each char filter, the tokenizer, and each
+        token filter, so a schema author can see which stage ate or
+        rewrote a token). Returns ``[(stage_name, [(term, position),
+        ...]), ...]`` in pipeline order."""
+        stages: list[tuple[str, list[tuple[str, int]]]] = []
+        for cf in self.char_filters:
+            text = cf(text)
+            name = getattr(cf, "__name__", type(cf).__name__)
+            # char filters operate pre-tokenization: show the text as a
+            # single pseudo-token the way the Solr response shows the
+            # transformed char stream
+            stages.append((f"charfilter:{name}", [(text, 0)]))
+        toks = self.tokenizer(text, self.max_token_length)
+        tname = getattr(self.tokenizer, "__name__", type(self.tokenizer).__name__)
+        stages.append((f"tokenizer:{tname}",
+                       [(t, i) for i, t in enumerate(toks)]))
+        terms = [t.lower() for t in toks] if self.lowercase else list(toks)
+        positions = list(range(len(terms)))
+        if self.lowercase:
+            stages.append(("filter:lowercase",
+                           list(zip(terms, positions))))
+        for f in self.filters:
+            terms, positions = f(terms, positions)
+            name = getattr(f, "__name__", type(f).__name__)
+            stages.append((f"filter:{name}", list(zip(terms, positions))))
+        return stages
+
 
 def english_analyzer() -> CustomAnalyzer:
     """EnglishAnalyzer.java pipeline: standard → lowercase →

@@ -377,3 +377,42 @@ def test_keep_limit_truncate_decimal_capture():
     f2 = pattern_capture_group_filter([r"(\d+)"], preserve_original=False)
     t2, p2 = f2(["abc123def45", "plain"], [0, 1])
     assert t2 == ["123", "45", "plain"] and p2 == [0, 0, 1]
+
+
+class TestAnalyzeStages:
+    """FieldAnalysisRequestHandler role: per-stage token trace."""
+
+    def test_stage_trace_shapes(self):
+        from lucene_solr_spark.analysis.filters import (
+            CustomAnalyzer, porter_stem_filter, stop_filter)
+        from lucene_solr_spark.analysis.tokenizer import ENGLISH_STOP_WORDS
+
+        an = CustomAnalyzer([stop_filter(ENGLISH_STOP_WORDS),
+                             porter_stem_filter])
+        stages = an.analyze_stages("The Running Dogs")
+        names = [n for n, _ in stages]
+        assert names[0].startswith("tokenizer:")
+        assert names[1] == "filter:lowercase"
+        assert len(stages) == 4
+        # tokenizer stage keeps original case; lowercase stage folds
+        assert [t for t, _ in stages[0][1]] == ["The", "Running", "Dogs"]
+        assert [t for t, _ in stages[1][1]] == ["the", "running", "dogs"]
+        # stop stage eats 'the' but keeps downstream positions gapped
+        stop_terms = stages[2][1]
+        assert [t for t, _ in stop_terms] == ["running", "dogs"]
+        assert [p for _, p in stop_terms] == [1, 2]
+        # final stage equals analyze()
+        final = stages[-1][1]
+        terms, positions = an.analyze("The Running Dogs")
+        assert final == list(zip(terms, positions))
+        assert terms == ["run", "dog"]
+
+    def test_char_filter_stage(self):
+        from lucene_solr_spark.analysis.charfilters import html_strip
+        from lucene_solr_spark.analysis.filters import CustomAnalyzer
+
+        an = CustomAnalyzer(char_filters=[html_strip])
+        stages = an.analyze_stages("<b>big</b> table")
+        assert stages[0][0].startswith("charfilter:")
+        assert "<b>" not in stages[0][1][0][0]
+        assert [t for t, _ in stages[-1][1]] == ["big", "table"]
