@@ -274,6 +274,58 @@ def main():
     queries.update(etimings)
     extras.update(sorted_stats)
 
+    # North-rule scaling gate: surface the pooled two-cluster-size
+    # evidence (scripts/bench_scaling.py writes one JSON per sample;
+    # BASELINE.md carries the full table + protocol). Pooled medians
+    # over every recorded 2v8 sample keep one noisy window from
+    # defining the round's number.
+    scaling = {}
+    try:
+        import glob
+        import statistics as _st
+
+        eff_b, eff_q = [], []          # all recorded pairs
+        eff_b2, eff_q2 = [], []        # protocol v2: tmpfs-backed dirs
+        for p in sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_SCALING*2v8*.json"))) + [os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_SCALING_LADDER.json")]:
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+            except OSError:
+                continue
+            pb = d.get("pair_efficiencies_build", [])
+            pq = d.get("pair_efficiencies_query", [])
+            eff_b.extend(pb)
+            eff_q.extend(pq)
+            if d.get("low", {}).get("tmpfs"):
+                eff_b2.extend(pb)
+                eff_q2.extend(pq)
+        if eff_b:
+            scaling = {
+                "scaling_2v8_pairs": len(eff_b),
+                "scaling_eff_build_median": round(_st.median(eff_b), 3),
+                "scaling_eff_query_median": round(_st.median(eff_q), 3),
+                "scaling_target": 0.8,
+                "scaling_protocol": "local[2] vs local[8] paired back-to-back, "
+                                    "median over all recorded pairs "
+                                    "(BENCH_SCALING*.json, BASELINE.md)",
+            }
+        if eff_b2:
+            # protocol v2 removes the single-box shared-disk confounder
+            # (tmpfs bench dirs = per-executor local disks on a real
+            # cluster) — pairs under the old protocol measured the one
+            # virtual disk as much as the plan; report both pools
+            scaling.update({
+                "scaling_v2_pairs": len(eff_b2),
+                "scaling_v2_eff_build_median": round(_st.median(eff_b2), 3),
+                "scaling_v2_eff_query_median": round(_st.median(eff_q2), 3),
+            })
+    except Exception:
+        pass
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline suite wall time (relational+fulltext queries, index build, BM25 top-k)",
@@ -285,6 +337,7 @@ def main():
         "build_docs": N_BUILD_DOCS,
         "n_bm25_queries": N_QUERIES,
         **extras,
+        **scaling,
     }
     print(json.dumps(result))
     spark.stop()

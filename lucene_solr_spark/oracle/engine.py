@@ -19,10 +19,13 @@ from ..search import bm25
 from ..search.multiterm import expand_terms
 from ..search.sloppy import sloppy_freq
 from ..search.queries import (
+    BlendedTermLeaf,
+    BlendedTermQuery,
     BooleanClause,
     BooleanQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FieldExistsQuery,
     MatchAllDocsQuery,
@@ -108,9 +111,11 @@ class OracleIndex:
     def scorer(self, field: str = "content"):
         from ..search.similarities import SIMILARITIES
 
-        return SIMILARITIES[self.similarity](
-            max(self.field_doc_count.get(field, 0), 1),
-            max(self.field_sum_ttf.get(field, 0), 1), self.k1, self.b)
+        dc = max(self.field_doc_count.get(field, 0), 1)
+        st = max(self.field_sum_ttf.get(field, 0), 1)
+        if callable(self.similarity) and not isinstance(self.similarity, str):
+            return self.similarity(dc, st)  # configured similarity
+        return SIMILARITIES[self.similarity](dc, st, self.k1, self.b)
 
     # -- matching ------------------------------------------------------
     def _match(self, q: Query, scorer: bm25.BM25Scorer, boost: float = 1.0) -> dict[int, float]:
@@ -194,7 +199,71 @@ class OracleIndex:
         if isinstance(q, DisjunctionMaxQuery):
             return self._match_dismax(q, scorer, boost)
 
+        if isinstance(q, CoveringQuery):
+            return self._match_covering(q, scorer, boost)
+
+        if isinstance(q, BlendedTermQuery):
+            # BlendedTermQuery.java:265-296: df = max member df, ttf =
+            # sum member ttf, leaves score with the blended pair
+            df = max((len(self.postings.get((f, t), ()))
+                      for f, t, _b in q.terms), default=0)
+            ttf = sum(sum(tf for _d, tf, _p in self.postings.get((f, t), ()))
+                      for f, t, _b in q.terms)
+            leaves = tuple(
+                BlendedTermLeaf(f, t, df, ttf, b) for f, t, b in q.terms)
+            if q.rewrite_method == "boolean":
+                rewritten: Query = BooleanQuery(
+                    tuple(BooleanClause(l, "SHOULD") for l in leaves),
+                    boost=q.boost)
+            else:
+                rewritten = DisjunctionMaxQuery(leaves, q.tie_breaker, q.boost)
+            return self._match(rewritten, scorer, boost)
+
+        if isinstance(q, BlendedTermLeaf):
+            plist = self.postings.get((q.field, q.term), ())
+            if not plist or q.df == 0:
+                return {}
+            fscorer = self.scorer(q.field)
+            out = {}
+            if getattr(fscorer, "needs_ttf", False):
+                for docid, tf, _ in plist:
+                    s = fscorer.stats_partial(
+                        np.array([tf]),
+                        np.array([self._norm(q.field, docid)]),
+                        boost * q.boost, q.df, q.ttf)[0]
+                    out[docid] = float(s)
+                return out
+            w = fscorer.weight(q.df, boost * q.boost)
+            for docid, tf, _ in plist:
+                s = fscorer.partial(
+                    np.array([tf]), np.array([self._norm(q.field, docid)]), w)[0]
+                out[docid] = float(s)
+            return out
+
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _match_covering(self, q: CoveringQuery, scorer, boost) -> dict[int, float]:
+        """CoveringScorer.java:94-134: per-doc minMatch = max(1, value)
+        from the LongValuesSource (``oracle_min_match``: docid -> int
+        or None = doc has no value -> never matches); score = sum of
+        matching sub-queries' scores."""
+        mm = q.oracle_min_match
+        if mm is None:
+            raise ValueError("oracle CoveringQuery needs oracle_min_match")
+        scoring = [self._match(sq, scorer, boost * q.boost) for sq in q.queries]
+        counts: dict[int, int] = defaultdict(int)
+        for m in scoring:
+            for d in m:
+                counts[d] += 1
+        out = {}
+        for d, c in counts.items():
+            v = mm(d)
+            if v is None or c < max(1, int(v)):
+                continue
+            clause_scores = [m[d] for m in scoring if d in m]
+            out[d] = float(bm25.sum_scores_f32(
+                np.array(clause_scores, dtype=np.float32)))
+        return out
 
     @staticmethod
     def _rewrite_multiterm(q: MultiTermQuery, terms: list[str],

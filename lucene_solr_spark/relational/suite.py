@@ -115,12 +115,20 @@ def ft_term_stats(spark, sf_dir):
       SELECT doc_id FROM tok WHERE term = 'spark'
       EXCEPT
       SELECT doc_id FROM tok WHERE term = 'vector')
+    UNION ALL
+    SELECT 'covering' AS op, doc_id FROM (
+      SELECT doc_id, count(DISTINCT term) AS n FROM tok
+      WHERE term IN ('spark', 'vector', 'index', 'query')
+      GROUP BY doc_id)
+    WHERE n >= 1 + doc_id % 3
     """,
 )
 def ft_boolean(spark, sf_dir):
     """BooleanQuery MUST+MUST = docid intersection
-    (search/BooleanQuery.java:78-222; ConjunctionDISI.java) and
-    MUST + MUST_NOT = anti join (search/ReqExclScorer.java), one
+    (search/BooleanQuery.java:78-222; ConjunctionDISI.java),
+    MUST + MUST_NOT = anti join (search/ReqExclScorer.java), and
+    CoveringQuery — per-doc minimumNumberMatch from a LongValuesSource
+    (sandbox CoveringQuery.java:36-63; here 1 + doc_id % 3) — one
     tagged union row (drivers cap the checked-registry size)."""
     tok = _tokens(spark, sf_dir)
     a = tok.where(F.col("term") == "spark").select("doc_id").distinct()
@@ -129,7 +137,12 @@ def ft_boolean(spark, sf_dir):
         F.lit("and").alias("op"), "doc_id")
     only = a.join(b, "doc_id", "left_anti").select(
         F.lit("not").alias("op"), "doc_id")
-    return both.unionByName(only)
+    cov = (tok.where(F.col("term").isin("spark", "vector", "index", "query"))
+           .groupBy("doc_id")
+           .agg(F.countDistinct("term").alias("n"))
+           .where(F.col("n") >= 1 + F.pmod(F.col("doc_id"), F.lit(3)))
+           .select(F.lit("covering").alias("op"), "doc_id"))
+    return both.unionByName(only).unionByName(cov)
 
 
 _BM25_TERMS = ("spark", "vector")
@@ -1332,6 +1345,10 @@ _HAV_SQL = _HAVERSINE.format(lat=_LAT, lon=_LON, lat0="48.85", lon0="2.35")
     UNION ALL
     SELECT 'polygon' AS op, c_custkey, -9999.0 AS v1, -9999.0 AS v2
     FROM customer WHERE {_pip_sql(_LAT, _LON)}
+    UNION ALL
+    SELECT 'nearest' AS op, c_custkey, v1, -9999.0 AS v2
+    FROM (SELECT c_custkey, round({_HAV_SQL}, 1) AS v1
+          FROM customer ORDER BY {_HAV_SQL}, c_custkey LIMIT 10)
     """,
 )
 def geo_suite(spark, sf_dir):
@@ -1357,7 +1374,15 @@ def geo_suite(spark, sf_dir):
     poly = (c.where(F.expr(_pip_sql(_LAT, _LON)))
             .select(F.lit("polygon").alias("op"), "c_custkey",
                     null_d.alias("v1"), null_d.alias("v2")))
-    return box.unionByName(dist).unionByName(poly)
+    # nearest-k (sandbox LatLonPointPrototypeQueries.nearest /
+    # NearestNeighbor.java): exact top-k by haversine — orderBy.limit
+    # is TakeOrderedAndProject (per-partition heaps), the declarative
+    # stand-in for the reference's BKD best-first traversal; at 100 TB
+    # a bbox prefilter around the query point prunes the scan first
+    nearest = (c.orderBy(hav, "c_custkey").limit(10)
+               .select(F.lit("nearest").alias("op"), "c_custkey",
+                       F.round(hav, 1).alias("v1"), null_d.alias("v2")))
+    return box.unionByName(dist).unionByName(poly).unionByName(nearest)
 
 
 @register(

@@ -166,6 +166,36 @@ def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,
             .select(group_col, "group_rank", "docid", "score", "rank_in_group"))
 
 
+def diversified_topk(searcher: IndexSearcher, q: Query, key_col: str,
+                     k: int = 10, max_per_key: int = 1) -> DataFrame:
+    """Diversified top-k (misc/search/DiversifiedTopDocsCollector.java:28-76):
+    a top-``k`` where no more than ``max_per_key`` hits share a key
+    (the de-duplicated news-search / one-song-per-artist collector).
+    The collector's evict-lowest-per-key priority-queue semantics
+    reduce declaratively to: rank hits within each key by (score desc,
+    docid asc), keep rank <= max_per_key, then global top-k — the
+    per-key window is one shuffle on the key and the global cut is
+    TakeOrderedAndProject (per-partition heaps, no single-task sort).
+    Keys come from a docs-table column (the NumericDocValues getKeys
+    role, :82); docs with a NULL key are their own singleton key
+    (Lucene reads 0 for missing — we keep them distinct, documented
+    departure for usability)."""
+    scored = searcher.search_df(q, None)
+    docs = searcher.docs.select("docid", key_col)
+    joined = scored.join(docs, "docid")
+    # NULL keys: fall back to a per-doc unique key so they never
+    # compete with each other for the per-key budget
+    keyed = joined.withColumn(
+        "_dkey",
+        F.coalesce(F.col(key_col).cast("string"),
+                   F.concat(F.lit("\x00docid:"), F.col("docid"))))
+    w = Window.partitionBy("_dkey").orderBy(F.desc("score"), F.asc("docid"))
+    return (keyed.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_per_key)
+            .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+            .select("docid", "score", key_col))
+
+
 def facet_on_results(searcher: IndexSearcher, q: Query, facet_col: str) -> DataFrame:
     """Field-value counts over the full match set (not just top-k) —
     FacetsCollector semantics. One semi-join + groupBy."""

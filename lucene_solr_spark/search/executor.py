@@ -42,10 +42,13 @@ from ..index.builder import IndexTables
 from . import bm25
 from .multiterm import expand_terms, wildcard_to_regex
 from .queries import (
+    BlendedTermLeaf,
+    BlendedTermQuery,
     BooleanClause,
     BooleanQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FieldExistsQuery,
     FuzzyQuery,
@@ -177,6 +180,15 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
         for d in q.disjuncts:
             out |= _collect_terms(d)
         return out
+    if isinstance(q, CoveringQuery):
+        out = set()
+        for sq in q.queries:
+            out |= _collect_terms(sq)
+        return out
+    if isinstance(q, BlendedTermQuery):
+        return {(f, t) for f, t, _b in q.terms}
+    if isinstance(q, BlendedTermLeaf):
+        return {(q.field, q.term)}
     from .spans import SpanQuery, span_terms
 
     if isinstance(q, SpanQuery):
@@ -422,7 +434,35 @@ class IndexSearcher:
             return DisjunctionMaxQuery(
                 tuple(self.rewrite(d) for d in q.disjuncts),
                 q.tie_breaker, q.boost)
+        if isinstance(q, CoveringQuery):
+            return CoveringQuery(
+                tuple(self.rewrite(sq) for sq in q.queries),
+                q.min_match, q.boost, q.oracle_min_match)
+        if isinstance(q, BlendedTermQuery):
+            return self._rewrite_blended(q)
         return q
+
+    def _rewrite_blended(self, q: BlendedTermQuery) -> Query:
+        """BlendedTermQuery.rewrite (BlendedTermQuery.java:265-296):
+        df = max member df, ttf = sum member ttf, every member scores
+        with the blended pair; then DisMax(tie) or SHOULD-Boolean."""
+        pairs = {(f, t) for f, t, _b in q.terms}
+        dfs = self.term_stats(pairs)
+        df = max([dfs.get(p, 0) for p in pairs], default=0)
+        needs_ttf = any(
+            getattr(self.field_scorer(f), "needs_ttf", False)
+            for f, _t, _b in q.terms)
+        ttf = 0
+        if needs_ttf:
+            ttfs = self._ttf_for(pairs)
+            ttf = sum(ttfs.get(p, 0) for p in pairs)
+        leaves = tuple(
+            BlendedTermLeaf(f, t, df, ttf, b) for f, t, b in q.terms)
+        if q.rewrite_method == "boolean":
+            return BooleanQuery(
+                tuple(BooleanClause(l, "SHOULD") for l in leaves),
+                boost=q.boost)
+        return DisjunctionMaxQuery(leaves, q.tie_breaker, q.boost)
 
     def _expand(self, q: MultiTermQuery) -> list[str]:
         """Dictionary walk (the TermsEnum/automaton role): a cheap
@@ -780,7 +820,63 @@ class IndexSearcher:
             return self._synonym_leaf(q, stats, boost)
         if isinstance(q, DisjunctionMaxQuery):
             return self._compile_dismax(q, stats, boost)
+        if isinstance(q, CoveringQuery):
+            return self._covering_leaf(q, stats, boost)
+        if isinstance(q, BlendedTermLeaf):
+            return self._blended_term_leaf(q, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _blended_term_leaf(self, q: BlendedTermLeaf, boost: float) -> DataFrame:
+        """_term_leaf with the blended (df, ttf) overriding the
+        dictionary stats (the adjusted-TermStates role)."""
+        if q.df == 0:
+            return self._empty_scored()
+        scorer = self.field_scorer(q.field)
+        df, ttf = q.df, q.ttf
+        if getattr(scorer, "needs_ttf", False):
+            bq = float(boost * q.boost)
+
+            @F.pandas_udf(FloatType())
+            def sscore(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                return pd.Series(scorer.stats_partial(
+                    tf.to_numpy(), norm.to_numpy(), bq, df, ttf))
+
+            return (self._postings_for([q.term], field=q.field)
+                    .select("docid",
+                            sscore(F.col("tf"), F.col("norm")).alias("score")))
+        w = float(scorer.weight(df, boost * q.boost))
+        udf = self._score_udf({q.term: w}, scorer)
+        return (
+            self._postings_for([q.term], field=q.field)
+            .select("docid",
+                    udf(F.col("term"), F.col("tf"), F.col("norm")).alias("score"))
+        )
+
+    def _covering_leaf(self, q: CoveringQuery, stats, boost: float) -> DataFrame:
+        """Per-doc minimumNumberMatch disjunction (sandbox
+        CoveringQuery.java:36-63 / CoveringScorer.java:125-134): the
+        sub-queries union into one (docid, score, 1) frame, ONE
+        groupBy(docid) yields (Σscore, n_matched), and the per-doc
+        required count joins in from the docs table via the
+        function-query compiler (the LongValuesSource role). minMatch
+        = max(1, value); docs with a NULL value never match."""
+        from .function_queries import FunctionQueryCompiler
+
+        b = boost * q.boost
+        scoring = [self._compile(sq, stats, b).select("docid", "score")
+                   for sq in q.queries]
+        if not scoring:
+            return self._empty_scored()
+        unioned = reduce(DataFrame.unionByName, scoring)
+        agg = unioned.groupBy("docid").agg(
+            F.sum(F.col("score").cast("double")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        mm = FunctionQueryCompiler(self).dataframe(q.min_match, alias="_mm")
+        out = agg.join(mm, "docid").where(
+            F.col("_mm").isNotNull()
+            & (F.col("_n") >= F.greatest(F.lit(1), F.col("_mm").cast("long"))))
+        return out.select("docid", F.col("_s").cast("float").alias("score"))
 
     def _synonym_leaf(self, q: SynonymQuery, stats, boost: float) -> DataFrame:
         """Pseudo-term scoring: per-doc freq = sum of member tfs, df =

@@ -261,6 +261,56 @@ class FieldExistsQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """BlendedTermQuery (search/BlendedTermQuery.java:48-296): blends
+    the statistics of several terms (typically the same text across
+    fields) so they score as if they were one term — df = max of the
+    member dfs, ttf = sum (:275-283 adjustFrequencies) — then rewrites
+    to a DisjunctionMax (tie 0.01, :183) or a SHOULD-Boolean (:133) of
+    the stat-adjusted term leaves. ``terms`` is ((field, term, boost),
+    ...)."""
+
+    terms: tuple[tuple[str, str, float], ...]
+    rewrite_method: str = "dismax"  # DISJUNCTION_MAX_REWRITE default
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BlendedTermLeaf(Query):
+    """A term leaf scoring with OVERRIDDEN collection stats (the
+    adjusted TermStates of BlendedTermQuery.java:297-318). Produced by
+    the searcher/oracle rewrite; not built directly by users."""
+
+    field: str
+    term: str
+    df: int
+    ttf: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Sandbox CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java:36-63):
+    a disjunction whose minimumNumberMatch is PER-DOCUMENT, read from a
+    LongValuesSource. Values < 1 behave like 1; docs with NO value for
+    the source do not match (CoveringScorer.java:125-134). Score = sum
+    of the matching sub-queries' scores.
+
+    ``min_match`` is a function-query expression over the docs table
+    (the LongValuesSource role — e.g. ``"mod(dl, 4)"`` or a DocValues
+    ``field(x)``); ``oracle_min_match`` optionally carries a
+    docid -> int|None callable for the pure-Python oracle (excluded
+    from equality/hash: it is test plumbing, not query identity)."""
+
+    queries: tuple[Query, ...]
+    min_match: str
+    boost: float = 1.0
+    oracle_min_match: object = field(
+        default=None, compare=False, hash=False)
+
+
+@dataclass(frozen=True)
 class TopDoc:
     docid: int
     score: float  # float32 value

@@ -74,6 +74,48 @@ class ClassicScorer:
         return (raw * n).astype(np.float32)
 
 
+class SweetSpotScorer(ClassicScorer):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:95-166):
+    ClassicSimilarity with tunable "sweet spot" curves — a plateau
+    length norm ``1/sqrt(steepness*(|len-min|+|len-max|-(max-min))+1)``
+    (== 1.0 for min <= len <= max) and ``baselineTf`` ``freq <= min ?
+    base : sqrt(freq + base^2 - min)``. The defaults (min=max=1,
+    steepness=0.5, base=min=0) degrade exactly to ClassicSimilarity,
+    per the class javadoc."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int = 0,
+                 k1: float = 0.0, b: float = 0.0, *,
+                 ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0):
+        super().__init__(doc_count, sum_total_term_freq)
+        lt = LENGTH_TABLE.astype(np.float64)
+        # inner sum in float32 like the Java expression
+        # (s * (float)(|x-l| + |x-h| - (h-l)) + 1.0f), sqrt in double
+        inner = (np.float32(steepness)
+                 * (np.abs(lt - ln_min) + np.abs(lt - ln_max)
+                    - (ln_max - ln_min)).astype(np.float32)
+                 + np.float32(1.0))
+        tbl = (1.0 / np.sqrt(inner.astype(np.float64))).astype(np.float32)
+        tbl[lt == 0] = np.float32(0.0)
+        self.cache = tbl
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def partial(self, freq, norm_byte, weight_f32) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        with np.errstate(invalid="ignore"):  # f <= tf_min branch masked
+            tf = np.where(
+                f <= self.tf_min,
+                np.float32(self.tf_base),
+                np.sqrt(f + self.tf_base * self.tf_base - self.tf_min)
+                .astype(np.float32)).astype(np.float32)
+        tf = np.where(f == 0, np.float32(0.0), tf)  # baselineTf 0-check
+        w = np.asarray(weight_f32, dtype=np.float32)
+        raw = (tf * w).astype(np.float32)
+        n = self.cache[np.asarray(norm_byte, dtype=np.int64) & 0xFF]
+        return (raw * n).astype(np.float32)
+
+
 class BooleanScorer:
     """BooleanSimilarity (search/similarities/BooleanSimilarity.java):
     every matching (term, doc) scores exactly the query boost — no tf,
@@ -359,10 +401,18 @@ SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
                 "axiomatic_f2log": AxiomaticF2LOGScorer,
                 "dfi_standardized": DFIStandardizedScorer,
                 "dfi_chi_squared": DFIChiSquaredScorer,
-                "dfi_saturated": DFISaturatedScorer}
+                "dfi_saturated": DFISaturatedScorer,
+                "sweet_spot": SweetSpotScorer}
 
 
-def make_scorer(name: str, doc_count: int, sum_ttf: int):
+def make_scorer(name, doc_count: int, sum_ttf: int):
+    """Resolve a similarity: a registry name, or a callable
+    ``(doc_count, sum_ttf) -> scorer`` for CONFIGURED similarities
+    (e.g. ``lambda dc, st: SweetSpotScorer(dc, st, ln_min=3,
+    ln_max=10)`` — the setLengthNormFactors/setBaselineTfFactors
+    role)."""
+    if callable(name) and not isinstance(name, str):
+        return name(doc_count, sum_ttf)
     try:
         cls = SIMILARITIES[name]
     except KeyError:

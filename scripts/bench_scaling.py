@@ -91,7 +91,11 @@ def child(cpus: int, docs: int, queries: int) -> None:
     from lucene_solr_spark.index.segments import build_segment_index
     from lucene_solr_spark.search.queries import BooleanQuery, TermQuery
 
+    import atexit
     import shutil
+
+    # crash-safe: a dying child must not leak tmpfs (RAM-backed) dirs
+    atexit.register(shutil.rmtree, tmp_base, ignore_errors=True)
 
     out = {"cpus": cpus, "docs": docs, "tmpfs": bool(shm)}
     corpus = corpus_df(spark, docs, partitions=cpus * 2)

@@ -157,3 +157,45 @@ def test_edismax_pf3_and_single_word(built):
     q1 = edismax_query("python", {"title": 2.0, "content": 1.0},
                        analyzer=an, pf={"title": 3.0}, pf2={"title": 1.0})
     _identical(searcher, oracle, q1)
+
+
+def test_blended_term_cross_field_dismax(built):
+    """BlendedTermQuery (BlendedTermQuery.java:48-296): same word in
+    two fields scores with blended stats (df = max, ttf = sum) under
+    the default DisjunctionMax(tie=0.01) rewrite — engine/oracle
+    identity."""
+    from lucene_solr_spark.search.queries import BlendedTermQuery
+
+    searcher, oracle = built
+    q = BlendedTermQuery((("title", "python", 1.0),
+                          ("content", "python", 1.0)))
+    _identical(searcher, oracle, q, 15)
+
+
+def test_blended_term_boolean_rewrite_and_boosts(built):
+    from lucene_solr_spark.search.queries import BlendedTermQuery
+
+    searcher, oracle = built
+    q = BlendedTermQuery((("title", "java", 2.0),
+                          ("content", "java", 1.0)),
+                         rewrite_method="boolean", boost=1.5)
+    _identical(searcher, oracle, q, 15)
+
+
+def test_blended_df_is_max_across_members(built):
+    """The blended df really is the max: a rare term blended with a
+    common one scores with the common term's df (lower idf than it
+    would alone)."""
+    from lucene_solr_spark.search.queries import (
+        BlendedTermQuery, DisjunctionMaxQuery)
+
+    searcher, oracle = built
+    blended = BlendedTermQuery((("title", "python", 1.0),
+                                ("content", "return", 1.0)))
+    rewritten = searcher.rewrite(blended)
+    assert isinstance(rewritten, DisjunctionMaxQuery)
+    df_title = oracle.doc_freq("python", "title")
+    df_content = oracle.doc_freq("return", "content")
+    assert df_title != df_content  # the blend is non-trivial
+    assert {l.df for l in rewritten.disjuncts} == {max(df_title, df_content)}
+    _identical(searcher, oracle, blended, 15)
