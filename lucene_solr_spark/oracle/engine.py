@@ -240,7 +240,44 @@ class OracleIndex:
                 out[docid] = float(s)
             return out
 
+        from ..search.feature import FeatureQuery
+
+        if isinstance(q, FeatureQuery):
+            return self._match_feature(q, boost)
+
         raise TypeError(f"unsupported query {type(q)}")
+
+    def add_feature(self, docid: int, feature: str, value: float,
+                    field: str = "features") -> None:
+        """FeatureField write path: the encoded float value IS the
+        posting tf (FeatureField.java:153-156); norms omitted."""
+        from ..search.feature import encode_feature_value
+
+        if not (0 <= docid < self.doc_count):
+            raise ValueError(f"unknown docid {docid}")
+        self.postings[(field, feature)].append(
+            (docid, encode_feature_value(value), ()))
+
+    def _match_feature(self, q, boost: float) -> dict[int, float]:
+        """FeatureQuery.java scorer twin (float disciplines in
+        search/feature.py; default satu pivot from df/ttf per
+        FeatureField.java:508-520)."""
+        from ..search.feature import compute_pivot, feature_scores
+
+        plist = self.postings.get((q.field, q.feature), ())
+        if not plist:
+            return {}
+        pivot = q.pivot
+        if q.function == "satu" and pivot is None:
+            df = len(plist)
+            ttf = sum(tf for _d, tf, _p in plist)
+            pivot = compute_pivot(df, ttf)
+        w = float(boost * q.weight)
+        docids = np.array([d for d, _tf, _p in plist], dtype=np.int64)
+        tfs = np.array([tf for _d, tf, _p in plist], dtype=np.int64)
+        scores = feature_scores(q.function, tfs, w, q.scaling_factor,
+                                pivot, q.exponent)
+        return {int(d): float(s) for d, s in zip(docids, scores)}
 
     def _match_covering(self, q: CoveringQuery, scorer, boost) -> dict[int, float]:
         """CoveringScorer.java:94-134: per-doc minMatch = max(1, value)

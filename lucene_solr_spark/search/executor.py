@@ -189,6 +189,10 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
         return {(f, t) for f, t, _b in q.terms}
     if isinstance(q, BlendedTermLeaf):
         return {(q.field, q.term)}
+    from .feature import FeatureQuery
+
+    if isinstance(q, FeatureQuery):
+        return {(q.field, q.feature)}
     from .spans import SpanQuery, span_terms
 
     if isinstance(q, SpanQuery):
@@ -824,7 +828,42 @@ class IndexSearcher:
             return self._covering_leaf(q, stats, boost)
         if isinstance(q, BlendedTermLeaf):
             return self._blended_term_leaf(q, boost)
+        from .feature import FeatureQuery
+
+        if isinstance(q, FeatureQuery):
+            return self._feature_leaf(q, stats, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _feature_leaf(self, q, stats, boost: float) -> DataFrame:
+        """FeatureQuery.java scorer: the posting tf IS the encoded
+        static feature value; score = monotone function of the decoded
+        value (FeatureField.java LogFunction/SaturationFunction/
+        SigmoidFunction, exact float disciplines in feature.py). Same
+        bucket-pruned postings scan as a TermQuery; norms unused
+        (FeatureField omits norms, FIELD_TYPE at :108-113)."""
+        from .feature import FeatureQuery, compute_pivot, feature_scores
+
+        assert isinstance(q, FeatureQuery)
+        pair = (q.field, q.feature)
+        df = stats.get(pair, 0)
+        if df == 0:
+            return self._empty_scored()
+        pivot = q.pivot
+        if q.function == "satu" and pivot is None:
+            # rewrite-time pivot from index stats
+            # (FeatureField.java:508-520 computePivotFeatureValue)
+            ttf = self._ttf_for({pair}).get(pair, df)
+            pivot = compute_pivot(df, ttf)
+        w = float(boost * q.weight)
+        fn, sf, exp = q.function, q.scaling_factor, q.exponent
+
+        @F.pandas_udf(FloatType())
+        def fscore(tf: pd.Series) -> pd.Series:
+            return pd.Series(feature_scores(
+                fn, tf.to_numpy(dtype=np.int64), w, sf, pivot, exp))
+
+        return (self._postings_for([q.feature], field=q.field)
+                .select("docid", fscore(F.col("tf")).alias("score")))
 
     def _blended_term_leaf(self, q: BlendedTermLeaf, boost: float) -> DataFrame:
         """_term_leaf with the blended (df, ttf) overriding the
