@@ -186,6 +186,11 @@ class OracleIndex:
         if isinstance(q, (SpanQuery, IntervalQuery)):
             return self._match_spans(q, boost)
 
+        from ..search.term_automaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return self._match_term_automaton(q, boost)
+
         if isinstance(q, MultiTermQuery):
             qfield = getattr(q, "field", "content")
             terms = expand_terms(
@@ -390,6 +395,46 @@ class OracleIndex:
             if freq > 0:
                 s = scorer.partial(
                     np.array([freq]), np.array([self._norm(field, d)]), w)[0]
+                out[d] = float(s)
+        return out
+
+    def _match_term_automaton(self, q, boost: float) -> dict[int, float]:
+        """TermAutomatonQuery scoring (sandbox TermAutomatonScorer.java):
+        disjunction over the automaton's terms; per doc, freq = DFA
+        acceptances over the position-ordered token events
+        (countMatches :225-341 via search/term_automaton.count_matches);
+        weight = summed idf over the PRESENT terms (TermAutomatonWeight
+        ctor :341-363)."""
+        from ..search.term_automaton import count_matches
+
+        det = q._check_finished()
+        field = q.field
+        scorer = self.scorer(field)
+        if getattr(scorer, "needs_ttf", False):
+            raise TypeError("TermAutomatonQuery needs a precomputed "
+                            "weight; unsupported under LM/DFR "
+                            "similarities")
+        id_to_term = q.terms()
+        plists = {tid: self.postings.get((field, t), ())
+                  for tid, t in id_to_term.items()}
+        dfs = [len(p) for p in plists.values() if p]
+        if not dfs:
+            return {}
+        idfs = [scorer.idf(df) for df in dfs]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = scorer.weight_from_idf_sum(idf_sum, boost * q.boost)
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for tid, plist in plists.items():
+            for docid, _tf, pp in plist:
+                by_doc.setdefault(docid, []).extend((p, tid) for p in pp)
+        out = {}
+        for d, events in by_doc.items():
+            events.sort()
+            freq = count_matches(events, det, q.any_id)
+            if freq > 0:
+                s = scorer.partial(
+                    np.array([freq], dtype=np.float64),
+                    np.array([self._norm(field, d)]), w)[0]
                 out[d] = float(s)
         return out
 

@@ -198,6 +198,10 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, SpanQuery):
         f = getattr(q, "field", "content")
         return {(f, t) for t in span_terms(q)}
+    from .term_automaton import TermAutomatonQuery
+
+    if isinstance(q, TermAutomatonQuery):
+        return {(q.field, t) for t in q.terms().values()}
     from .intervals import IntervalQuery, interval_terms
 
     if isinstance(q, IntervalQuery):
@@ -832,7 +836,84 @@ class IndexSearcher:
 
         if isinstance(q, FeatureQuery):
             return self._feature_leaf(q, stats, boost)
+        from .term_automaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return self._term_automaton_leaf(q, stats, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _term_automaton_leaf(self, q, stats, boost: float) -> DataFrame:
+        """TermAutomatonQuery (sandbox TermAutomatonScorer.java): a
+        DISJUNCTION over the automaton's terms — every doc holding any
+        query term is a candidate (scorer javadoc) — then a per-doc
+        position-ordered DFA intersection counts acceptances
+        (countMatches :225-341, ported in search/term_automaton.py).
+
+        Plan: per-term positional postings left-joined onto the
+        candidate union (same shape as _span_leaf), one mapInPandas
+        pass; the compiled DFA rides the closure (dict of
+        states×terms, tiny). Weight = summed idf over ALL present
+        terms (TermAutomatonWeight ctor :341-363)."""
+        from .term_automaton import count_matches
+
+        det = q._check_finished()
+        scorer = self.field_scorer(q.field)
+        if getattr(scorer, "needs_ttf", False):
+            raise TypeError("TermAutomatonQuery needs a precomputed "
+                            "weight; unsupported under LM/DFR "
+                            "similarities")
+        id_to_term = q.terms()  # non-ANY terms only
+        present = {tid: t for tid, t in sorted(id_to_term.items())
+                   if stats.get((q.field, t), 0)}
+        if not present:
+            return self._empty_scored()
+        idfs = [scorer.idf(stats[(q.field, t)]) for t in present.values()]
+        idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = float(scorer.weight_from_idf_sum(idf_sum, boost * q.boost))
+        any_id = q.any_id
+
+        tlist = list(present.items())  # [(tid, term)]
+        parts = [self._postings_for([t], with_positions=True, field=q.field)
+                 .select("docid") for _tid, t in tlist]
+        cand = reduce(lambda a, b: a.unionByName(b), parts).distinct()
+        base = cand.join(self.docs.select("docid", "norm"), "docid")
+        for i, (_tid, t) in enumerate(tlist):
+            p = (self._postings_for([t], with_positions=True, field=q.field)
+                 .select("docid", F.col("positions").alias(f"pos{i}")))
+            base = base.join(p, "docid", "left")
+        nterms = len(tlist)
+        tids = [tid for tid, _t in tlist]
+
+        def verify(batches):
+            for pdf in batches:
+                nrows = len(pdf)
+                if nrows == 0:
+                    continue
+                docids = pdf["docid"].to_numpy(dtype=np.int64)
+                norms = pdf["norm"].to_numpy(dtype=np.int64)
+                cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
+                freqs = np.empty(nrows, dtype=np.float64)
+                for r in range(nrows):
+                    events = []
+                    for i in range(nterms):
+                        v = cols[i][r]
+                        if v is None or (isinstance(v, float)
+                                         and np.isnan(v)):
+                            continue  # left-join miss: term absent
+                        tid = tids[i]
+                        events.extend((int(p), tid) for p in v)
+                    events.sort()
+                    freqs[r] = count_matches(events, det, any_id)
+                hit = freqs > 0
+                if not hit.any():
+                    yield pd.DataFrame(
+                        {"docid": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float32")})
+                    continue
+                s = scorer.partial(freqs[hit], norms[hit], np.float32(w))
+                yield pd.DataFrame({"docid": docids[hit], "score": s})
+
+        return base.mapInPandas(verify, schema="docid long, score float")
 
     def _feature_leaf(self, q, stats, boost: float) -> DataFrame:
         """FeatureQuery.java scorer: the posting tf IS the encoded
