@@ -1,4 +1,5 @@
 from .builder import IndexTables, assign_docids, build_index  # noqa: F401
+from .check import CheckStatus, check_index, check_segment_index  # noqa: F401
 from .replication import (  # noqa: F401
     fetch_index,
     publish_file_list,
