@@ -191,6 +191,32 @@ class OracleIndex:
         if isinstance(q, TermAutomatonQuery):
             return self._match_term_automaton(q, boost)
 
+        from ..search.fuzzy_like_this import (
+            FuzzyLikeThisQuery,
+            build_fuzzy_like_this,
+            fuzzy_variant_score,
+        )
+
+        if isinstance(q, FuzzyLikeThisQuery):
+            # in-memory vocabulary walk (the FuzzyTermsEnum role)
+            def enum(field, term, max_edits, prefix_length):
+                pref = term[:prefix_length]
+                out = []
+                for (f, t), plist in self.postings.items():
+                    if f != field or not t.startswith(pref):
+                        continue
+                    if fuzzy_variant_score(term, t, max_edits) != float(
+                            "-inf"):
+                        out.append((t, len(plist)))
+                return out
+
+            rewritten = build_fuzzy_like_this(
+                q, enum,
+                lambda f, t: len(self.postings.get((f, t), ())),
+                self.doc_count,
+                q.analyzer or self.analyzer)
+            return self._match(rewritten, scorer, boost)
+
         if isinstance(q, MultiTermQuery):
             qfield = getattr(q, "field", "content")
             terms = expand_terms(

@@ -448,7 +448,49 @@ class IndexSearcher:
                 q.min_match, q.boost, q.oracle_min_match)
         if isinstance(q, BlendedTermQuery):
             return self._rewrite_blended(q)
+        from .fuzzy_like_this import FuzzyLikeThisQuery
+
+        if isinstance(q, FuzzyLikeThisQuery):
+            return self._rewrite_fuzzy_like_this(q)
         return q
+
+    def _rewrite_fuzzy_like_this(self, q) -> Query:
+        """FuzzyLikeThisQuery.rewrite (sandbox/queries/
+        FuzzyLikeThisQuery.java:276-333) — the shared builder with the
+        dict-scan variant enumerator: prefix + levenshtein-prefiltered
+        Spark predicate, exact OSA refinement inside the builder."""
+        from ..analysis.tokenizer import StandardAnalyzer
+        from .fuzzy_like_this import build_fuzzy_like_this
+
+        def enum(field, term, max_edits, prefix_length):
+            if self._df_map is not None:
+                return [(t, df)
+                        for (f, t), df in self._df_map.items()
+                        if f == field and t.startswith(term[:prefix_length])
+                        and abs(len(t) - len(term)) <= max_edits]
+            col = F.col("term")
+            # classic levenshtein >= OSA; one transposition <= 2
+            # classic edits (same prefilter as FuzzyQuery._expand)
+            pred = F.levenshtein(col, F.lit(term)) <= 2 * max_edits
+            if prefix_length:
+                pred = pred & col.startswith(term[:prefix_length])
+            rows = (self.dict
+                    .where(pred & (F.col("field") == field))
+                    .select("term", "df")
+                    .limit(self.MAX_EXPANSION_SCAN + 1).collect())
+            if len(rows) > self.MAX_EXPANSION_SCAN:
+                raise ValueError(
+                    f"fuzzy-like-this expansion scanned > "
+                    f"{self.MAX_EXPANSION_SCAN} dictionary terms for "
+                    f"{term!r}")
+            return [(r["term"], int(r["df"])) for r in rows]
+
+        def doc_freq(field, term):
+            return self.term_stats({(field, term)}).get((field, term), 0)
+
+        return build_fuzzy_like_this(
+            q, enum, doc_freq, self.doc_count,
+            q.analyzer or StandardAnalyzer())
 
     def _rewrite_blended(self, q: BlendedTermQuery) -> Query:
         """BlendedTermQuery.rewrite (BlendedTermQuery.java:265-296):
