@@ -280,7 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and overflow rows that already carry multi-round green records
 # (r01+r02) to the tail — they stay fully oracle-backed and
 # judge-replicable, just past the driver's cap.
-_OVERFLOW_LAST = ("joinutil_score_modes", "facet_relatedness",
+_OVERFLOW_LAST = ("text_quality", "ft_significant_terms",
+                  "joinutil_score_modes", "facet_relatedness",
                   "dedup_exact", "lang_id_heuristic", "range_query_pushdown",
                   "ft_term_stats", "doc_fingerprint", "topk_tiebreak", "token_counts",
                   "facet_counts_q1", "semi_join_filter",
