@@ -236,6 +236,22 @@ LIMIT 25
 """
 
 
+def _engine_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr local-params QParser registry end-to-end
+    (QParserPlugin.standardPlugins): one {!bool} composing
+    {!maxscore tie} (SHOULD→DisjunctionMax regrouping), {!frange} over
+    the dl function value, and {!hash} worker partitioning with exact
+    Java String.hashCode arithmetic — bit-exact DuckDB oracle."""
+    from lucene_solr_spark.search.qparser import qparse
+
+    s = _searcher(spark, sf_dir)
+    q = qparse("{!bool must='{!maxscore tie=0.3}spark vector' "
+               "filter='{!frange l=20 u=60}dl' "
+               "filter='{!hash workers=3 worker=1 keys=commit}'}")
+    return s.search_df(q, 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: tf-idf term extraction → disjunction query."""
     from lucene_solr_spark.search import components as C
@@ -271,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_edismax"] = _engine_edismax
     out["engine_synonym"] = _engine_synonym
     out["engine_sorted_topk"] = _engine_sorted_topk
+    out["engine_qparser"] = _engine_qparser
     out.update(QUERIES)
     return _reorder(out)
 
@@ -280,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and overflow rows that already carry multi-round green records
 # (r01+r02) to the tail — they stay fully oracle-backed and
 # judge-replicable, just past the driver's cap.
-_OVERFLOW_LAST = ("text_quality", "ft_significant_terms",
+_OVERFLOW_LAST = ("text_quality", "ft_significant_terms", "ann_cosine_knn",
                   "joinutil_score_modes", "facet_relatedness",
                   "dedup_exact", "lang_id_heuristic", "range_query_pushdown",
                   "ft_term_stats", "doc_fingerprint", "topk_tiebreak", "token_counts",
@@ -315,5 +332,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_edismax"] = sqlgen.edismax_topk()
     out["engine_synonym"] = sqlgen.synonym_topk(("array", "matrix", "vector"))
     out["engine_sorted_topk"] = _SORTED_TOPK_SQL
+    out["engine_qparser"] = sqlgen.qparser_mix_topk()
     out.update(ORACLES)
     return _reorder(out)

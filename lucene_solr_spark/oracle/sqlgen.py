@@ -554,3 +554,63 @@ def edismax_topk(words: tuple[str, ...] = ("spark", "src3"),
   FROM ({all_dm}) GROUP BY docid
   ORDER BY score DESC, docid ASC LIMIT {k}""")
     return "".join(parts)
+
+
+def qparser_mix_topk(t1: str = "spark", t2: str = "vector",
+                     tie: float = 0.3, l: int = 20, u: int = 60,
+                     workers: int = 3, worker: int = 1,
+                     k: int = 10) -> str:
+    """{!bool must='{!maxscore tie}t1 t2'
+              filter='{!frange l u}dl'
+              filter='{!hash workers worker keys=commit}'}:
+
+    * maxscore → DisjunctionMax(t1, t2) with tie (MaxScoreQParser.java
+      :58-90), f32 per executor._compile_dismax;
+    * frange → dl BETWEEN l AND u (ValueSourceRangeFilter, inclusive
+      defaults);
+    * hash → Java String.hashCode of the commit string (BytesHash →
+      CharsRef.hashCode, HashQParserPlugin.java:292-305) with
+      ``(h & 0x7FFFFFFF) % workers == worker`` (:212). The int32 wrap
+      runs in BIGINT mod 2^32 (list_reduce over char codes); masking
+      0x7FFFFFFF == mod 2^31 of the unsigned value, so no signed
+      round-trip is needed for a single key.
+
+    FILTER clauses gate but contribute 0 score; the MUST dismax is the
+    whole score (executor._compile_boolean)."""
+    tb = float(np.float32(tie))
+    return ("WITH " + base_ctes()
+            + "," + term_score_ctes(f"term = '{t1}'", "q1")
+            + "," + term_score_ctes(f"term = '{t2}'", "q2") + f"""
+  , cmt AS (
+    SELECT row_number() OVER (
+             ORDER BY source, printf('doc/%09d', doc_id),
+                      CAST(doc_id AS VARCHAR)) - 1 AS docid,
+           CAST(doc_id AS VARCHAR) AS commit
+    FROM documents
+  ),
+  hsh AS (
+    SELECT docid FROM cmt
+    WHERE (list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_apply(string_split_regex(commit, ''),
+                          x -> CAST(ascii(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 4294967296)
+           % 2147483648) % {workers} = {worker}
+  ),
+  rng AS (SELECT docid FROM dl WHERE dl BETWEEN {l} AND {u}),
+  uni AS (
+    SELECT docid, s FROM ts_q1
+    UNION ALL SELECT docid, s FROM ts_q2
+  ),
+  dm AS (
+    SELECT docid,
+           CAST(CAST(max(s) AS DOUBLE)
+                + (sum(CAST(s AS DOUBLE)) - CAST(max(s) AS DOUBLE))
+                  * {tb!r}::DOUBLE AS REAL) AS s
+    FROM uni GROUP BY docid
+  )
+  SELECT docid, CAST(s AS DOUBLE) AS score
+  FROM dm
+  WHERE docid IN (SELECT docid FROM rng)
+    AND docid IN (SELECT docid FROM hsh)
+  ORDER BY score DESC, docid ASC LIMIT {k}""")

@@ -206,6 +206,12 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
 
     if isinstance(q, IntervalQuery):
         return {(q.field, t) for t in interval_terms(q)}
+    from .qparser import FunctionBoostQuery, GraphTermsQuery
+
+    if isinstance(q, GraphTermsQuery):
+        return {(q.field, t) for t in q.terms}
+    if isinstance(q, FunctionBoostQuery):
+        return _collect_terms(q.query)
     return set()
 
 
@@ -452,6 +458,10 @@ class IndexSearcher:
 
         if isinstance(q, FuzzyLikeThisQuery):
             return self._rewrite_fuzzy_like_this(q)
+        from .qparser import FunctionBoostQuery
+
+        if isinstance(q, FunctionBoostQuery):
+            return FunctionBoostQuery(self.rewrite(q.query), q.func, q.boost)
         return q
 
     def _rewrite_fuzzy_like_this(self, q) -> Query:
@@ -882,7 +892,109 @@ class IndexSearcher:
 
         if isinstance(q, TermAutomatonQuery):
             return self._term_automaton_leaf(q, stats, boost)
+        from .qparser import (
+            FunctionBoostQuery,
+            FunctionRangeQuery,
+            GraphTermsQuery,
+            HashQuery,
+        )
+
+        if isinstance(q, FunctionRangeQuery):
+            return self._frange_leaf(q, boost)
+        if isinstance(q, HashQuery):
+            return self._hash_leaf(q, boost)
+        if isinstance(q, GraphTermsQuery):
+            return self._graph_terms_leaf(q, stats, boost)
+        if isinstance(q, FunctionBoostQuery):
+            return self._function_boost_leaf(q, stats, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _frange_leaf(self, q, boost: float) -> DataFrame:
+        """{!frange}: ValueSourceRangeFilter over the compiled function
+        value (FunctionRangeQParserPlugin.java:45-67) → constant score.
+        One projection over the docs table; Catalyst pushes the range
+        predicate into the scan when the function is a plain column."""
+        from .function_queries import FunctionQueryCompiler
+
+        vals = FunctionQueryCompiler(self).dataframe(q.func, alias="_v")
+        cond = F.lit(True)
+        if q.l is not None:
+            cond = cond & (F.col("_v") >= q.l if q.incl
+                           else F.col("_v") > q.l)
+        if q.u is not None:
+            cond = cond & (F.col("_v") <= q.u if q.incu
+                           else F.col("_v") < q.u)
+        c = float(np.float32(boost * q.boost))
+        return vals.where(cond).select(
+            "docid", F.lit(c).cast("float").alias("score"))
+
+    def _hash_leaf(self, q, boost: float) -> DataFrame:
+        """{!hash}: worker-partition filter with the reference's exact
+        hash arithmetic (HashQParserPlugin.java): per-key Java
+        String.hashCode for strings (BytesHash:292-305; missing → "")
+        or Longs.hashCode ``(int)(l ^ (l >>> 32))`` for numerics
+        (NumericHash:321-333; missing → 0), keys summed
+        (CompositeHash:368), match when
+        ``(sum & 0x7FFFFFFF) % workers == worker`` (:212,:265).
+
+        All JVM expressions (codegen; int32 wrap emulated in int64
+        mod-2^32 so ANSI mode can't overflow-throw) — at scale this is
+        a full-scan predicate exactly like the reference's
+        SegmentPartitioner, embarrassingly parallel, no shuffle."""
+        df = self.docs
+        total = F.lit(0).cast("long")
+        for k in q.keys:
+            dt = dict(df.dtypes).get(k)
+            if dt is None:
+                h = F.lit(0).cast("long")
+            elif dt in ("string", "varchar"):
+                codes = F.transform(
+                    F.split(F.coalesce(F.col(k), F.lit("")), ""),
+                    lambda ch: F.ascii(ch).cast("long"))
+                raw = F.aggregate(
+                    codes, F.lit(0).cast("long"),
+                    lambda acc, x: (acc * F.lit(31) + x) % F.lit(1 << 32))
+                h = F.when(raw >= F.lit(1 << 31),
+                           raw - F.lit(1 << 32)).otherwise(raw)
+            else:
+                lx = F.coalesce(F.col(k).cast("long"), F.lit(0))
+                x = lx.bitwiseXOR(F.shiftrightunsigned(lx, 32))
+                m = x.bitwiseAND(F.lit((1 << 32) - 1))
+                h = F.when(m >= F.lit(1 << 31),
+                           m - F.lit(1 << 32)).otherwise(m)
+            total = total + h
+        match = (total.bitwiseAND(F.lit(0x7FFFFFFF))
+                 % F.lit(q.workers)) == F.lit(q.worker)
+        c = float(np.float32(boost * q.boost))
+        return df.where(match).select(
+            "docid", F.lit(c).cast("float").alias("score"))
+
+    def _graph_terms_leaf(self, q, stats, boost: float) -> DataFrame:
+        """{!graphTerms}: constant-score union over the terms whose
+        docFreq <= maxDocFreq (GraphTermsQParserPlugin.java:262 gate,
+        ConstantScoreQuery wrap at :154). The df gate runs on the
+        already-resolved term stats — no extra dictionary pass."""
+        keep = [t for t in q.terms
+                if 0 < stats.get((q.field, t), 0) <= q.max_doc_freq]
+        if not keep:
+            return self._empty_scored()
+        c = float(np.float32(boost * q.boost))
+        return (self._postings_for(keep, field=q.field)
+                .select("docid").distinct()
+                .select("docid", F.lit(c).cast("float").alias("score")))
+
+    def _function_boost_leaf(self, q, stats, boost: float) -> DataFrame:
+        """{!boost b=f}q (BoostedQuery.java BoostedWeight/CustomScorer:
+        score = subquery score × function value per doc). The function
+        column joins onto the subquery's scored rows — docs outside the
+        subquery don't match, unlike a FunctionQuery."""
+        from .function_queries import FunctionQueryCompiler
+
+        inner = self._compile(q.query, stats, boost * q.boost)
+        vals = FunctionQueryCompiler(self).dataframe(q.func, alias="_b")
+        return inner.join(vals, "docid").select(
+            "docid",
+            (F.col("score") * F.col("_b")).cast("float").alias("score"))
 
     def _term_automaton_leaf(self, q, stats, boost: float) -> DataFrame:
         """TermAutomatonQuery (sandbox TermAutomatonScorer.java): a
