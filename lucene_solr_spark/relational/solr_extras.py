@@ -646,3 +646,108 @@ def payload_score(spark, sf_dir):
                  F.min("payload").alias("min_p"),
                  F.max("payload").alias("max_p"),
                  F.round(F.sum("payload"), 4).alias("sum_p")))
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery — lucene/queries/.../payloads/
+# SpanPayloadCheckQuery.java:141-170 (PayloadChecker: a span match
+# survives only if the payload at EVERY position equals the requested
+# byte sequence, position by position) behind Solr's
+# {!payload_check f=... payloads='2 3'} (PayloadCheckQParserPlugin
+# .java:96-103, IntegerEncoder). Payload source: position-derived
+# integer payload ((pos % 5) + 1), identical in both engines (the
+# synthetic corpus carries no delimited payloads; the derivation is
+# the deterministic stand-in, same convention as payload_score).
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_CHECK_ORACLE = """
+    WITH rawtok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    SELECT a.doc_id, count(*) AS n_matches
+    FROM rawtok a JOIN rawtok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'big' AND b.term = 'table'
+      AND (a.pos % 5) + 1 = 2 AND (b.pos % 5) + 1 = 3
+    GROUP BY a.doc_id
+"""
+
+
+@register("payload_check", _PAYLOAD_CHECK_ORACLE)
+def payload_check(spark, sf_dir):
+    """{!payload_check f=content payloads='2 3'}big table: the phrase
+    "big table" restricted to occurrences whose per-position payloads
+    equal (2, 3) — SpanPayloadCheckQuery's position-wise payload
+    equality gate over the span matches. Emits (doc_id, n_matches).
+
+    Scale shape: payloads ride the token table as one more derived
+    column; the check is the standard adjacent-position phrase
+    self-join with two extra pushed-down predicates — the payload
+    filter PRUNES the join inputs (each side keeps only its payload
+    class, ~1/5 of rows) instead of widening them."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"))
+    a = toks.where((F.col("term") == "big")
+                   & ((F.col("pos") % 5) + 1 == 2)).alias("a")
+    b = toks.where((F.col("term") == "table")
+                   & ((F.col("pos") % 5) + 1 == 3)).alias("b")
+    return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos") == F.col("a.pos") + 1))
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.count("*").alias("n_matches")))
+
+
+# ---------------------------------------------------------------------------
+# scoreNodes — io/stream/ScoreNodesStream.java:227-246, over the
+# purchase graph: gather suppliers one hop from seed customers, then
+# score each by (f32(ln tf + 1)) × (f32(ln((N+1)/(df+1)) + 1)).
+# ---------------------------------------------------------------------------
+
+_SCORE_NODES_ORACLE = f"""
+    WITH edges AS ({_EDGES_SQL}),
+    roots AS (SELECT unnest(['c1', 'c2', 'c3']) AS node),
+    l1 AS (
+      SELECT e.dst AS node, count(*) AS n_in FROM edges e
+      JOIN roots r ON e.src = r.node GROUP BY e.dst
+    ),
+    nd AS (SELECT count(DISTINCT src) AS n FROM edges),
+    dfreq AS (
+      SELECT dst AS node, count(*) AS docFreq
+      FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY dst
+    )
+    SELECT l1.node, l1.n_in,
+           coalesce(dfreq.docFreq, 0) AS docFreq,
+           (SELECT n FROM nd) AS numDocs,
+           CAST(CAST(CAST(ln(CAST(l1.n_in AS DOUBLE)) + 1.0 AS REAL)
+                     AS DOUBLE)
+                * CAST(CAST(ln((CAST((SELECT n FROM nd) AS DOUBLE) + 1.0)
+                               / (CAST(coalesce(dfreq.docFreq, 0)
+                                       AS DOUBLE) + 1.0)) + 1.0 AS REAL)
+                       AS DOUBLE) AS REAL) AS nodeScore
+    FROM l1 LEFT JOIN dfreq USING (node)
+"""
+
+
+@register("graph_score_nodes", _SCORE_NODES_ORACLE)
+def graph_score_nodes(spark, sf_dir):
+    """scoreNodes(gatherNodes(...)) through the streaming-expression
+    language: suppliers one hop from seed customers {c1,c2,c3}, ranked
+    by the reference's tf-idf node score with its float32 per-factor
+    casts (ScoreNodesStream.java:243)."""
+    from ..streaming.expressions import StreamFactory
+
+    edges = _purchase_edges(spark, sf_dir).persist()
+    roots = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    sf = StreamFactory({"edges": edges, "roots": roots})
+    out = sf.compile(
+        'scoreNodes(edges, nodes(edges, search(roots), walk="node->src", '
+        'gather="dst", maxLevels=1, trackTraversal=true, '
+        'scatter="leaves"))')
+    return out.select(
+        "node", "n_in", "docFreq", "numDocs",
+        F.col("nodeScore").cast("float").alias("nodeScore"))

@@ -506,6 +506,21 @@ class StreamFactory:
 
     _s_gatherNodes = _s_nodes
 
+    def _s_scoreNodes(self, node: ExprNode) -> DataFrame:
+        """scoreNodes(collection, <nodes stream>) —
+        ScoreNodesStream.java tf-idf node ranking; the collection names
+        the edge relation the docFreq/numDocs statistics come from."""
+        from .graph import score_nodes
+
+        edges = self.tables.get(node.args[0])
+        if edges is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        nodes = self._stream(node.args[1])
+        return score_nodes(
+            edges=edges, nodes=nodes,
+            dst=node.kwargs.get("gather", "dst"),
+            term_freq_col=node.kwargs.get("termFreq", "n_in"))
+
     def _s_shortestPath(self, node: ExprNode) -> DataFrame:
         """shortestPath(collection, from="a", to="b", edge="src=dst",
         maxDepth=N) — ShortestPathStream.java; emits every shortest

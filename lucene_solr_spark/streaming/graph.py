@@ -107,3 +107,45 @@ def shortest_paths(
         visited = (visited.unionByName(step.select("node"))
                    .distinct().persist())
     return spark.createDataFrame([], "path array<string>")
+
+
+def score_nodes(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    dst: str = "dst",
+    term_freq_col: str = "n_in",
+) -> DataFrame:
+    """scoreNodes(): tf-idf ranking of gathered nodes
+    (io/stream/ScoreNodesStream.java:227-246):
+
+    ``nodeScore = (float)(ln(termFreq) + 1) ×
+    (float)(ln((numDocs + 1) / (docFreq + 1)) + 1)``
+
+    with termFreq = the tuple's gathered count (the stream's default
+    ``count(*)`` field, :85), docFreq = the node term's document
+    frequency in the collection and numDocs the collection size
+    (:227,:237). Over an edge relation, a "document" is a distinct
+    source node: docFreq(node) = distinct sources pointing at it.
+
+    Each factor rounds to float32 before the multiply and the product
+    rounds again — the reference's float casts at :243. One groupBy
+    over the (deduplicated) edge list for the docFreq side plus one
+    broadcast of the scalar numDocs; the nodes stream is small by
+    construction (it came out of a gather), so the join broadcasts.
+    """
+    n_docs = edges.select("src").distinct().count()
+    dfreq = (edges.select("src", dst).distinct()
+             .groupBy(F.col(dst).alias("node"))
+             .agg(F.count("*").alias("docFreq")))
+    f1 = ((F.log(F.col(term_freq_col).cast("double")) + F.lit(1.0))
+          .cast("float").cast("double"))
+    f2 = ((F.log((F.lit(float(n_docs)) + 1.0)
+                 / (F.col("docFreq").cast("double") + 1.0)) + F.lit(1.0))
+          .cast("float").cast("double"))
+    return (nodes.join(dfreq, "node", "left")
+            .withColumn("docFreq",
+                        F.coalesce(F.col("docFreq"), F.lit(0)))
+            .withColumn("numDocs", F.lit(n_docs))
+            .withColumn("nodeScore",
+                        (f1 * f2).cast("float").cast("double")))
