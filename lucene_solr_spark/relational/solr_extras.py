@@ -751,3 +751,114 @@ def graph_score_nodes(spark, sf_dir):
     return out.select(
         "node", "n_in", "docFreq", "numDocs",
         F.col("nodeScore").cast("float").alias("nodeScore"))
+
+
+# ---------------------------------------------------------------------------
+# Solr range facets with the FULL option surface: facet.range.include
+# (lower/upper/edge/outer/all), facet.range.other (before/after/
+# between/all/none) and facet.range.hardend —
+# RangeFacetRequest.java:564-650 computeRanges (bucket loop with the
+# hardend end-clip at :581-586, per-bucket include resolution at
+# :601-607, and the before/after/between bound rules at :632-646).
+# ---------------------------------------------------------------------------
+
+def compute_range_buckets(start: float, end: float, gap: float,
+                          include: frozenset[str] = frozenset({"lower"}),
+                          others: frozenset[str] = frozenset(),
+                          hardend: bool = False):
+    """The reference's computeRanges loop, verbatim: returns
+    [(name, low|None, high|None, incl_low, incl_high)] — gap buckets
+    named by their low bound, then before/after/between rows. The
+    effective ``end`` rounds UP to a whole gap unless hardend
+    (RangeFacetRequest.java:581-586)."""
+    inc = {s.lower() for s in include}
+    if "all" in inc:
+        inc |= {"lower", "upper", "edge", "outer"}
+    oth = {s.lower() for s in others}
+    if "all" in oth:
+        oth |= {"before", "after", "between"}
+    out = []
+    low, eff_end = float(start), float(end)
+    while low < eff_end:
+        high = low + gap
+        if eff_end < high:
+            if hardend:
+                high = eff_end
+            else:
+                eff_end = high
+        incl_low = "lower" in inc or ("edge" in inc and low == start)
+        incl_high = "upper" in inc or ("edge" in inc and high == eff_end)
+        out.append((f"{low:g}", low, high, incl_low, incl_high))
+        low = high
+    if "none" not in oth:
+        if "before" in oth:
+            out.append(("before", None, float(start), False,
+                        "outer" in inc
+                        or not ({"lower", "edge"} & inc)))
+        if "after" in oth:
+            out.append(("after", eff_end, None,
+                        "outer" in inc
+                        or not ({"upper", "edge"} & inc), False))
+        if "between" in oth:
+            out.append(("between", float(start), eff_end,
+                        bool({"lower", "edge"} & inc),
+                        bool({"upper", "edge"} & inc)))
+    return out
+
+
+def range_facets(df, field: str, start: float, end: float, gap: float,
+                 include=frozenset({"lower"}), others=frozenset(),
+                 hardend: bool = False):
+    """One-pass range facets: every bucket (gap buckets + before/after/
+    between) is one conditional-count column of a SINGLE aggregation
+    over the scan — no per-bucket passes, no shuffle beyond the final
+    scalar row — then unpivoted with ``stack`` into (range, count).
+    At 100 TB this is one map-side-combined scan regardless of bucket
+    count (buckets are display-bounded by construction)."""
+    buckets = compute_range_buckets(start, end, gap,
+                                    frozenset(include), frozenset(others),
+                                    hardend)
+    aggs = []
+    for i, (_name, lo, hi, il, ih) in enumerate(buckets):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= lo if il else F.col(field) > lo)
+        if hi is not None:
+            cond = cond & (F.col(field) <= hi if ih else F.col(field) < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', b{i}"
+                      for i, (name, *_r) in enumerate(buckets))
+    return row.selectExpr(
+        f"stack({len(buckets)}, {stack}) AS (range, cnt)")
+
+
+def _range_facet_oracle() -> str:
+    buckets = compute_range_buckets(
+        50000, 350000, 75000,
+        include=frozenset({"edge"}), others=frozenset({"all"}),
+        hardend=True)
+    legs = []
+    for name, lo, hi, il, ih in buckets:
+        conds = []
+        if lo is not None:
+            conds.append(f"o_totalprice {'>=' if il else '>'} {lo!r}")
+        if hi is not None:
+            conds.append(f"o_totalprice {'<=' if ih else '<'} {hi!r}")
+        where = " AND ".join(conds) or "TRUE"
+        legs.append(f"SELECT '{name}' AS range, "
+                    f"(SELECT count(*) FROM orders WHERE {where}) AS cnt")
+    return "\nUNION ALL\n".join(legs)
+
+
+@register("facet_range_options", _range_facet_oracle())
+def facet_range_options(spark, sf_dir):
+    """facet.range over o_totalprice with start=50k end=350k gap=75k,
+    include=edge, other=all, hardend=true: 4 gap buckets with only the
+    outermost edges closed, plus before/after (bounds flipped open per
+    :632-641 since edge already covers them) and between (both edges
+    closed)."""
+    return range_facets(
+        load_table(spark, sf_dir, "orders"), "o_totalprice",
+        50000, 350000, 75000,
+        include={"edge"}, others={"all"}, hardend=True)
