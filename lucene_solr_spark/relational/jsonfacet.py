@@ -104,6 +104,59 @@ def _bucket_col(name: str, spec: dict):
     raise ValueError(f"unsupported facet type {typ!r}")
 
 
+def _apply_domain(df: DataFrame, spec: dict,
+                  parents: list) -> DataFrame:
+    """JSON-facet ``domain`` changes (FacetProcessor.java:138-289
+    handleDomainChanges, in the reference's order: query reset →
+    filter evaluation → join transfer → block join; for toChildren the
+    filters act as acceptDocs INSIDE the transform :273-281, for
+    toParent they apply after :282-284).
+
+    Single-collection block model (Solr's): the frame carries parents
+    AND children, children sharing the parent's key in ``_root_``
+    (the Lucene _root_ field / index-block adjacency). Row-set
+    transforms (query/join/blockChildren/blockParent) are only valid
+    at a facet-tree ROOT in this flattened rendering — nested levels
+    recompute parent bucket keys over the same frame, so a mid-tree
+    row-set switch would break the composite-key pass; pure filter
+    domains compose anywhere."""
+    domain = spec.get("domain")
+    if not domain:
+        return df
+    switching = {"query", "join", "blockChildren", "blockParent"} & set(domain)
+    if switching and parents:
+        raise NotImplementedError(
+            f"domain {sorted(switching)} below the facet root isn't "
+            "expressible in the flattened one-pass rendering; restructure "
+            "as a top-level facet over the transformed domain")
+    base = df
+    current = df
+    if "query" in domain:
+        current = base.where(F.expr(domain["query"]))
+    filters = domain.get("filter", [])
+    if isinstance(filters, str):
+        filters = [filters]
+    if "join" in domain:
+        j = domain["join"]
+        keys = current.select(F.col(j["from"]).alias(j["to"])).distinct()
+        current = base.join(keys, j["to"], "left_semi")
+    if "blockChildren" in domain:
+        pmask = F.expr(domain["blockChildren"])
+        roots = current.where(pmask).select("_root_").distinct()
+        current = (base.where(~pmask)
+                   .join(roots, "_root_", "left_semi"))
+        for f_ in filters:               # acceptDocs inside toChildren
+            current = current.where(F.expr(f_))
+        return current
+    if "blockParent" in domain:
+        pmask = F.expr(domain["blockParent"])
+        roots = current.select("_root_").distinct()
+        current = base.where(pmask).join(roots, "_root_", "left_semi")
+    for f_ in filters:
+        current = current.where(F.expr(f_))
+    return current
+
+
 def _level_filter(df: DataFrame, spec: dict) -> DataFrame:
     typ = spec.get("type", "terms")
     if typ == "range":
@@ -154,6 +207,7 @@ def _compile_level(df: DataFrame, name: str, spec: dict,
     sort = str(spec.get("sort", "count desc" if typ == "terms"
                          else "index asc"))
 
+    df = _apply_domain(df, spec, parents)
     scoped = _level_filter(df, spec)
     for _pn, pspec in parents:
         scoped = _level_filter(scoped, pspec)

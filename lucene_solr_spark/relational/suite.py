@@ -1622,6 +1622,62 @@ def json_facet_api(spark, sf_dir):
 
 
 @register(
+    "json_facet_domain",
+    """
+    WITH par AS (
+      SELECT o_orderkey AS root, o_orderpriority AS prio,
+             o_totalprice AS price
+      FROM orders
+    ),
+    roots AS (
+      SELECT DISTINCT l_orderkey AS root FROM lineitem
+      WHERE l_quantity >= 45
+    )
+    SELECT prio AS prio_val, count(*) AS prio_count,
+           round(avg(price), 4) AS avg_price
+    FROM par JOIN roots USING (root)
+    GROUP BY prio
+    """,
+)
+def json_facet_domain(spark, sf_dir):
+    """JSON-facet domain changes on real data (FacetProcessor.java:
+    138-289): the single-collection block model (orders = parents,
+    lineitems = children sharing _root_), a query domain selecting
+    heavy children (qty >= 45) switched to their parents via
+    blockParent, faceted by priority with an avg(price) agg.
+
+    Scale shape: the domain switch is one semi-join on _root_ (the
+    block-adjacency key), then the usual single groupBy — no
+    per-bucket work."""
+    from .jsonfacet import json_facet
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nulld, nulll = F.lit(None).cast("double"), F.lit(None).cast("long")
+    parents = o.select(
+        F.lit("parent").alias("doc_type"),
+        F.col("o_orderkey").alias("_root_"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        nulll.alias("qty"))
+    children = li.select(
+        F.lit("child").alias("doc_type"),
+        F.col("l_orderkey").alias("_root_"),
+        F.lit(None).cast("string").alias("prio"),
+        nulld.alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    frame = parents.unionByName(children)
+    req = {"prio": {"type": "terms", "field": "prio", "limit": 10,
+                    "domain": {
+                        "query": "doc_type = 'child' AND qty >= 45",
+                        "blockParent": "doc_type = 'parent'"},
+                    "facet": {"avg_price": "avg(price)"}}}
+    out = json_facet(frame, req)
+    return out.select("prio_val", "prio_count",
+                      F.round("avg_price", 4).alias("avg_price"))
+
+
+@register(
     "sessionize",
     """
     WITH s AS (

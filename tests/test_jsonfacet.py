@@ -130,3 +130,81 @@ def test_to_buckets_shape(docs):
     assert [b["val"] for b in buckets] == ["en", "de", "fr"]
     assert buckets[0]["count"] == 5
     assert "avg_len" in buckets[0]
+
+
+# ---- domain changes (FacetProcessor.java:138-289) -------------------------
+
+BLOCK_ROWS = [
+    # (doc_type, _root_, prio, price, qty)
+    ("parent", 1, "HIGH", 300.0, None),
+    ("child",  1, None,   None,  10),
+    ("child",  1, None,   None,  50),
+    ("parent", 2, "LOW",  100.0, None),
+    ("child",  2, None,   None,  50),
+    ("parent", 3, "HIGH", 250.0, None),
+    ("child",  3, None,   None,  5),
+    ("parent", 4, "HIGH", 900.0, None),   # no children
+]
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    return spark.createDataFrame(
+        BLOCK_ROWS,
+        "doc_type string, _root_ long, prio string, price double, qty long"
+    ).cache()
+
+
+def test_domain_filter_only(blocks):
+    req = {"p": {"type": "terms", "field": "prio",
+                 "domain": {"filter": "price >= 250"}}}
+    got = {r["p_val"]: r["p_count"] for r in
+           json_facet(blocks, req).collect()}
+    assert got == {"HIGH": 3}
+
+
+def test_domain_block_parent(blocks):
+    # children with qty >= 50 -> their parents, faceted by prio
+    req = {"p": {"type": "terms", "field": "prio",
+                 "domain": {"query": "doc_type = 'child' AND qty >= 50",
+                            "blockParent": "doc_type = 'parent'"},
+                 "facet": {"avg_price": "avg(price)"}}}
+    got = {r["p_val"]: r for r in json_facet(blocks, req).collect()}
+    # parents 1 and 2 have a qty>=50 child
+    assert {k: v["p_count"] for k, v in got.items()} == {"HIGH": 1, "LOW": 1}
+    assert got["HIGH"]["avg_price"] == 300.0
+    assert got["LOW"]["avg_price"] == 100.0
+
+
+def test_domain_block_children_with_accept_filter(blocks):
+    # HIGH parents -> their children, filter = acceptDocs (qty > 5)
+    req = {"q": {"type": "query", "q": "qty IS NOT NULL",
+                 "domain": {"query": "doc_type = 'parent' AND prio = 'HIGH'",
+                            "blockChildren": "doc_type = 'parent'",
+                            "filter": "qty > 5"},
+                 "facet": {"total_qty": "sum(qty)"}}}
+    r = json_facet(blocks, req).collect()[0]
+    # parent 1's children (10, 50); parent 3's child 5 filtered out;
+    # parent 4 has none
+    assert r["q_count"] == 2 and r["total_qty"] == 60
+
+
+def test_domain_join(blocks, spark):
+    # join domain: transfer from child qty values to parent _root_...
+    # use from=_root_ to=_root_ restricted by query first
+    req = {"p": {"type": "terms", "field": "prio",
+                 "domain": {"query": "doc_type = 'child' AND qty = 50",
+                            "join": {"from": "_root_", "to": "_root_"},
+                            "filter": "doc_type = 'parent'"}}}
+    got = {r["p_val"]: r["p_count"] for r in
+           json_facet(blocks, req).collect()}
+    assert got == {"HIGH": 1, "LOW": 1}
+
+
+def test_domain_switch_below_root_rejected(blocks):
+    req = {"p": {"type": "terms", "field": "prio",
+                 "facet": {"c": {"type": "terms", "field": "doc_type",
+                                 "domain": {"blockChildren":
+                                            "doc_type = 'parent'"}}}}}
+    with pytest.raises(NotImplementedError):
+        json_facet(blocks, req)
