@@ -414,6 +414,144 @@ def keep_last_n_snapshots(root: str, n: int) -> list[int]:
     return [s["gen"] for s in drop]
 
 
+def add_indexes(dst_root: str, src_root: str,
+                spark: SparkSession) -> dict:
+    """IndexWriter.addIndexes(Directory...) (index/IndexWriter.java:
+    2848-2931): fold a separately-built index into ``dst`` by COPYING
+    its segments with renumbered docids/segment ids — no posting
+    re-encode, exactly the reference's "efficient which transfers the
+    segments as-is" contract (:2861). The codec makes the shift free:
+    block payloads are docid DELTAS relative to ``first_docid``
+    (_segment_builder), so adding the destination's doc_count touches
+    only the first_docid/last_docid header columns.
+
+    This is the 100-TB build topology: shard the corpus, build every
+    shard's index in parallel (separate jobs, zero coordination), then
+    addIndexes them — each fold is one columnar rewrite of the shard's
+    blocks plus a dict merge, never a global re-sort.
+
+    Both indexes must share the analyzer config (same contract as
+    Lucene). Tombstones carry over shifted. Returns the new manifest.
+    Crash mid-fold: rerun with the same src — staged dirs are named by
+    a src-derived token and replaced wholesale (the production seam is
+    one Iceberg append commit)."""
+    dst = SegmentIndex(dst_root, spark)
+    src_idx = SegmentIndex(src_root, spark)
+    man_d, man_s = dst.manifest(), src_idx.manifest()
+    for k in ("stop_words", "max_token_length", "block_size"):
+        if man_d.get(k) != man_s.get(k):
+            raise ValueError(f"addIndexes config mismatch on {k!r}: "
+                             f"{man_d.get(k)} vs {man_s.get(k)}")
+    D = int(man_d["doc_count"])
+    S = int(man_d["n_segments"])
+    token = "addidx-" + os.path.basename(os.path.normpath(src_root))
+
+    # -- blocks: shift headers, new segment ids; stage then move ------
+    sb = spark.read.parquet(src_idx.blocks_path)
+    shifted = (sb.withColumn("segment", (F.col("segment") + S).cast("int"))
+               .withColumn("first_docid", F.col("first_docid") + D)
+               .withColumn("last_docid", F.col("last_docid") + D))
+    stage = os.path.join(dst_root, f"{token}.blocks.tmp")
+    shifted.write.mode("overwrite").partitionBy("segment").parquet(stage)
+    for name in os.listdir(stage):
+        if not name.startswith("segment="):
+            continue
+        tgt = os.path.join(dst.blocks_path, name)
+        if os.path.exists(tgt):          # crashed earlier fold: replace
+            shutil.rmtree(tgt)
+        os.rename(os.path.join(stage, name), tgt)
+    shutil.rmtree(stage)
+
+    # -- docmap (lineage): match the destination's layout -------------
+    sm = (src_idx.docmap()
+          .withColumn("docid", F.col("docid") + D)
+          .withColumn("segment", (F.col("segment") + S).cast("int")))
+    stage = os.path.join(dst_root, f"{token}.docmap.tmp")
+    partitioned = any(n.startswith("segment=")
+                      for n in os.listdir(dst.docmap_path))
+    if partitioned:
+        sm.write.mode("overwrite").partitionBy("segment").parquet(stage)
+        for name in os.listdir(stage):
+            if name.startswith("segment="):
+                tgt = os.path.join(dst.docmap_path, name)
+                if os.path.exists(tgt):
+                    shutil.rmtree(tgt)
+                os.rename(os.path.join(stage, name), tgt)
+    else:
+        sm.write.mode("overwrite").parquet(stage)
+        for name in os.listdir(stage):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(stage, name),
+                          os.path.join(dst.docmap_path, f"{token}-{name}"))
+    shutil.rmtree(stage)
+
+    # -- deletes: shifted tombstones ----------------------------------
+    sdel = src_idx.deletes()
+    if sdel is not None:
+        ids = [r["docid"] + D for r in sdel.collect()]
+        # replace this fold's tombstone file on retry
+        fold_del = os.path.join(dst_root, "deletes", f"{token}.parquet")
+        if os.path.exists(fold_del):
+            os.remove(fold_del)
+        if ids:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(os.path.join(dst_root, "deletes"), exist_ok=True)
+            pq.write_table(
+                pa.table({"docid": pa.array(sorted(ids), pa.int64())}),
+                fold_del)
+
+    # -- docs delta: shifted rows, layout-matched ----------------------
+    docs_root = os.path.join(dst_root, "docs")
+    sdocs = (spark.read.parquet(os.path.join(src_root, "docs"))
+             .drop("batch"))
+    sdocs = (sdocs.withColumn("docid", F.col("docid") + D)
+             .withColumn("segment", (F.col("segment") + S).cast("int")))
+    stage = os.path.join(dst_root, f"{token}.docs.tmp")
+    sdocs.write.mode("overwrite").parquet(stage)
+    if any(n.startswith("batch=") for n in os.listdir(docs_root)):
+        # streaming layout: negative batch ids never collide with the
+        # stream's monotonic ids (-1 is the full-recompute base)
+        used = [int(n.split("=", 1)[1]) for n in os.listdir(docs_root)
+                if n.startswith("batch=")]
+        tgt = os.path.join(docs_root, f"batch={min(min(used), -1) - 1}")
+        if os.path.exists(tgt):
+            shutil.rmtree(tgt)
+        os.rename(stage, tgt)
+    else:
+        for name in os.listdir(stage):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(stage, name),
+                          os.path.join(docs_root, f"{token}-{name}"))
+        shutil.rmtree(stage)
+
+    # -- dict merge + stats + manifest (the commit) --------------------
+    merged = (dst.dict().unionByName(src_idx.dict())
+              .groupBy("term").agg(F.sum("df").alias("df"),
+                                   F.sum("ttf").alias("ttf")))
+    dtmp = os.path.join(dst_root, "dict.tmp")
+    merged.write.mode("overwrite").parquet(dtmp)
+    dict_root = os.path.join(dst_root, "dict")
+    shutil.rmtree(dict_root)
+    os.rename(dtmp, dict_root)
+    new_count = D + int(man_s["doc_count"])
+    new_sttf = int(man_d["sum_ttf"]) + int(man_s["sum_ttf"])
+    spark.createDataFrame(
+        [(new_count, new_sttf)], "doc_count long, sum_ttf long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dst_root, "stats.tmp"))
+    stats_root = os.path.join(dst_root, "stats")
+    shutil.rmtree(stats_root)
+    os.rename(os.path.join(dst_root, "stats.tmp"), stats_root)
+    man_d.update(doc_count=new_count, sum_ttf=new_sttf,
+                 n_segments=S + int(man_s["n_segments"]),
+                 updated_wall=round(time.time(), 3))
+    with open(os.path.join(dst_root, "manifest.json"), "w") as f:
+        json.dump(man_d, f, indent=1)
+    return man_d
+
+
 def append_deletes(root: str, docids) -> int:
     """Append tombstone docids (driver-side pyarrow write — tombstone
     batches are small relative to the index; compaction empties them)."""
