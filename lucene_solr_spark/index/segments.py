@@ -434,7 +434,14 @@ def add_indexes(dst_root: str, src_root: str,
     Lucene). Tombstones carry over shifted. Returns the new manifest.
     Crash mid-fold: rerun with the same src — staged dirs are named by
     a src-derived token and replaced wholesale (the production seam is
-    one Iceberg append commit)."""
+    one Iceberg append commit).
+
+    Reopen contract: searchers opened BEFORE the fold keep serving the
+    pre-fold view through their persisted scans (Lucene's stale-reader
+    semantics); open a NEW searcher after `spark.catalog.clearCache()`
+    (or a fresh session) to see the folded index — Spark's plan cache
+    keys on the parquet path, so an old persist would otherwise be
+    reused."""
     dst = SegmentIndex(dst_root, spark)
     src_idx = SegmentIndex(src_root, spark)
     man_d, man_s = dst.manifest(), src_idx.manifest()
@@ -550,6 +557,97 @@ def add_indexes(dst_root: str, src_root: str,
     with open(os.path.join(dst_root, "manifest.json"), "w") as f:
         json.dump(man_d, f, indent=1)
     return man_d
+
+
+def split_index(src_root: str, out_roots: list[str],
+                spark: SparkSession) -> list[dict]:
+    """SPLITSHARD / MultiPassIndexSplitter role (misc/IndexSplitter
+    .java — "copy segments as-is into separate indexes";
+    solr SplitShardCmd): partition the index into ``len(out_roots)``
+    independent indexes at SEGMENT boundaries. Segments hold
+    contiguous docid ranges by construction (docid // docs_per_segment
+    — build_segment_index:664), so each part's docids renumber to a
+    dense 0..n-1 by subtracting the part's base — the same header-only
+    columnar rewrite as :func:`add_indexes`, no posting re-encode.
+
+    Per-part dict/stats are RECOMPUTED from the part's blocks (a
+    standalone index owns its own global term statistics — a
+    split-then-search gives each shard its local BM25 stats, exactly
+    like independent Lucene indexes; distributed-search stat merging
+    is the shard-merge path in search/wand.py). Tombstones land in the
+    part owning the docid. Inverse of add_indexes:
+    ``add_indexes(split(A)...)`` reproduces A's results."""
+    src_idx = SegmentIndex(src_root, spark)
+    man = src_idx.manifest()
+    n_parts = len(out_roots)
+    # segment -> (first_docid, n_docs) from summaries; split contiguous
+    # segment runs into parts balanced by doc count
+    seg_rows = (src_idx.summaries().groupBy("segment")
+                .agg(F.min("first_docid").alias("lo"),
+                     F.count("*").alias("n"))
+                .orderBy("segment").collect())
+    total = sum(r["n"] for r in seg_rows)
+    bounds, acc, part = [[] for _ in range(n_parts)], 0, 0
+    for r in seg_rows:
+        if (part < n_parts - 1 and bounds[part]
+                and acc >= (part + 1) * total / n_parts):
+            part += 1
+        bounds[part].append(r)
+        acc += r["n"]
+    deletes = set(src_idx.deleted_docids().tolist())
+    outs = []
+    for out_root, segs in zip(out_roots, bounds):
+        if not segs:
+            raise ValueError("more parts than segments")
+        seg_ids = [int(r["segment"]) for r in segs]
+        base = int(min(r["lo"] for r in segs))
+        seg_off = min(seg_ids)
+        n_docs = int(sum(r["n"] for r in segs))
+        os.makedirs(out_root, exist_ok=True)
+        pred = F.col("segment").isin(seg_ids)
+        blocks = (spark.read.parquet(src_idx.blocks_path).where(pred)
+                  .withColumn("segment",
+                              (F.col("segment") - seg_off).cast("int"))
+                  .withColumn("first_docid", F.col("first_docid") - base)
+                  .withColumn("last_docid", F.col("last_docid") - base))
+        blocks.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(out_root, "blocks"))
+        (src_idx.docmap().where(pred)
+         .withColumn("docid", F.col("docid") - base)
+         .withColumn("segment", (F.col("segment") - seg_off).cast("int"))
+         .write.mode("overwrite").parquet(os.path.join(out_root, "docmap")))
+        part_idx = SegmentIndex(out_root, spark)
+        # per-part derived tables from the part's own blocks
+        docs = part_idx.summaries().select(
+            F.col("first_docid").alias("docid"),
+            "repo", "path", "commit", "lang", "segment",
+            F.col("n").alias("dl"),
+            F.conv(F.hex(F.col("norms")), 16, 10).cast("int").alias("norm"),
+            F.col("term").alias("content_sha256"))
+        docs.write.mode("overwrite").parquet(os.path.join(out_root, "docs"))
+        (part_idx.blocks().groupBy("term")
+         .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf"))
+         .write.mode("overwrite").parquet(os.path.join(out_root, "dict")))
+        agg = part_idx.docs().agg(
+            F.count("*").alias("c"), F.sum("dl").alias("s")).collect()[0]
+        spark.createDataFrame(
+            [(int(agg["c"]), int(agg["s"] or 0))],
+            "doc_count long, sum_ttf long").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(out_root, "stats"))
+        lo_d, hi_d = base, base + n_docs
+        part_dels = sorted(d - base for d in deletes if lo_d <= d < hi_d)
+        if part_dels:
+            append_deletes(out_root, part_dels)
+        pman = dict(man)
+        pman.update(doc_count=n_docs, sum_ttf=int(agg["s"] or 0),
+                    n_segments=len(seg_ids),
+                    split_from=os.path.basename(os.path.normpath(src_root)),
+                    updated_wall=round(time.time(), 3))
+        pman.pop("last_batch_id", None)
+        with open(os.path.join(out_root, "manifest.json"), "w") as f:
+            json.dump(pman, f, indent=1)
+        outs.append(pman)
+    return outs
 
 
 def append_deletes(root: str, docids) -> int:
