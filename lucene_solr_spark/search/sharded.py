@@ -1,0 +1,110 @@
+"""Distributed (sharded) search with pluggable stats caches.
+
+Reference: Solr distributed search (handler/component/QueryComponent's
+shard fan-out + merge) and the distributed-IDF stats caches in
+``solr/core/src/java/org/apache/solr/search/stats/``:
+
+* ``LocalStatsCache.java`` — Solr's DEFAULT: every shard scores with
+  its OWN term/collection statistics; ranks can diverge from a
+  monolithic index when shards are statistically skewed.
+* ``ExactStatsCache.java`` — one extra stats round-trip: per-term
+  docFreq and the collection counts are aggregated across shards
+  (``mergeToGlobalStats`` / ``returnLocalStats``), and every shard
+  scores with the GLOBAL weights — results are rank- and score-
+  identical to one big index.
+
+Merge follows ``TopDocs.merge`` (lucene/search/TopDocs.java:105-117,
+188-230): score desc, then shard index, then per-shard doc id. With
+shards produced by :func:`..index.segments.split_index` (contiguous
+docid slices, shard order = slice order), the (shard, local-docid)
+tie-break is EXACTLY the monolithic docid tie-break, which is what
+makes the exact-stats mode bit-identical end-to-end.
+
+Scale shape: the stats round is one tiny dictionary lookup per shard
+(bucket-pruned scan or driver cache hit); each shard query is the
+normal one-job compressed-path search; the merge touches k rows per
+shard on the driver. Shards never talk to each other — the same
+topology as SolrCloud's scatter-gather.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..index.segments import SegmentIndex
+from . import bm25
+from .queries import Query, TopDoc
+from .wand import SegmentSearcher
+
+
+class ShardedSearcher:
+    """Scatter-gather searcher over independent shard indexes.
+
+    ``stats="exact"`` (ExactStatsCache) or ``"local"``
+    (LocalStatsCache). Global docids = shard offset + local docid,
+    offsets defaulting to the cumulative doc counts (the
+    split_index / addIndexes numbering).
+    """
+
+    def __init__(self, roots: list[str], spark: SparkSession,
+                 stats: str = "exact", cache: bool = False):
+        if stats not in ("exact", "local"):
+            raise ValueError(f"unknown stats cache {stats!r}")
+        self.stats_mode = stats
+        self.shards = [SegmentSearcher(SegmentIndex(r, spark), cache=cache)
+                       for r in roots]
+        self.offsets = []
+        off = 0
+        for s in self.shards:
+            self.offsets.append(off)
+            off += s.doc_count
+        self.doc_count = off
+        self.sum_ttf = sum(s.sum_ttf for s in self.shards)
+        if stats == "exact":
+            # collection-level stats merge (ExactStatsCache.java:
+            # mergeToGlobalStats role); per-term dfs resolve per query
+            scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
+            for s in self.shards:
+                s.scorer = scorer
+
+    def _global_dfs(self, q: Query) -> dict[str, int]:
+        """Per-term global docFreq = Σ shard docFreq (the stats
+        round-trip; ExactStatsCache.returnLocalStats → merge)."""
+        terms = _query_terms(q)
+        out: dict[str, int] = {}
+        for s in self.shards:
+            for t, df in s._stats(terms).items():
+                out[t] = out.get(t, 0) + df
+        return out
+
+    def search(self, q: Query, k: int = 10,
+               use_wand: bool = True) -> list[TopDoc]:
+        stats = self._global_dfs(q) if self.stats_mode == "exact" else None
+        per_shard: list[list[TopDoc]] = []
+        for s in self.shards:
+            rows = s.search_df(q, k, use_wand=use_wand,
+                               stats=stats).collect()
+            per_shard.append([TopDoc(r["docid"], r["score"]) for r in rows])
+        # TopDocs.merge comparator: score desc, shard index asc,
+        # local docid asc — then remap to global ids
+        merged = sorted(
+            ((d.score, si, d.docid) for si, docs in enumerate(per_shard)
+             for d in docs),
+            key=lambda t: (-t[0], t[1], t[2]))[:k]
+        return [TopDoc(self.offsets[si] + docid, score)
+                for score, si, docid in merged]
+
+
+def _query_terms(q: Query) -> set[str]:
+    from .queries import BooleanQuery, PhraseQuery, TermQuery
+
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= _query_terms(c.query)
+        return out
+    raise TypeError(f"unsupported query {type(q)} on the sharded path")

@@ -702,9 +702,13 @@ class SegmentSearcher:
         return weights, tuple(rphrases)
 
     # -- execution ------------------------------------------------------
-    def search_df(self, q: Query, k: int = 10, use_wand: bool = True) -> DataFrame:
+    def search_df(self, q: Query, k: int = 10, use_wand: bool = True,
+                  stats: dict[str, int] | None = None) -> DataFrame:
+        """``stats``: optional (term → df) override — the distributed
+        ExactStatsCache hook (search/sharded.py injects GLOBAL term
+        stats so a shard scores with corpus-wide weights)."""
         plan = self._flatten(q)
-        resolved = self._resolve(plan)
+        resolved = self._resolve(plan, stats=stats)
         spark = self.index.spark
         if resolved is None:
             return spark.createDataFrame([], "docid long, score float")
