@@ -206,11 +206,11 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
 
     if isinstance(q, IntervalQuery):
         return {(q.field, t) for t in interval_terms(q)}
-    from .qparser import FunctionBoostQuery, GraphTermsQuery
+    from .qparser import FieldJoinQuery, FunctionBoostQuery, GraphTermsQuery
 
     if isinstance(q, GraphTermsQuery):
         return {(q.field, t) for t in q.terms}
-    if isinstance(q, FunctionBoostQuery):
+    if isinstance(q, (FunctionBoostQuery, FieldJoinQuery)):
         return _collect_terms(q.query)
     return set()
 
@@ -458,10 +458,13 @@ class IndexSearcher:
 
         if isinstance(q, FuzzyLikeThisQuery):
             return self._rewrite_fuzzy_like_this(q)
-        from .qparser import FunctionBoostQuery
+        from .qparser import FieldJoinQuery, FunctionBoostQuery
 
         if isinstance(q, FunctionBoostQuery):
             return FunctionBoostQuery(self.rewrite(q.query), q.func, q.boost)
+        if isinstance(q, FieldJoinQuery):
+            return FieldJoinQuery(q.from_field, q.to_field,
+                                  self.rewrite(q.query), q.boost)
         return q
 
     def _rewrite_fuzzy_like_this(self, q) -> Query:
@@ -893,12 +896,15 @@ class IndexSearcher:
         if isinstance(q, TermAutomatonQuery):
             return self._term_automaton_leaf(q, stats, boost)
         from .qparser import (
+            FieldJoinQuery,
             FunctionBoostQuery,
             FunctionRangeQuery,
             GraphTermsQuery,
             HashQuery,
         )
 
+        if isinstance(q, FieldJoinQuery):
+            return self._field_join_leaf(q, stats, boost)
         if isinstance(q, FunctionRangeQuery):
             return self._frange_leaf(q, boost)
         if isinstance(q, HashQuery):
@@ -908,6 +914,21 @@ class IndexSearcher:
         if isinstance(q, FunctionBoostQuery):
             return self._function_boost_leaf(q, stats, boost)
         raise TypeError(f"unsupported query {type(q)}")
+
+    def _field_join_leaf(self, q, stats, boost: float) -> DataFrame:
+        """{!join from to} (JoinQParserPlugin; JoinUtil.createJoinQuery
+        ScoreMode.None): subquery docids → their from-field values →
+        docs whose to-field holds any of them. Two semi-joins on the
+        docs table; at scale the from-value set is the small side and
+        broadcasts (the global-ordinals join shape)."""
+        inner = self._compile(q.query, stats, 1.0).select("docid")
+        from_vals = (self.docs.join(inner, "docid", "left_semi")
+                     .select(F.col(q.from_field).alias(q.to_field))
+                     .where(F.col(q.to_field).isNotNull()).distinct())
+        c = float(np.float32(boost * q.boost))
+        return (self.docs.join(F.broadcast(from_vals), q.to_field,
+                               "left_semi")
+                .select("docid", F.lit(c).cast("float").alias("score")))
 
     def _frange_leaf(self, q, boost: float) -> DataFrame:
         """{!frange}: ValueSourceRangeFilter over the compiled function

@@ -110,6 +110,21 @@ class HashQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldJoinQuery(Query):
+    """{!join from=a to=b}subquery (JoinQParserPlugin /
+    join/JoinUtil.createJoinQuery with ScoreMode.None): match docs
+    whose ``to_field`` value appears among the ``from_field`` values
+    of docs matching ``query``; constant score (Solr's {!join} carries
+    no scores). Executed as two semi-joins over the docs table —
+    the global-ordinals join's relational rendering."""
+
+    from_field: str
+    to_field: str
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class GraphTermsQuery(Query):
     """{!graphTerms f=x maxDocFreq=N}t1,t2: constant-score disjunction
     over the subset of ``terms`` whose docFreq <= max_doc_freq
@@ -312,6 +327,13 @@ def _p_hash(local, body, params):
                      int(_get(local, "worker", "0")))
 
 
+def _p_join(local, body, params):
+    f, t = _get(local, "from"), _get(local, "to")
+    if not f or not t:
+        raise SyntaxError_("{!join} requires from= and to=")
+    return FieldJoinQuery(f, t, qparse(body, params))
+
+
 def _p_graph_terms(local, body, params):
     terms = tuple(t.strip() for t in body.split(",") if t.strip())
     return GraphTermsQuery(
@@ -407,6 +429,7 @@ QPARSERS = {
     "query": _p_query,  # NestedQParserPlugin.NAME
     "frange": _p_frange,
     "hash": _p_hash,
+    "join": _p_join,
     "graphTerms": _p_graph_terms,
     "maxscore": _p_maxscore,
     "boost": _p_boost,

@@ -262,3 +262,33 @@ def test_qparse_lucene_rank_identity(built):
     got = searcher.search(q, 10)
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
+
+
+def test_field_join_matches_python(built):
+    searcher, oracle, pdf = built
+    dfs = _corpus_dfs(pdf)
+    term = max(dfs.items(), key=lambda kv: kv[1])[0]
+    # docs in the same repo as any doc whose content matches `term`
+    q = qparse(f"{{!join from=repo to=repo}}{{!term f=content}}{term}")
+    got = {r["docid"] for r in searcher.search_df(q, None).collect()}
+    match_docs = {d.docid for d in
+                  oracle.search(TermQuery(term), k=10**6)}
+    repos = {pdf.iloc[d]["repo"] for d in match_docs}
+    want = {i for i in range(len(pdf)) if pdf.iloc[i]["repo"] in repos}
+    assert got == want and want
+    scores = {np.float32(r["score"]) for r in
+              searcher.search_df(q, None).collect()}
+    assert scores == {np.float32(1.0)}
+
+
+def test_field_join_cross_fields(built):
+    searcher, oracle, pdf = built
+    dfs = _corpus_dfs(pdf)
+    term = max(dfs.items(), key=lambda kv: kv[1])[0]
+    # lang of matching docs -> docs whose repo... use lang->lang
+    q = qparse(f"{{!join from=lang to=lang}}{{!term f=content}}{term}")
+    got = {r["docid"] for r in searcher.search_df(q, None).collect()}
+    match_docs = {d.docid for d in oracle.search(TermQuery(term), k=10**6)}
+    langs = {pdf.iloc[d]["lang"] for d in match_docs}
+    want = {i for i in range(len(pdf)) if pdf.iloc[i]["lang"] in langs}
+    assert got == want
