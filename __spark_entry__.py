@@ -299,7 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # judge-replicable, just past the driver's cap.
 _OVERFLOW_LAST = ("text_quality", "ft_significant_terms", "ann_cosine_knn",
                   "ft_phrase", "embedding_near_dup", "drill_sideways",
-                  "facet_aggs_extended",
+                  "facet_aggs_extended", "stream_expr_rollup",
                   "joinutil_score_modes", "facet_relatedness",
                   "dedup_exact", "lang_id_heuristic", "range_query_pushdown",
                   "ft_term_stats", "doc_fingerprint", "topk_tiebreak", "token_counts",

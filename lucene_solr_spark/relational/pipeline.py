@@ -632,3 +632,81 @@ def pii_scrub(spark, sf_dir):
         .alias("n_ips"),
         F.md5(scrub_pii_column(F.col("t"))).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the concat-and-chunk training-data op (GPT-style
+# packing: concatenate documents in a deterministic order, split the
+# token stream into fixed-length training sequences; a doc crossing a
+# boundary spans consecutive sequences). No reference-engine analogue —
+# this is part of the LLM-pipeline operator set the engine targets.
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+
+
+def pack_sequences(docs, seq_len: int, order_col: str = "doc_id",
+                   tokens_expr: str = None):
+    """Assign every doc its span in the packed token stream:
+    (doc_id, n_tokens, start_tok, seq_first, seq_last, n_seqs) with
+    seq boundaries every ``seq_len`` tokens over the concatenation in
+    ``order_col`` order.
+
+    ONE window cumsum — no UDF, no per-sequence loop. At 100 TB the
+    single global window is the textbook skew risk: shard the stream
+    first (e.g. hash-bucket docs into independent streams, one cumsum
+    per bucket — padding loss at bucket tails only), which is exactly
+    how packing runs in production; the global variant here is the
+    semantics oracle."""
+    from pyspark.sql import Window
+
+    toks = (F.expr(tokens_expr) if tokens_expr
+            else F.size(F.expr(_SPARK_TOKS)))
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    out = docs.select(F.col("doc_id"), toks.alias("n_tokens"))
+    out = out.where(F.col("n_tokens") > 0)
+    out = out.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return out.select(
+        "doc_id", "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        F.floor((F.col("end_tok") - F.col("n_tokens"))
+                / F.lit(seq_len)).alias("seq_first"),
+        F.floor((F.col("end_tok") - 1) / F.lit(seq_len)).alias("seq_last"),
+        (F.floor((F.col("end_tok") - 1) / F.lit(seq_len))
+         - F.floor((F.col("end_tok") - F.col("n_tokens"))
+                   / F.lit(seq_len)) + 1).alias("n_seqs"))
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS end_tok
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           end_tok - n_tokens AS start_tok,
+           CAST(floor((end_tok - n_tokens) / {_PACK_SEQ_LEN}) AS BIGINT)
+           AS seq_first,
+           CAST(floor((end_tok - 1) / {_PACK_SEQ_LEN}) AS BIGINT)
+           AS seq_last,
+           CAST(floor((end_tok - 1) / {_PACK_SEQ_LEN})
+                - floor((end_tok - n_tokens) / {_PACK_SEQ_LEN}) + 1
+                AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def pack_sequences_entry(spark, sf_dir):
+    """Concat-and-chunk sequence packing over the documents table at
+    seq_len=512, deterministic doc_id order."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          _PACK_SEQ_LEN)
