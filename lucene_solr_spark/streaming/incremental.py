@@ -305,6 +305,56 @@ class IncrementalIndexer:
                 .select("docid").collect())
         return append_deletes(self.root, [r["docid"] for r in hits])
 
+    def delete_by_query(self, spark, predicate: str) -> int:
+        """deleteByQuery over the stored-fields surface (Solr
+        delete-by-query / DocExpirationUpdateProcessorFactory.java's
+        periodic ``deleteByQuery(ttl_field:[* TO NOW])`` sweep): every
+        live doc whose docs-table row satisfies ``predicate`` (a SQL
+        boolean expression over docid/repo/path/commit/lang/dl) is
+        tombstoned. One filtered scan; postings drop at compaction."""
+        idx = SegmentIndex(self.root, spark)
+        docs_root = os.path.join(self.root, "docs")
+        if not os.path.exists(docs_root):
+            return 0
+        hits = idx.docs().where(F.expr(predicate)).select("docid")
+        dels = idx.deletes()
+        if dels is not None:
+            hits = hits.join(dels, "docid", "left_anti")
+        return append_deletes(self.root,
+                              [r["docid"] for r in hits.collect()])
+
+    def add_batch_dedup(self, batch_df: DataFrame, batch_id: int,
+                        key_cols: tuple[str, ...] = ("repo", "path"),
+                        ) -> None:
+        """SignatureUpdateProcessorFactory (exact signature dedup at
+        index time, solr/core/.../processor/
+        SignatureUpdateProcessorFactory.java + MD5Signature): drop
+        incoming docs whose content signature already exists in the
+        index, and collapse in-batch duplicates to one row (first by
+        ``key_cols`` — deterministic, the overwriteDupes=false "leave
+        the existing doc" mode). Signature = sha256(content), the
+        docs table's per-row invariant column, so the against-index
+        check is ONE anti-join on an indexed column — the index-time
+        rendering of the pipeline's exact-dedup op."""
+        from pyspark.sql.window import Window
+
+        sig = F.sha2(F.col("content"), 256)
+        rows = batch_df.withColumn("_sig", sig)
+        w = Window.partitionBy("_sig").orderBy(*key_cols)
+        rows = (rows.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+        docs_root = os.path.join(self.root, "docs")
+        if os.path.exists(docs_root):
+            idx = SegmentIndex(self.root, batch_df.sparkSession)
+            existing = idx.docs().select(
+                F.col("content_sha256").alias("_sig"))
+            dels = idx.deletes()
+            if dels is not None:
+                existing = (idx.docs().join(dels, "docid", "left_anti")
+                            .select(F.col("content_sha256").alias("_sig")))
+            rows = rows.join(existing, "_sig", "left_anti")
+        self.process_batch(rows.drop("_sig"), batch_id)
+
     def upsert_batch(self, batch_df: DataFrame, batch_id: int,
                      key_cols: tuple[str, ...] = ("repo", "path")) -> None:
         """updateDocument = delete-by-term + add

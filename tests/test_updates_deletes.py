@@ -200,3 +200,54 @@ def test_atomic_update_content_reindexes(spark, indexed):
     got = idx.docmap().where(F.col("docid") == hits[0].docid).select(
         "repo", "path").collect()[0]
     assert (got["repo"], got["path"]) == (key[0]["repo"], key[0]["path"])
+
+
+# ---- SignatureUpdateProcessor / DocExpiration roles -----------------------
+
+def test_add_batch_dedup_drops_known_and_inbatch_dupes(spark, indexed):
+    indexer, idx, corpus = indexed
+    n0 = idx.manifest()["doc_count"]
+    # batch: 2 docs already indexed (same content) + 1 new doc twice
+    existing = corpus.limit(2)
+    new = corpus.limit(1).select(
+        F.lit("zzz/newrepo").alias("repo"),
+        F.lit("doc/new").alias("path"),
+        F.lit("c-new").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.lit("fresh unique content zzz").alias("content"))
+    new2 = new.withColumn("path", F.lit("doc/new2"))  # same content!
+    batch = existing.unionByName(new).unionByName(new2)
+    indexer.add_batch_dedup(batch, 1)
+    man = SegmentIndex(indexer.root, spark).manifest()
+    # only ONE of the four rows survives (the two known dropped, the
+    # two in-batch duplicates collapsed to the first by key)
+    assert man["doc_count"] == n0 + 1
+    docs = SegmentIndex(indexer.root, spark).docs()
+    added = docs.where(F.col("repo") == "zzz/newrepo").collect()
+    assert len(added) == 1 and added[0]["path"] == "doc/new"
+
+
+def test_add_batch_dedup_readds_after_delete(spark, indexed):
+    indexer, idx, corpus = indexed
+    # tombstone one doc, then re-add identical content: the signature
+    # check ignores deleted docs, so it re-enters
+    victim = corpus.orderBy("repo", "path", "commit").limit(1)
+    indexer.delete_by_key(spark, victim, ("repo", "path"))
+    n_live_before = idx.manifest()["doc_count"]
+    indexer.add_batch_dedup(victim, 1)
+    assert SegmentIndex(indexer.root, spark).manifest()["doc_count"] \
+        == n_live_before + 1
+
+
+def test_delete_by_query_predicate(spark, indexed):
+    indexer, idx, corpus = indexed
+    n_long = idx.docs().where("dl >= 40").count()
+    assert n_long > 0
+    n = indexer.delete_by_query(spark, "dl >= 40")
+    assert n == n_long
+    dels = set(SegmentIndex(indexer.root, spark).deleted_docids().tolist())
+    want = {r["docid"] for r in
+            idx.docs().where("dl >= 40").collect()}
+    assert dels == want
+    # idempotent: second sweep tombstones nothing new
+    assert indexer.delete_by_query(spark, "dl >= 40") == 0
