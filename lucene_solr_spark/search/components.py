@@ -963,3 +963,83 @@ def parse_elevate_xml(text: str) -> dict[str, tuple[list[str], list[str]]]:
                 ups.append(did)
         out[qtext] = (ups, downs)
     return out
+
+
+def percolate_batch(queries: dict[str, Query], docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    analyzer: StandardAnalyzer | None = None,
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Distributed percolation: run EVERY registered query against
+    EVERY document of a batch, returning DataFrame(doc_id, query_id)
+    matches — the alerting pattern (MemoryIndex.java single-doc
+    percolation, scaled out).
+
+    Scale shape — the presearcher discipline: a doc can only match a
+    query if it contains at least one of the query's terms (true for
+    every term/phrase/boolean shape the oracle engine supports except
+    MatchAllDocs, which is always a candidate), so stage 1 prunes the
+    doc×query cross product to CANDIDATE pairs with one exploded-token
+    join against the broadcast (term → query) table, and stage 2 runs
+    the exact single-doc engine only on candidates, grouped per doc
+    (one MemoryIndex build per doc per partition, Arrow-batched). The
+    expensive exact check never touches the full cross product — at
+    10^5 queries × 10^9 docs the join output is the real match-ish
+    set, not the product."""
+    from .executor import _collect_terms
+
+    analyzer = analyzer or StandardAnalyzer()
+    qterms = []                       # (term, query_id)
+    always = []                       # term-free queries: no prefilter
+    for qid, q in queries.items():
+        terms = {t for _f, t in _collect_terms(q)}
+        if terms:
+            qterms.extend((t, qid) for t in sorted(terms))
+        else:
+            always.append(qid)
+    spark = docs.sparkSession
+    pairs_src = docs.select(
+        F.col(id_col).alias("_pid"), F.col(text_col).alias("_ptext"))
+
+    if qterms:
+        from ..analysis.filters import tokenize_column
+
+        qt = spark.createDataFrame(qterms, "term string, query_id string")
+        # prefilter tokens come from the SAME analyzer family as the
+        # verify stage (an Arrow UDF, not a \W+ approximation) so a
+        # query term the analyzer would produce is never missed
+        tk = tokenize_column(pairs_src, text_col="_ptext",
+                             out_col="_toks")
+        toks = tk.select(
+            "_pid", F.explode(F.array_distinct("_toks")).alias("term"))
+        cand = (toks.join(F.broadcast(qt), "term")
+                .select("_pid", "query_id").distinct())
+    else:
+        cand = pairs_src.select("_pid").limit(0).withColumn(
+            "query_id", F.lit(""))
+    if always:
+        al = spark.createDataFrame([(q,) for q in always],
+                                   "query_id string")
+        cand = cand.unionByName(pairs_src.select("_pid").crossJoin(al))
+
+    joined = cand.groupBy("_pid").agg(
+        F.collect_set("query_id").alias("_qids")).join(pairs_src, "_pid")
+    qmap = dict(queries)
+    an = analyzer
+
+    def verify(batches):
+        from ..oracle import OracleIndex
+
+        for pdf in batches:
+            out_d, out_q = [], []
+            for pid, qids, text in zip(pdf["_pid"], pdf["_qids"],
+                                       pdf["_ptext"]):
+                mi = OracleIndex(analyzer=an, k1=k1, b=b)
+                mi.add(text)
+                for qid in qids:
+                    if mi.count(qmap[qid]) > 0:
+                        out_d.append(pid)
+                        out_q.append(qid)
+            yield pd.DataFrame({"doc_id": out_d, "query_id": out_q})
+
+    return joined.mapInPandas(
+        verify, schema=f"doc_id long, query_id string")
