@@ -323,8 +323,13 @@ def _p_hash(local, body, params):
                  for k in _get(local, "keys", "").split(",") if k.strip())
     if not keys:
         raise SyntaxError_("{!hash} requires keys")
-    return HashQuery(keys, int(_get(local, "workers", "0")),
-                     int(_get(local, "worker", "0")))
+    workers = int(_get(local, "workers", "0"))
+    worker = int(_get(local, "worker", "0"))
+    if workers <= 0 or not (0 <= worker < workers):
+        raise SyntaxError_(
+            f"{{!hash}} needs workers >= 1 and 0 <= worker < workers, "
+            f"got workers={workers} worker={worker}")
+    return HashQuery(keys, workers, worker)
 
 
 def _p_join(local, body, params):
