@@ -398,6 +398,13 @@ class OracleIndex:
             span_terms = interval_terms  # noqa: F811
 
         field = getattr(q, "field", "content")
+        from ..search.spans import SpanQuery, expand_span_multiterm
+
+        if isinstance(q, SpanQuery):
+            # SpanMultiTermQueryWrapper rewrite against this index's
+            # vocabulary (same shared expansion as the engine)
+            q = expand_span_multiterm(
+                q, sorted({t for (f, t) in self.postings if f == field}))
         scorer = self.scorer(field)
         if getattr(scorer, "needs_ttf", False):
             raise TypeError("span queries need a precomputed weight; "

@@ -465,6 +465,13 @@ class IndexSearcher:
         if isinstance(q, FieldJoinQuery):
             return FieldJoinQuery(q.from_field, q.to_field,
                                   self.rewrite(q.query), q.boost)
+        from .spans import SpanQuery, expand_span_multiterm
+
+        if isinstance(q, SpanQuery):
+            # SpanMultiTermQueryWrapper rewrite: each wrapper becomes a
+            # SpanOr over the dictionary-pruned expansion (_expand —
+            # the same scan multi-term queries use outside spans)
+            return expand_span_multiterm(q, self._expand)
         return q
 
     def _rewrite_fuzzy_like_this(self, q) -> Query:
@@ -763,31 +770,78 @@ class IndexSearcher:
         cand = self._compile(skeleton, stats, 1.0).select("docid").distinct()
         base = cand.join(self.docs.select("docid", "norm"), "docid")
         tlist = [t for t in terms if present[t]]
-        for i, t in enumerate(tlist):
-            p = (self._postings_for([t], with_positions=True, field=field)
-                 .select("docid", F.col("positions").alias(f"pos{i}")))
-            base = base.join(p, "docid", "left")
-
-        nterms = len(tlist)
         qq = q
 
-        def verify(batches):
+        if len(tlist) <= 8:
+            # narrow tree: one positional left join per term (plan stays
+            # a short join chain; the common case)
+            for i, t in enumerate(tlist):
+                p = (self._postings_for([t], with_positions=True,
+                                        field=field)
+                     .select("docid", F.col("positions").alias(f"pos{i}")))
+                base = base.join(p, "docid", "left")
+
+            nterms = len(tlist)
+
+            def verify(batches):
+                for pdf in batches:
+                    nrows = len(pdf)
+                    if nrows == 0:
+                        continue
+                    docids = pdf["docid"].to_numpy(dtype=np.int64)
+                    norms = pdf["norm"].to_numpy(dtype=np.int64)
+                    cols = [pdf[f"pos{i}"].to_numpy()
+                            for i in range(nterms)]
+                    freqs = np.empty(nrows, dtype=np.float64)
+                    for r in range(nrows):
+                        pos = {}
+                        for i in range(nterms):
+                            v = cols[i][r]
+                            if v is None or (isinstance(v, float)
+                                             and np.isnan(v)):
+                                continue  # left-join miss: term absent
+                            pos[tlist[i]] = np.asarray(v, dtype=np.int64)
+                        freqs[r] = span_freq(qq, pos)
+                    hit = freqs > 0
+                    if not hit.any():
+                        yield pd.DataFrame(
+                            {"docid": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float32")})
+                        continue
+                    s = scorer.partial(freqs[hit], norms[hit],
+                                       np.float32(w))
+                    yield pd.DataFrame({"docid": docids[hit], "score": s})
+
+            return base.mapInPandas(verify, schema="docid long, score float")
+
+        # wide tree (e.g. a SpanMultiTermWrapper expansion): a join per
+        # term would build an unboundedly deep plan (JVM stack), so all
+        # term positions ride ONE bucket-pruned scan grouped per doc —
+        # one join + one aggregation regardless of expansion width
+        grouped = (
+            self._postings_for(tlist, with_positions=True, field=field)
+            .groupBy("docid")
+            .agg(F.collect_list(F.struct("term", "positions"))
+                 .alias("tpos")))
+        base = base.join(grouped, "docid", "left")
+
+        def verify_grouped(batches):
             for pdf in batches:
                 nrows = len(pdf)
                 if nrows == 0:
                     continue
                 docids = pdf["docid"].to_numpy(dtype=np.int64)
                 norms = pdf["norm"].to_numpy(dtype=np.int64)
-                cols = [pdf[f"pos{i}"].to_numpy() for i in range(nterms)]
+                tpos = pdf["tpos"].to_numpy()
                 freqs = np.empty(nrows, dtype=np.float64)
                 for r in range(nrows):
-                    pos = {}
-                    for i in range(nterms):
-                        v = cols[i][r]
-                        if v is None or (isinstance(v, float)
-                                         and np.isnan(v)):
-                            continue  # left-join miss: term absent
-                        pos[tlist[i]] = np.asarray(v, dtype=np.int64)
+                    v = tpos[r]
+                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                        freqs[r] = 0.0
+                        continue
+                    pos = {e["term"]: np.asarray(e["positions"],
+                                                 dtype=np.int64)
+                           for e in v}
                     freqs[r] = span_freq(qq, pos)
                 hit = freqs > 0
                 if not hit.any():
@@ -798,7 +852,8 @@ class IndexSearcher:
                 s = scorer.partial(freqs[hit], norms[hit], np.float32(w))
                 yield pd.DataFrame({"docid": docids[hit], "score": s})
 
-        return base.mapInPandas(verify, schema="docid long, score float")
+        return base.mapInPandas(verify_grouped,
+                                schema="docid long, score float")
 
     def _multi_phrase_leaf(self, q: MultiPhraseQuery, stats, boost: float) -> DataFrame:
         """MultiPhraseQuery (search/MultiPhraseQuery.java): per slot,

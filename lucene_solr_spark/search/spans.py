@@ -93,6 +93,100 @@ class SpanFirstQuery(SpanQuery):
     field: str = "content"
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """spans/SpanPositionRangeQuery.java: keep match spans lying fully
+    inside the position window [start, end] — ``acceptPosition`` at
+    :60-64 requires span.start >= start AND span.end <= end.
+    SpanFirstQuery is the start=0 special case."""
+    match: SpanQuery
+    start: int
+    end: int
+    boost: float = 1.0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery(SpanQuery):
+    """spans/SpanContainingQuery.java: spans from ``big`` that contain
+    at least one span from ``little`` (ContainSpans with big as the
+    source — the emitted span, and its width, is big's)."""
+    big: SpanQuery
+    little: SpanQuery
+    boost: float = 1.0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(SpanQuery):
+    """spans/SpanWithinQuery.java: spans from ``little`` that lie
+    inside some span from ``big`` (ContainSpans with little as the
+    source)."""
+    big: SpanQuery
+    little: SpanQuery
+    boost: float = 1.0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(SpanQuery):
+    """spans/SpanMultiTermQueryWrapper.java: lift a multi-term query
+    (prefix/wildcard/fuzzy/regexp/range) into the span algebra. Must
+    be expanded against the index vocabulary (``expand_span_multiterm``
+    — the SpanRewriteMethod role) before enumeration; the expansion is
+    a SpanOrQuery over the matching terms, exactly the wrapper's
+    top-level rewrite."""
+    query: Query  # a multiterm query (PrefixQuery, WildcardQuery, ...)
+    boost: float = 1.0
+    field: str = "content"
+
+
+def expand_span_multiterm(q: SpanQuery, vocab) -> SpanQuery:
+    """Rewrite every SpanMultiTermWrapper node into a SpanOrQuery of
+    SpanTermQuery over the matching index terms
+    (SpanMultiTermQueryWrapper's SpanRewriteMethod: rewritten queries
+    MUST be SpanQuery — here always a disjunction of term spans).
+
+    ``vocab`` is either an iterable of index terms (oracle side; the
+    match delegates to the shared ``multiterm.expand_terms``) or a
+    callable ``multiterm_query -> list[str]`` (engine side — the
+    dictionary-pruned scan)."""
+    from .multiterm import expand_terms
+
+    if isinstance(q, SpanMultiTermWrapper):
+        if callable(vocab):
+            terms = tuple(vocab(q.query))
+        else:
+            terms = tuple(expand_terms(vocab, q.query))
+        return SpanOrQuery(
+            tuple(SpanTermQuery(t, field=q.field) for t in terms),
+            boost=q.boost, field=q.field)
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(
+            tuple(expand_span_multiterm(c, vocab) for c in q.clauses),
+            q.slop, q.in_order, q.boost, q.field)
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(
+            tuple(expand_span_multiterm(c, vocab) for c in q.clauses),
+            q.boost, q.field)
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(expand_span_multiterm(q.include, vocab),
+                            expand_span_multiterm(q.exclude, vocab),
+                            q.boost, q.field)
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(expand_span_multiterm(q.match, vocab),
+                              q.end, q.boost, q.field)
+    if isinstance(q, SpanPositionRangeQuery):
+        return SpanPositionRangeQuery(
+            expand_span_multiterm(q.match, vocab), q.start, q.end,
+            q.boost, q.field)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return type(q)(expand_span_multiterm(q.big, vocab),
+                       expand_span_multiterm(q.little, vocab),
+                       q.boost, q.field)
+    return q
+
+
 def span_terms(q: SpanQuery) -> set[str]:
     """Every term in the span tree (SpanWeight.extractTerms)."""
     if isinstance(q, SpanTermQuery):
@@ -104,8 +198,14 @@ def span_terms(q: SpanQuery) -> set[str]:
         return out
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_terms(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return span_terms(q.big) | span_terms(q.little)
+    if isinstance(q, SpanMultiTermWrapper):
+        raise TypeError(
+            "SpanMultiTermWrapper must be expanded against the index "
+            "vocabulary first (expand_span_multiterm)")
     raise TypeError(f"unknown span query {type(q)}")
 
 
@@ -124,8 +224,13 @@ def span_to_boolean(q: SpanQuery) -> Query:
             should=[span_to_boolean(c) for c in q.clauses])
     if isinstance(q, SpanNotQuery):
         return span_to_boolean(q.include)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_to_boolean(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        # ContainSpans is a conjunction of both sides (ConjunctionSpans
+        # over [big, little]) — a doc must match both
+        return BooleanQuery.of(
+            must=[span_to_boolean(q.big), span_to_boolean(q.little)])
     raise TypeError(f"unknown span query {type(q)}")
 
 
@@ -167,6 +272,23 @@ def enumerate_spans(q: SpanQuery, pos: dict[str, np.ndarray]) -> list:
         return out
     if isinstance(q, SpanFirstQuery):
         return [s for s in enumerate_spans(q.match, pos) if s[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        # SpanPositionRangeQuery.acceptPosition (:60-64)
+        return [s for s in enumerate_spans(q.match, pos)
+                if s[0] >= q.start and s[1] <= q.end]
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        bigs = enumerate_spans(q.big, pos)
+        littles = enumerate_spans(q.little, pos)
+        if not bigs or not littles:
+            return []
+        if isinstance(q, SpanContainingQuery):
+            # big spans containing >= 1 little span; emitted span (and
+            # width) is big's (ContainSpans sourceSpans = big)
+            return [b for b in bigs
+                    if any(l[0] >= b[0] and l[1] <= b[1] for l in littles)]
+        # within: little spans inside some big span (source = little)
+        return [l for l in littles
+                if any(l[0] >= b[0] and l[1] <= b[1] for b in bigs)]
     raise TypeError(f"unknown span query {type(q)}")
 
 

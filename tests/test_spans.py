@@ -158,3 +158,89 @@ def test_identity_span_queries(built):
     inner = SpanNearQuery((SpanTermQuery(hot), SpanTermQuery(hot2)), slop=8)
     _identical(searcher, oracle,
                SpanNearQuery((inner, SpanTermQuery(mid)), slop=20))
+
+
+# ---- ContainSpans family + position range + multiterm wrapper -------------
+
+def test_span_position_range():
+    # SpanPositionRangeQuery.acceptPosition (:60-64):
+    # start >= qstart AND end <= qend
+    from lucene_solr_spark.search.spans import SpanPositionRangeQuery
+
+    q = SpanPositionRangeQuery(SpanTermQuery("a"), start=1, end=11)
+    assert enumerate_spans(q, P) == [(5, 6, 0), (10, 11, 0)]
+    # SpanFirst == position range with start 0
+    q0 = SpanPositionRangeQuery(SpanTermQuery("a"), start=0, end=6)
+    assert enumerate_spans(q0, P) == enumerate_spans(
+        SpanFirstQuery(SpanTermQuery("a"), end=6), P)
+
+
+def test_span_containing_within():
+    from lucene_solr_spark.search.spans import (
+        SpanContainingQuery,
+        SpanWithinQuery,
+    )
+
+    big = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=2)
+    # big spans: (0,2,0),(5,8,1); c@3 → containing: none hold c;
+    # with little = b: (0,2) contains b@1, (5,8) contains b@7
+    qc = SpanContainingQuery(big, SpanTermQuery("b"))
+    assert enumerate_spans(qc, P) == [(0, 2, 0), (5, 8, 1)]
+    # width is the BIG span's own width (source = big)
+    qc2 = SpanContainingQuery(big, SpanTermQuery("c"))
+    assert enumerate_spans(qc2, P) == []
+    # within: little spans inside a big span (source = little, width 0)
+    qw = SpanWithinQuery(big, SpanTermQuery("b"))
+    assert enumerate_spans(qw, P) == [(1, 2, 0), (7, 8, 0)]
+    qw2 = SpanWithinQuery(big, SpanTermQuery("a"))
+    assert enumerate_spans(qw2, P) == [(0, 1, 0), (5, 6, 0)]
+
+
+def test_span_multiterm_wrapper_expansion():
+    from lucene_solr_spark.search.queries import PrefixQuery
+    from lucene_solr_spark.search.spans import (
+        SpanMultiTermWrapper,
+        SpanOrQuery,
+        expand_span_multiterm,
+    )
+
+    vocab = ["apple", "apricot", "banana", "append"]
+    w = SpanMultiTermWrapper(PrefixQuery("ap"))
+    q = expand_span_multiterm(
+        SpanNearQuery((w, SpanTermQuery("banana")), slop=3), vocab)
+    inner = q.clauses[0]
+    assert isinstance(inner, SpanOrQuery)
+    assert tuple(c.term for c in inner.clauses) == (
+        "append", "apple", "apricot")
+    # unexpanded wrapper must refuse enumeration loudly
+    with pytest.raises(TypeError):
+        span_terms(w)
+
+
+def test_identity_contain_family(built):
+    searcher, oracle = built
+    from lucene_solr_spark.search.queries import PrefixQuery
+    from lucene_solr_spark.search.spans import (
+        SpanContainingQuery,
+        SpanMultiTermWrapper,
+        SpanPositionRangeQuery,
+        SpanWithinQuery,
+    )
+
+    terms = sorted(t for _f, t in oracle.postings)
+    hot = max(terms, key=lambda t: oracle.doc_freq(t))
+    hot2 = max((t for t in terms if t != hot),
+               key=lambda t: oracle.doc_freq(t))
+    big = SpanNearQuery((SpanTermQuery(hot), SpanTermQuery(hot2)), slop=6,
+                        in_order=False)
+    _identical(searcher, oracle, SpanContainingQuery(big, SpanTermQuery(hot2)))
+    _identical(searcher, oracle, SpanWithinQuery(big, SpanTermQuery(hot)))
+    _identical(searcher, oracle,
+               SpanPositionRangeQuery(SpanTermQuery(hot), start=2, end=40))
+    # multiterm wrapper: engine expands via the dict scan, oracle via
+    # its own vocabulary — identical results through the shared algebra
+    prefix = hot[:2]
+    w = SpanMultiTermWrapper(PrefixQuery(prefix))
+    _identical(searcher, oracle,
+               SpanNearQuery((w, SpanTermQuery(hot2)), slop=8,
+                             in_order=False))
