@@ -113,6 +113,20 @@ class IContainedBy(IntervalsSource):
     negate: bool = False
 
 
+@dataclass(frozen=True)
+class INonOverlapping(IntervalsSource):
+    """Intervals.nonOverlapping (:130-132) /
+    DifferenceIntervalFunction.NON_OVERLAPPING (:47-52): minuend
+    intervals that overlap no subtrahend interval. ``positions`` > 0
+    makes it Intervals.notWithin (:145-147): the subtrahend intervals
+    are widened to [max(0, start-positions), end+positions] before the
+    overlap test (NotWithinFunction :215-249 wraps the subtrahend then
+    delegates to NON_OVERLAPPING)."""
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+    positions: int = 0
+
+
 # -- factory surface (Intervals.java names) --------------------------------
 
 def term(t: str) -> ITerm:
@@ -159,6 +173,15 @@ def not_contained_by(small, big) -> IContainedBy:
     return IContainedBy(_coerce(small), _coerce(big), negate=True)
 
 
+def non_overlapping(minuend, subtrahend) -> INonOverlapping:
+    return INonOverlapping(_coerce(minuend), _coerce(subtrahend))
+
+
+def not_within(minuend, positions: int, subtrahend) -> INonOverlapping:
+    return INonOverlapping(_coerce(minuend), _coerce(subtrahend),
+                           positions)
+
+
 def _coerce(s) -> IntervalsSource:
     return ITerm(s) if isinstance(s, str) else s
 
@@ -193,6 +216,8 @@ def interval_terms(src) -> set[str]:
         return interval_terms(src.big) | interval_terms(src.small)
     if isinstance(src, IContainedBy):
         return interval_terms(src.small) | interval_terms(src.big)
+    if isinstance(src, INonOverlapping):
+        return interval_terms(src.minuend) | interval_terms(src.subtrahend)
     raise TypeError(f"unknown intervals source {type(src)}")
 
 
@@ -219,6 +244,9 @@ def interval_to_boolean(q: IntervalQuery) -> Query:
             return (walk(src.small) if src.negate
                     else BooleanQuery.of(must=[walk(src.small),
                                                walk(src.big)]))
+        if isinstance(src, INonOverlapping):
+            # subtractive: only the minuend constrains candidates
+            return walk(src.minuend)
         raise TypeError(f"unknown intervals source {type(src)}")
 
     return walk(q.source)
@@ -338,6 +366,19 @@ def enumerate_intervals(src, pos: dict[str, np.ndarray]) -> list:
             if within != src.negate:
                 keep.append(s)
         return keep
+
+    if isinstance(src, INonOverlapping):
+        minuend = enumerate_intervals(src.minuend, pos)
+        if not minuend:
+            return []
+        subs = enumerate_intervals(src.subtrahend, pos)
+        if src.positions:
+            # NotWithinFunction (:215-232): widen each subtrahend
+            # interval, clamping the start at 0
+            subs = [(max(0, s - src.positions), e + src.positions, g)
+                    for s, e, g in subs]
+        return [m for m in minuend
+                if not any(s[0] <= m[1] and m[0] <= s[1] for s in subs)]
 
     raise TypeError(f"unknown intervals source {type(src)}")
 

@@ -160,3 +160,51 @@ def test_engine_oracle_identity(built, mk):
     assert exp, "query should match test corpus"
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
+
+
+# ---- nonOverlapping / notWithin (DifferenceIntervalFunction) ---------------
+
+def test_non_overlapping():
+    # minuend a, subtrahend phrase(a b): a@0 overlaps the (0,1) phrase;
+    # a@3 does not overlap any
+    q = I.non_overlapping(I.term("a"), I.phrase("a", "b"))
+    assert I.enumerate_intervals(q, _pos("a b x a")) == [(3, 3, 0)]
+    # empty subtrahend keeps the minuend whole
+    q2 = I.non_overlapping(I.term("a"), I.term("zz"))
+    assert I.enumerate_intervals(q2, _pos("a x a")) == [(0, 0, 0),
+                                                       (2, 2, 0)]
+
+
+def test_not_within():
+    # notWithin(a, 2, b): a intervals farther than 2 positions from b
+    # (NotWithinFunction widens b by ±2, start clamped at 0)
+    q = I.not_within(I.term("a"), 2, I.term("b"))
+    # text: a x x b x x a x x x a → b@3 widened to [1,5];
+    # a@0 survives (0 < 1), a@6 overlaps? [1,5] no → survives,
+    # wait: a@6 vs [1,5] → no overlap → survives; a@10 survives
+    got = I.enumerate_intervals(q, _pos("a x x b x x a x x x a"))
+    assert got == [(0, 0, 0), (6, 6, 0), (10, 10, 0)]
+    # tighten: notWithin 3 → b widened to [0,6]: only a@10 survives
+    q3 = I.not_within(I.term("a"), 3, I.term("b"))
+    assert I.enumerate_intervals(
+        q3, _pos("a x x b x x a x x x a")) == [(10, 10, 0)]
+
+
+def test_difference_terms_and_skeleton():
+    q = I.IntervalQuery(I.non_overlapping(I.term("a"), I.term("b")))
+    assert I.interval_terms(q) == {"a", "b"}
+    sk = I.interval_to_boolean(q)
+    # subtractive: only the minuend constrains candidates
+    from lucene_solr_spark.search.executor import _collect_terms
+    assert {t for _f, t in _collect_terms(sk)} == {"a"}
+
+
+def test_engine_oracle_identity_difference(built):
+    searcher, oracle = built
+    q = I.IntervalQuery(I.not_within(
+        I.term("builder0"), 4, I.term("scaned11")))
+    exp = oracle.search(q, 10)
+    got = searcher.search(q, 10)
+    assert exp, "query should match test corpus"
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
