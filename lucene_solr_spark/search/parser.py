@@ -328,3 +328,91 @@ def query_from_analysis(analyzer, text: str, field: str = "content",
     return MultiPhraseQuery(
         tuple(tuple(dict.fromkeys(slots[p])) for p in order), rel, slop,
         field=field)
+
+
+class PrecedenceQueryParser(QueryParser):
+    """The flexible/precedence parser
+    (``lucene/queryparser/src/java/org/apache/lucene/queryparser/
+    flexible/precedence/PrecedenceQueryParser.java`` +
+    ``processors/BooleanModifiersQueryNodeProcessor.java``): identical
+    term/phrase/range/boost syntax, but AND binds TIGHTER than OR —
+    ``a AND b OR c`` parses as ``(a AND b) OR c``, where the classic
+    parser's flat addClause algebra yields ``+a +b c``.
+
+    Implementation: the clause walk collects (separator, modifier,
+    query) triples; consecutive clauses separated by AND (explicitly,
+    or implicitly when the default operator is AND) fold into one
+    MUST-group; OR starts a new group; groups combine as SHOULD.
+    Explicit +/-/NOT modifiers win inside their group, exactly like
+    the reference's modifiers processor.
+    """
+
+    def _parse_query(self, toks: list[str], i: int) -> tuple[Query, int]:
+        items: list[tuple[str | None, str | None, Query]] = []
+        conj = None
+        while i < len(toks) and toks[i] != ")":
+            t = toks[i]
+            if t in ("AND", "&&"):
+                conj, i = "AND", i + 1
+                continue
+            if t in ("OR", "||"):
+                conj, i = "OR", i + 1
+                continue
+            mod = None
+            if t in ("NOT", "!"):
+                mod, i = "MUST_NOT", i + 1
+                if i >= len(toks):
+                    raise QueryParseError("dangling NOT")
+                t = toks[i]
+            elif t.startswith("+") and len(t) > 1:
+                mod = "MUST"
+                t = t[1:]
+            elif t.startswith("-") and len(t) > 1:
+                mod = "MUST_NOT"
+                t = t[1:]
+            sub, i = self._parse_clause(t, toks, i)
+            if sub is None:  # stopword-only clause drops out
+                conj = None
+                continue
+            items.append((conj, mod, sub))
+            conj = None
+        if not items:
+            return MatchAllDocsQuery(), i
+
+        # partition into AND-groups (implicit separator = default op)
+        groups: list[list[tuple[str | None, Query]]] = [[]]
+        for k, (sep, mod, sub) in enumerate(items):
+            if k > 0:
+                eff = sep or self.default_operator
+                if eff == "OR":
+                    groups.append([])
+            groups[-1].append((mod, sub))
+
+        def build_group(members) -> tuple[Query, str] | None:
+            """→ (query, top-level occur) for one AND-group."""
+            if len(members) == 1:
+                mod, sub = members[0]
+                return sub, (mod or "SHOULD")
+            clauses = tuple(
+                BooleanClause(sub, mod or "MUST") for mod, sub in members)
+            return BooleanQuery(clauses), "SHOULD"
+
+        if len(groups) == 1:
+            # a multi-member single group is by construction all
+            # AND-joined; a lone member keeps its modifier
+            members = groups[0]
+            if len(members) == 1:
+                mod, sub = members[0]
+                if mod is None or mod == "MUST":
+                    return sub, i
+                return BooleanQuery((BooleanClause(sub, mod),)), i
+            return BooleanQuery(tuple(
+                BooleanClause(sub, mod or "MUST")
+                for mod, sub in members)), i
+
+        top = []
+        for g in groups:
+            built = build_group(g)
+            q, occ = built
+            top.append(BooleanClause(q, occ))
+        return BooleanQuery(tuple(top)), i

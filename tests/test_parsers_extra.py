@@ -296,3 +296,70 @@ class TestXmlParser:
 
         with _pytest.raises(ValueError):
             XmlQueryParser().parse("<SpanNear/>")
+
+
+class TestPrecedence:
+    """flexible/precedence/PrecedenceQueryParser: AND binds tighter
+    than OR (BooleanModifiersQueryNodeProcessor grouping), same clause
+    syntax as classic."""
+
+    def _p(self, s, **kw):
+        from lucene_solr_spark.search.parser import PrecedenceQueryParser
+
+        return PrecedenceQueryParser(**kw).parse(s)
+
+    def test_and_groups_bind_tighter(self):
+        from lucene_solr_spark.search.queries import (
+            BooleanQuery,
+            TermQuery,
+        )
+
+        q = self._p("code AND builder OR vector")
+        assert isinstance(q, BooleanQuery)
+        assert [c.occur for c in q.clauses] == ["SHOULD", "SHOULD"]
+        grp = q.clauses[0].query
+        assert isinstance(grp, BooleanQuery)
+        assert [(c.query.term, c.occur) for c in grp.clauses] == [
+            ("code", "MUST"), ("builder", "MUST")]
+        assert isinstance(q.clauses[1].query, TermQuery)
+
+    def test_classic_differs(self):
+        from lucene_solr_spark.search.parser import QueryParser
+        from lucene_solr_spark.search.queries import TermQuery
+
+        flat = QueryParser().parse("code AND builder OR vector")
+        # classic addClause algebra: flat +code +builder vector —
+        # semantically different from the precedence grouping
+        assert all(isinstance(c.query, TermQuery) for c in flat.clauses)
+        assert [c.occur for c in flat.clauses] == [
+            "MUST", "MUST", "SHOULD"]
+
+    def test_modifier_inside_group(self):
+        q = self._p("code AND NOT builder OR vector")
+        grp = q.clauses[0].query
+        assert [c.occur for c in grp.clauses] == ["MUST", "MUST_NOT"]
+
+    def test_default_and_operator(self):
+        q = self._p("a b", default_operator="AND")
+        assert [c.occur for c in q.clauses] == ["MUST", "MUST"]
+        q2 = self._p("a b OR c", default_operator="AND")
+        assert [c.occur for c in q2.clauses] == ["SHOULD", "SHOULD"]
+        assert [c.occur for c in q2.clauses[0].query.clauses] == [
+            "MUST", "MUST"]
+
+    def test_parens_and_boost_still_work(self):
+        from lucene_solr_spark.search.queries import BooleanQuery
+
+        q = self._p("(a OR b) AND c")
+        assert [c.occur for c in q.clauses] == ["MUST", "MUST"]
+        assert isinstance(q.clauses[0].query, BooleanQuery)
+
+    def test_empty_matches_all(self):
+        from lucene_solr_spark.analysis import (
+            ENGLISH_STOP_WORDS,
+            StandardAnalyzer,
+        )
+        from lucene_solr_spark.search.queries import MatchAllDocsQuery
+
+        a = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+        assert isinstance(self._p("the of", analyzer=a), MatchAllDocsQuery)
