@@ -24,7 +24,7 @@ Scale notes (designed for 1000 executors, tested at sf):
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .suite import load_table, register
 
@@ -710,3 +710,70 @@ def pack_sequences_entry(spark, sf_dir):
     seq_len=512, deterministic doc_id order."""
     return pack_sequences(load_table(spark, sf_dir, "documents"),
                           _PACK_SEQ_LEN)
+
+
+# --- canonical-document selection over dedup groups -----------------------
+
+@register(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTE},
+    {_DUCK_CAND_CTE},
+    edges AS (
+      SELECT d1 AS u, d2 AS v FROM cand
+      UNION SELECT d2, d1 FROM cand
+    ),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    groups AS (
+      SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY u
+    ),
+    sized AS (
+      SELECT g.doc_id, g.group_id, d.n_chars
+      FROM groups g JOIN documents d ON g.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rk
+      FROM sized
+    )
+    SELECT group_id,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+           count(*) AS group_size,
+           sum(CASE WHEN rk > 1 THEN doc_id ELSE 0 END) AS removed_id_sum
+    FROM ranked GROUP BY group_id ORDER BY group_id
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Canonical-document selection: after group resolution
+    (``dedup_groups_cc``), keep ONE representative per duplicate group
+    — the highest-quality member (here: longest by the stored
+    ``n_chars``, doc_id as the deterministic tie-break), the standard
+    keep-best step of a training-data dedup pipeline (the reference's
+    SignatureUpdateProcessor keeps the LATEST write instead; a curation
+    pipeline keeps the best). The rank window partitions by group —
+    dup groups are tiny (bounded by near-dup cluster size), so the
+    window never sees skew at 100 TB; everything upstream is the
+    LSH-banded candidate path, no pairwise corpus join."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v"))
+    labels = _alternating_cc(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = labels.join(docs, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("group_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    ranked = sized.withColumn("rk", rk)
+    return (
+        ranked.groupBy("group_id").agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .alias("keeper_id"),
+            F.count("*").cast("long").alias("group_size"),
+            F.sum(F.when(F.col("rk") > 1, F.col("doc_id")).otherwise(0))
+            .cast("long").alias("removed_id_sum"),
+        )
+        .orderBy("group_id")
+    )
