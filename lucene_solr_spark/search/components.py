@@ -610,7 +610,8 @@ def terms_enum(searcher: IndexSearcher, field: str = "content",
 
 def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
                   analyzer=None, all_terms_required: bool = True,
-                  highlight: bool = True) -> DataFrame:
+                  highlight: bool = True, blender_type: str | None = None,
+                  exponent: float = 2.0) -> DataFrame:
     """AnalyzingInfixSuggester.lookup() (suggest/analyzing/
     AnalyzingInfixSuggester.java:63-76, :365-470): every query token
     but the last must match a WHOLE analyzed token of the suggestion
@@ -624,7 +625,20 @@ def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
     the precomputed analyzed-token column — the Lucene side indexes
     edge-ngrams up to minPrefixChars for the same O(1)-per-token test),
     then a global top-n. At scale the entries table buckets by any
-    token-prefix key; no Python in the match path."""
+    token-prefix key; no Python in the match path.
+
+    ``blender_type`` adds BlendedInfixSuggester's position blending
+    (suggest/analyzing/BlendedInfixSuggester.java:86-93, :308-327):
+    the weight is scaled by a coefficient of the FIRST matching token
+    position (the closest occurrence, :277-297) —
+    ``linear`` = 1 - 0.10*position (:62, :311),
+    ``reciprocal`` = 1/(position+1) (:315),
+    ``exponential_reciprocal`` = 1/(position+1)^exponent (:318) —
+    and the blended score is truncated to a long exactly like
+    ``(long)(weight * coefficient)`` (:228). Results then sort by the
+    blended score. The position lookup is a JVM transform+array_min
+    over the token array — the term-vector walk of the reference, no
+    UDF."""
     if analyzer is None:
         from ..analysis import StandardAnalyzer
 
@@ -640,7 +654,38 @@ def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
     cond = conds[0]
     for c in conds[1:]:
         cond = (cond & c) if all_terms_required else (cond | c)
-    hits = entries.where(cond).select("text", "weight")
+    hits = entries.where(cond)
+    if blender_type is not None:
+        coefs = {
+            "linear": lambda p: 1.0 - 0.10 * p,
+            "reciprocal": lambda p: 1.0 / (p + 1.0),
+            "exponential_reciprocal": lambda p: 1.0 / (p + 1.0) ** exponent,
+        }
+        if blender_type not in coefs:
+            raise ValueError(f"blender_type must be one of {sorted(coefs)}")
+
+        def _is_match(t):
+            m = t.startswith(last)
+            for w in whole:
+                m = m | (t == F.lit(w))
+            return m
+
+        first_pos = F.array_min(F.transform(
+            "_toks",
+            lambda t, i: F.when(_is_match(t), i)
+            .otherwise(F.lit(2147483647))))
+        coef = coefs[blender_type]
+        # (long)(weight * coefficient), :228 — Java casts truncate
+        # toward zero (linear coefficients go negative past position 10)
+        raw = F.col("weight").cast("double") * coef(first_pos.cast("double"))
+        blended = (F.when(raw >= 0, F.floor(raw)).otherwise(F.ceil(raw))
+                   .cast("long"))
+        hits = hits.withColumn("score", blended).select(
+            "text", "weight", "score")
+        order = [F.desc("score"), F.asc("text")]
+    else:
+        hits = hits.select("text", "weight")
+        order = [F.desc("weight"), F.asc("text")]
     if highlight:
         out = F.col("text")
         for t in whole:
@@ -649,7 +694,7 @@ def suggest_infix(sugg_entries: DataFrame, query: str, n: int = 10,
         out = F.regexp_replace(
             out, f"(?i)\\b({re.escape(last)})", "<b>$1</b>")
         hits = hits.withColumn("highlighted", out)
-    return hits.orderBy(F.desc("weight"), F.asc("text")).limit(n)
+    return hits.orderBy(*order).limit(n)
 
 
 def expand_topk(searcher: IndexSearcher, q: Query, group_col: str,
