@@ -862,3 +862,71 @@ def facet_range_options(spark, sf_dir):
         load_table(spark, sf_dir, "orders"), "o_totalprice",
         50000, 350000, 75000,
         include={"edge"}, others={"all"}, hardend=True)
+
+
+# --- sampled facets (RandomSamplingFacetsCollector) ------------------------
+
+_SAMPLE_BIN = 10
+
+_SAMPLED_FACETS_ORACLE = f"""
+WITH hits AS (
+  SELECT event_id, event_type FROM events WHERE value > 25
+),
+sampled AS (
+  SELECT event_type, count(*) AS n_sampled
+  FROM hits WHERE (event_id * 2654435761) % {_SAMPLE_BIN} = 0
+  GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS n_exact FROM hits GROUP BY event_type
+),
+totals AS (
+  SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       coalesce(s.n_sampled, 0) AS n_sampled,
+       least(coalesce(s.n_sampled, 0) * {_SAMPLE_BIN}, t.n_total)
+         AS n_amortized,
+       e.n_exact
+FROM exact e
+LEFT JOIN sampled s ON e.event_type = s.event_type
+JOIN totals t ON e.event_type = t.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("sampled_facets", _SAMPLED_FACETS_ORACLE)
+def sampled_facets(spark, sf_dir):
+    """RandomSamplingFacetsCollector (facet/
+    RandomSamplingFacetsCollector.java): facet counts over a SAMPLE of
+    the hit set — one doc per bin of ``binSize = 1/samplingRate``
+    (:170-181) — then ``amortizeFacetCounts`` (:221-246) scales each
+    sampled count back by 1/samplingRate, capped by the value's global
+    count upper bound. The reference draws the in-bin survivor with a
+    seeded XORShift64 (:52-77); this port substitutes a deterministic
+    multiplicative hash on the doc key — same per-bin selection role,
+    reproducible across engines and runs (the determinism rule of
+    SURVEY §7). One conditional-aggregation scan computes sampled AND
+    exact counts (the exact column shows estimate quality); the global
+    per-value totals used for the amortization cap are a second tiny
+    aggregate of dictionary size, exactly the docFreq-metadata role the
+    reference reads from the index."""
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.where(F.col("value") > 25)
+    in_sample = (F.col("event_id") * 2654435761) % _SAMPLE_BIN == 0
+    per_type = hits.groupBy("event_type").agg(
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long")
+        .alias("n_sampled"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"))
+    return (
+        per_type.join(totals, "event_type")
+        .select(
+            "event_type", "n_sampled",
+            F.least(F.col("n_sampled") * _SAMPLE_BIN, F.col("n_total"))
+            .cast("long").alias("n_amortized"),
+            "n_exact")
+        .orderBy("event_type")
+    )
