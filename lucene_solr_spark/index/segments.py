@@ -912,3 +912,54 @@ def build_segment_index(
         json.dump(manifest, f, indent=1)
     shutil.rmtree(spill_path, ignore_errors=True)  # build-scoped spill
     return idx
+
+
+def pk_split_index(src_root: str, out_pass: str, out_fail: str,
+                   spark: SparkSession, predicate) -> tuple[dict, dict]:
+    """PKIndexSplitter (misc/index/PKIndexSplitter.java): partition an
+    existing index into two by a FILTER — docs matching ``predicate``
+    (a Column over the docs/stored-fields surface) serve from
+    ``out_pass``, the rest from ``out_fail``. Exactly like the
+    reference — which copies segments through addIndexes under
+    complementary liveDocs masks (:88-110, DocumentFilteredLeafReader)
+    — nothing is re-analyzed or re-encoded: each output is a
+    hardlink copy of the source tree with the COMPLEMENT tombstoned.
+    Term statistics stay the source's until compaction, which is the
+    reference behavior too (df/ttf include masked docs until merge);
+    ``compact_segments`` later drops the masked docs physically and
+    refreshes stats.
+
+    The two tombstone sets are written with Spark (one docs-table
+    scan each, no driver materialization), so the split is a pure
+    metadata operation at any index size — the 100-TB variant of the
+    reference's per-segment bitset build."""
+    src = SegmentIndex(src_root, spark)
+    docs = src.docs()
+    for out_root in (out_pass, out_fail):
+        if os.path.exists(out_root) and os.listdir(out_root):
+            raise ValueError(f"output root {out_root} is not empty")
+        for dirpath, _dirnames, filenames in os.walk(src_root):
+            rel = os.path.relpath(dirpath, src_root)
+            dst_dir = os.path.join(out_root, rel) if rel != "." else out_root
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in filenames:
+                os.link(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
+    # complementary tombstones, one scan each (the existing deletes
+    # were hardlinked over and stay in force on both sides)
+    for out_root, pred in ((out_pass, ~predicate), (out_fail, predicate)):
+        (docs.where(pred).select(F.col("docid").cast("long"))
+         .write.mode("append").parquet(os.path.join(out_root, "deletes")))
+    outs = []
+    for out_root, tag in ((out_pass, "pass"), (out_fail, "fail")):
+        man_path = os.path.join(out_root, "manifest.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        man.update(pk_split_from=os.path.basename(os.path.normpath(src_root)),
+                   pk_split_side=tag, updated_wall=round(time.time(), 3))
+        # hardlinked manifest must not mutate the source's inode:
+        # replace the name, never the content (the commit-point rule)
+        os.unlink(man_path)
+        with open(man_path, "w") as f:
+            json.dump(man, f, indent=1)
+        outs.append(man)
+    return tuple(outs)

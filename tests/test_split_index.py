@@ -97,3 +97,78 @@ def test_tombstones_route_to_owning_part(spark, tmp_path_factory):
     d1 = set(SegmentIndex(p1, spark).deleted_docids().tolist())
     assert d0 == {3}
     assert d1 == {97 - b}
+
+
+# ---- PKIndexSplitter: predicate split ------------------------------------
+
+def test_pk_split_partition(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.segments import pk_split_index
+
+    pdf = (corpus_pandas(120)
+           .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    src = str(tmp_path_factory.mktemp("pk_src"))
+    build_segment_index(spark.createDataFrame(pdf), src,
+                        stop_words=ENGLISH_STOP_WORDS, docs_per_segment=32)
+    out_pass = str(tmp_path_factory.mktemp("pk_pass"))
+    out_fail = str(tmp_path_factory.mktemp("pk_fail"))
+    pred = F.col("docid") % 3 == 0
+    man_p, man_f = pk_split_index(src, out_pass, out_fail, spark, pred)
+    assert man_p["pk_split_side"] == "pass"
+
+    base = SegmentSearcher(SegmentIndex(src, spark), cache=True)
+    sp = SegmentSearcher(SegmentIndex(out_pass, spark), cache=True)
+    sf_ = SegmentSearcher(SegmentIndex(out_fail, spark), cache=True)
+
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    for t in _probe_terms(oracle):
+        full = base.search(TermQuery(t), 120)
+        want_pass = [(d.docid, np.float32(d.score)) for d in full
+                     if d.docid % 3 == 0]
+        want_fail = [(d.docid, np.float32(d.score)) for d in full
+                     if d.docid % 3 != 0]
+        got_pass = [(d.docid, np.float32(d.score))
+                    for d in sp.search(TermQuery(t), 120)]
+        got_fail = [(d.docid, np.float32(d.score))
+                    for d in sf_.search(TermQuery(t), 120)]
+        # stats stay the source's until compaction (reference: df/ttf
+        # include masked docs until merge), so scores are UNCHANGED —
+        # each side serves exactly its partition of the original list
+        assert got_pass == want_pass
+        assert got_fail == want_fail
+
+
+def test_pk_split_source_untouched(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.segments import pk_split_index
+
+    pdf = (corpus_pandas(60)
+           .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    src = str(tmp_path_factory.mktemp("pk_src2"))
+    build_segment_index(spark.createDataFrame(pdf), src,
+                        stop_words=ENGLISH_STOP_WORDS, docs_per_segment=32)
+    before = SegmentSearcher(SegmentIndex(src, spark), cache=True)
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    oracle.add_all(pdf["content"])
+    t = _probe_terms(oracle)[-1]
+    exp = [(d.docid, np.float32(d.score)) for d in before.search(TermQuery(t), 60)]
+
+    out_pass = str(tmp_path_factory.mktemp("pk_pass2"))
+    out_fail = str(tmp_path_factory.mktemp("pk_fail2"))
+    pk_split_index(src, out_pass, out_fail, spark, F.col("lang") == "py")
+
+    # the hardlinked split must not mutate the source (commit-point
+    # inode rule); a fresh reader over src sees identical results
+    after = SegmentSearcher(SegmentIndex(src, spark), cache=True)
+    got = [(d.docid, np.float32(d.score)) for d in after.search(TermQuery(t), 60)]
+    assert got == exp
+
+    # non-empty output guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pk_split_index(src, out_pass, out_fail, spark, F.col("lang") == "py")
