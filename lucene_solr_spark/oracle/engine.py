@@ -409,19 +409,28 @@ class OracleIndex:
         if getattr(scorer, "needs_ttf", False):
             raise TypeError("span queries need a precomputed weight; "
                             "unsupported under LM/DFR similarities")
-        terms = sorted(span_terms(q))
-        plists = {t: self.postings.get((field, t), ()) for t in terms}
-        dfs = [len(plists[t]) for t in terms if plists[t]]
+        if isinstance(q, SpanQuery):
+            from ..search.spans import span_field_terms
+
+            pairs = sorted(span_field_terms(q))
+            keyer = None  # (field, term) keys
+        else:
+            pairs = sorted((field, t) for t in span_terms(q))
+            keyer = "bare"
+        plists = {p: self.postings.get(p, ()) for p in pairs}
+        dfs = [len(plists[p]) for p in pairs if plists[p]]
         if not dfs:
             return {}
         idfs = [scorer.idf(df) for df in dfs]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = scorer.weight_from_idf_sum(idf_sum, boost * q.boost)
         # candidate docs: union of the tree's term postings
-        by_doc: dict[int, dict[str, np.ndarray]] = {}
-        for t in terms:
-            for docid, _tf, pp in plists[t]:
-                by_doc.setdefault(docid, {})[t] = np.asarray(pp, dtype=np.int64)
+        by_doc: dict[int, dict] = {}
+        for p in pairs:
+            key = p[1] if keyer == "bare" else p
+            for docid, _tf, pp in plists[p]:
+                by_doc.setdefault(docid, {})[key] = np.asarray(
+                    pp, dtype=np.int64)
         out = {}
         for d, pos in by_doc.items():
             freq = span_freq(q, pos)

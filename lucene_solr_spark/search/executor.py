@@ -193,11 +193,12 @@ def _collect_terms(q: Query) -> set[tuple[str, str]]:
 
     if isinstance(q, FeatureQuery):
         return {(q.field, q.feature)}
-    from .spans import SpanQuery, span_terms
+    from .spans import SpanQuery, span_field_terms
 
     if isinstance(q, SpanQuery):
-        f = getattr(q, "field", "content")
-        return {(f, t) for t in span_terms(q)}
+        # each term pairs with its OWN field (FieldMaskingSpanQuery
+        # composes cross-field trees)
+        return span_field_terms(q)
     from .term_automaton import TermAutomatonQuery
 
     if isinstance(q, TermAutomatonQuery):
@@ -405,6 +406,17 @@ class IndexSearcher:
             col = F.lit([float(c) for c in self.field_scorer(field).cache])
             self._norm_cache_cols[field] = col
         return col
+
+    def _field_norms(self, field: str) -> DataFrame:
+        """(docid, norm) for ``field`` — the docs table for the
+        content field and single-field indexes, the per-field norms
+        table (field_docs) otherwise."""
+        if field != "content":
+            fd = self.tables.field_docs()
+            if fd is not None:
+                return fd.where(F.col("field") == field).select(
+                    "docid", "norm")
+        return self.docs.select("docid", "norm")
 
     def field_scorer(self, field: str):
         s = self.scorers.get(field)
@@ -750,34 +762,44 @@ class IndexSearcher:
 
         if isinstance(q, IntervalQuery):
             span_freq = interval_freq             # noqa: F811
-            span_terms = interval_terms           # noqa: F811
             span_to_boolean = interval_to_boolean  # noqa: F811
         field = getattr(q, "field", "content")
         scorer = self.field_scorer(field)
         if getattr(scorer, "needs_ttf", False):
             raise TypeError("span queries need a precomputed weight; "
                             "unsupported under LM/DFR similarities")
-        terms = sorted(span_terms(q))
-        present = {t: stats.get((field, t), 0) for t in terms}
+        # (field, term) pairs: span trees may cross fields via
+        # FieldMaskingSpanQuery; intervals are single-field
+        if isinstance(q, IntervalQuery):
+            pairs = sorted((field, t) for t in interval_terms(q))
+            bare_keys = True
+        else:
+            from .spans import span_field_terms
+
+            pairs = sorted(span_field_terms(q))
+            bare_keys = False
+        present = {p: stats.get(p, 0) for p in pairs}
         dfs = [df for df in present.values() if df]
         if not dfs:
             return self._empty_scored()
+        # SpanWeight.buildSimWeight: per-term idf from each term's OWN
+        # field statistics, one similarity built from the top field
         idfs = [scorer.idf(df) for df in dfs]
         idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = float(scorer.weight_from_idf_sum(idf_sum, boost * q.boost))
 
         skeleton = self.rewrite(span_to_boolean(q))
         cand = self._compile(skeleton, stats, 1.0).select("docid").distinct()
-        base = cand.join(self.docs.select("docid", "norm"), "docid")
-        tlist = [t for t in terms if present[t]]
+        base = cand.join(self._field_norms(field), "docid")
+        tlist = [p for p in pairs if present[p]]
         qq = q
 
         if len(tlist) <= 8:
-            # narrow tree: one positional left join per term (plan stays
-            # a short join chain; the common case)
-            for i, t in enumerate(tlist):
+            # narrow tree: one positional left join per (field, term)
+            # (plan stays a short join chain; the common case)
+            for i, (f, t) in enumerate(tlist):
                 p = (self._postings_for([t], with_positions=True,
-                                        field=field)
+                                        field=f)
                      .select("docid", F.col("positions").alias(f"pos{i}")))
                 base = base.join(p, "docid", "left")
 
@@ -800,7 +822,10 @@ class IndexSearcher:
                             if v is None or (isinstance(v, float)
                                              and np.isnan(v)):
                                 continue  # left-join miss: term absent
-                            pos[tlist[i]] = np.asarray(v, dtype=np.int64)
+                            arr = np.asarray(v, dtype=np.int64)
+                            key = (tlist[i][1] if bare_keys
+                                   else tlist[i])
+                            pos[key] = arr
                         freqs[r] = span_freq(qq, pos)
                     hit = freqs > 0
                     if not hit.any():
@@ -816,14 +841,19 @@ class IndexSearcher:
 
         # wide tree (e.g. a SpanMultiTermWrapper expansion): a join per
         # term would build an unboundedly deep plan (JVM stack), so all
-        # term positions ride ONE bucket-pruned scan grouped per doc —
-        # one join + one aggregation regardless of expansion width
-        grouped = (
-            self._postings_for(tlist, with_positions=True, field=field)
-            .groupBy("docid")
-            .agg(F.collect_list(F.struct("term", "positions"))
-                 .alias("tpos")))
-        base = base.join(grouped, "docid", "left")
+        # term positions ride ONE bucket-pruned scan per distinct field
+        # grouped per doc — joins bounded by the field count, not the
+        # expansion width
+        wide_fields = sorted({f for f, _t in tlist})
+        for j, f in enumerate(wide_fields):
+            terms_f = [t for ff, t in tlist if ff == f]
+            grouped = (
+                self._postings_for(terms_f, with_positions=True, field=f)
+                .groupBy("docid")
+                .agg(F.collect_list(F.struct("term", "positions"))
+                     .alias(f"tpos{j}")))
+            base = base.join(grouped, "docid", "left")
+        nfields = len(wide_fields)
 
         def verify_grouped(batches):
             for pdf in batches:
@@ -832,16 +862,22 @@ class IndexSearcher:
                     continue
                 docids = pdf["docid"].to_numpy(dtype=np.int64)
                 norms = pdf["norm"].to_numpy(dtype=np.int64)
-                tpos = pdf["tpos"].to_numpy()
+                tcols = [pdf[f"tpos{j}"].to_numpy()
+                         for j in range(nfields)]
                 freqs = np.empty(nrows, dtype=np.float64)
                 for r in range(nrows):
-                    v = tpos[r]
-                    if v is None or (isinstance(v, float) and np.isnan(v)):
-                        freqs[r] = 0.0
-                        continue
-                    pos = {e["term"]: np.asarray(e["positions"],
-                                                 dtype=np.int64)
-                           for e in v}
+                    pos = {}
+                    for j in range(nfields):
+                        v = tcols[j][r]
+                        if v is None or (isinstance(v, float)
+                                         and np.isnan(v)):
+                            continue
+                        for e in v:
+                            arr = np.asarray(e["positions"],
+                                             dtype=np.int64)
+                            key = (e["term"] if bare_keys
+                                   else (wide_fields[j], e["term"]))
+                            pos[key] = arr
                     freqs[r] = span_freq(qq, pos)
                 hit = freqs > 0
                 if not hit.any():

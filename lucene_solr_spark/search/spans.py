@@ -129,6 +129,19 @@ class SpanWithinQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class FieldMaskingSpanQuery(SpanQuery):
+    """spans/FieldMaskingSpanQuery.java: 'lie' about the search field
+    so span queries over DIFFERENT fields can compose inside one
+    SpanNear/SpanOr (the denormalized parallel-fields trick of the
+    class javadoc, :40-63). The wrapped query enumerates its own
+    field's positions unchanged; only the reported field — and hence
+    the norms used at scoring time — is ``field`` (:66-68's caveat
+    that scores mix fields is inherited)."""
+    match: SpanQuery
+    field: str
+
+
+@dataclass(frozen=True)
 class SpanMultiTermWrapper(SpanQuery):
     """spans/SpanMultiTermQueryWrapper.java: lift a multi-term query
     (prefix/wildcard/fuzzy/regexp/range) into the span algebra. Must
@@ -184,6 +197,9 @@ def expand_span_multiterm(q: SpanQuery, vocab) -> SpanQuery:
         return type(q)(expand_span_multiterm(q.big, vocab),
                        expand_span_multiterm(q.little, vocab),
                        q.boost, q.field)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return FieldMaskingSpanQuery(
+            expand_span_multiterm(q.match, vocab), q.field)
     return q
 
 
@@ -202,6 +218,34 @@ def span_terms(q: SpanQuery) -> set[str]:
         return span_terms(q.match)
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         return span_terms(q.big) | span_terms(q.little)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return span_terms(q.match)
+    if isinstance(q, SpanMultiTermWrapper):
+        raise TypeError(
+            "SpanMultiTermWrapper must be expanded against the index "
+            "vocabulary first (expand_span_multiterm)")
+    raise TypeError(f"unknown span query {type(q)}")
+
+
+def span_field_terms(q: SpanQuery) -> set[tuple[str, str]]:
+    """Every (field, term) pair in the span tree — each SpanTermQuery
+    contributes its OWN field (FieldMaskingSpanQuery masks the
+    reported field, never the enumerated one, so masking is
+    transparent here)."""
+    if isinstance(q, SpanTermQuery):
+        return {(q.field, q.term)}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[tuple[str, str]] = set()
+        for c in q.clauses:
+            out |= span_field_terms(c)
+        return out
+    if isinstance(q, SpanNotQuery):
+        return span_field_terms(q.include) | span_field_terms(q.exclude)
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
+                      FieldMaskingSpanQuery)):
+        return span_field_terms(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return span_field_terms(q.big) | span_field_terms(q.little)
     if isinstance(q, SpanMultiTermWrapper):
         raise TypeError(
             "SpanMultiTermWrapper must be expanded against the index "
@@ -224,7 +268,8 @@ def span_to_boolean(q: SpanQuery) -> Query:
             should=[span_to_boolean(c) for c in q.clauses])
     if isinstance(q, SpanNotQuery):
         return span_to_boolean(q.include)
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
+                      FieldMaskingSpanQuery)):
         return span_to_boolean(q.match)
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         # ContainSpans is a conjunction of both sides (ConjunctionSpans
@@ -240,7 +285,10 @@ def enumerate_spans(q: SpanQuery, pos: dict[str, np.ndarray]) -> list:
     """All matches of ``q`` in ONE document, sorted by (start, end).
     ``pos``: term → sorted position array (may be missing/empty)."""
     if isinstance(q, SpanTermQuery):
-        p = pos.get(q.term)
+        # field-aware lookup first (cross-field trees via
+        # FieldMaskingSpanQuery); bare-term key for the common
+        # single-field dicts
+        p = pos.get((q.field, q.term), pos.get(q.term))
         if p is None:
             return []
         return [(int(x), int(x) + 1, 0) for x in p]
@@ -270,6 +318,8 @@ def enumerate_spans(q: SpanQuery, pos: dict[str, np.ndarray]) -> list:
             if not any(e[0] < s[1] and s[0] < e[1] for e in exc):
                 out.append(s)
         return out
+    if isinstance(q, FieldMaskingSpanQuery):
+        return enumerate_spans(q.match, pos)
     if isinstance(q, SpanFirstQuery):
         return [s for s in enumerate_spans(q.match, pos) if s[1] <= q.end]
     if isinstance(q, SpanPositionRangeQuery):

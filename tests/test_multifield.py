@@ -199,3 +199,70 @@ def test_blended_df_is_max_across_members(built):
     assert df_title != df_content  # the blend is non-trivial
     assert {l.df for l in rewritten.disjuncts} == {max(df_title, df_content)}
     _identical(searcher, oracle, blended, 15)
+
+
+# ---- FieldMaskingSpanQuery: cross-field span composition ------------------
+
+def test_field_masking_span(built):
+    """spans/FieldMaskingSpanQuery.java: a SpanNear across title and
+    content positions — the masked clause enumerates ITS OWN field's
+    positions, the tree reports (and scores with the norms of) the
+    top field."""
+    from lucene_solr_spark.search.spans import (
+        FieldMaskingSpanQuery,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    searcher, oracle = built
+    # title tokens: "<lang> file <name>" — positions 0..2 after the
+    # "of" stopword drops; content has its own token stream
+    title_term = SpanTermQuery("file", field="title")
+    content_terms = sorted(t for f, t in oracle.postings
+                           if f == "content")
+    hot = max(content_terms,
+              key=lambda t: len(oracle.postings[("content", t)]))
+    masked = FieldMaskingSpanQuery(
+        SpanTermQuery(hot, field="content"), "title")
+    # ORDERED near over parallel position spaces (the javadoc's
+    # teacher/student pattern): title position then a later content
+    # position. Ordered keeps widths non-negative — coincident
+    # positions across parallel fields make unordered width -1, where
+    # the reference's computeSlopFactor divides by zero (degenerate in
+    # Lucene too, javadoc :66-68's scoring caveat).
+    q = SpanNearQuery((title_term, masked), slop=30, in_order=True,
+                      field="title")
+    exp = oracle.search(q, 10)
+    got = searcher.search(q, 10)
+    assert exp, "cross-field span should match the corpus"
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
+
+    # masking inside an Or as well
+    q2 = SpanOrQuery((title_term, masked), field="title")
+    exp2 = oracle.search(q2, 10)
+    got2 = searcher.search(q2, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got2] == [
+        (d.docid, np.float32(d.score)) for d in exp2]
+
+
+def test_field_masking_enumeration_unit():
+    import numpy as np
+
+    from lucene_solr_spark.search.spans import (
+        FieldMaskingSpanQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        enumerate_spans,
+        span_field_terms,
+    )
+
+    pos = {("a_field", "x"): np.array([0, 4]),
+           ("b_field", "y"): np.array([1])}
+    qx = SpanTermQuery("x", field="a_field")
+    qy = FieldMaskingSpanQuery(SpanTermQuery("y", field="b_field"),
+                               "a_field")
+    near = SpanNearQuery((qx, qy), slop=0, field="a_field")
+    assert enumerate_spans(near, pos) == [(0, 2, 0)]
+    assert span_field_terms(near) == {("a_field", "x"), ("b_field", "y")}
