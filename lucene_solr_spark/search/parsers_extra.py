@@ -552,4 +552,57 @@ class XmlQueryParser:
             if self.classic is None:
                 raise ValueError("UserQuery needs a classic_parser")
             return b(self.classic.parse((el.text or "").strip()))
+        if tag in ("SpanTerm", "SpanNear", "SpanOr", "SpanOrTerms",
+                   "SpanFirst", "SpanNot"):
+            return b(self._build_span(el))
         raise ValueError(f"unsupported query element <{tag}>")
+
+    def _build_span(self, el):
+        """The xml/builders Span* set (SpanQueryBuilderFactory.java
+        wiring): SpanTerm, SpanNear (slopAttr + inOrderAttr,
+        SpanNearBuilder.java:36-46), SpanOr, SpanOrTerms (analyzes the
+        text into a disjunction of term spans,
+        SpanOrTermsBuilder.java:44-60), SpanFirst (endAttr,
+        SpanFirstBuilder.java:33-41), SpanNot (Include/Exclude child
+        wrappers, SpanNotBuilder.java:33-44)."""
+        from .spans import (
+            SpanFirstQuery,
+            SpanNearQuery,
+            SpanNotQuery,
+            SpanOrQuery,
+            SpanTermQuery,
+        )
+
+        tag = el.tag
+        f = el.get("fieldName", self.default_field)
+        if tag == "SpanTerm":
+            return SpanTermQuery((el.text or "").strip(), field=f)
+        if tag == "SpanNear":
+            clauses = tuple(self._build_span(c) for c in el)
+            return SpanNearQuery(
+                clauses, slop=int(el.get("slop", "0")),
+                in_order=el.get("inOrder", "true") == "true", field=f)
+        if tag == "SpanOr":
+            return SpanOrQuery(
+                tuple(self._build_span(c) for c in el), field=f)
+        if tag == "SpanOrTerms":
+            terms, _pos = self.analyzer.analyze((el.text or "").strip())
+            if not terms:
+                raise ValueError("SpanOrTerms analyzed to no tokens")
+            return SpanOrQuery(
+                tuple(SpanTermQuery(t, field=f)
+                      for t in dict.fromkeys(terms)), field=f)
+        if tag == "SpanFirst":
+            (child,) = list(el)
+            return SpanFirstQuery(self._build_span(child),
+                                  end=int(el.get("end", "0")), field=f)
+        if tag == "SpanNot":
+            inc = el.find("Include")
+            exc = el.find("Exclude")
+            if inc is None or exc is None:
+                raise ValueError("SpanNot needs Include and Exclude")
+            (iq,) = list(inc)
+            (eq,) = list(exc)
+            return SpanNotQuery(self._build_span(iq),
+                                self._build_span(eq), field=f)
+        raise ValueError(f"unsupported span element <{tag}>")

@@ -363,3 +363,63 @@ class TestPrecedence:
 
         a = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
         assert isinstance(self._p("the of", analyzer=a), MatchAllDocsQuery)
+
+
+class TestXmlSpans:
+    """xml/builders Span* set: SpanTerm/Near/Or/OrTerms/First/Not."""
+
+    def _p(self, s):
+        from lucene_solr_spark.search.parsers_extra import XmlQueryParser
+
+        return XmlQueryParser().parse(s)
+
+    def test_span_near(self):
+        from lucene_solr_spark.search.spans import (
+            SpanNearQuery,
+            SpanTermQuery,
+        )
+
+        q = self._p('<SpanNear slop="2" inOrder="false" fieldName="content">'
+                    '<SpanTerm>hello</SpanTerm><SpanTerm>world</SpanTerm>'
+                    '</SpanNear>')
+        assert q == SpanNearQuery(
+            (SpanTermQuery("hello"), SpanTermQuery("world")),
+            slop=2, in_order=False)
+
+    def test_span_or_terms_analyzed(self):
+        from lucene_solr_spark.search.spans import SpanOrQuery
+
+        q = self._p('<SpanOrTerms fieldName="content">Hello World'
+                    '</SpanOrTerms>')
+        assert isinstance(q, SpanOrQuery)
+        assert tuple(c.term for c in q.clauses) == ("hello", "world")
+
+    def test_span_first_not(self):
+        from lucene_solr_spark.search.spans import (
+            SpanFirstQuery,
+            SpanNotQuery,
+        )
+
+        q = self._p('<SpanFirst end="5"><SpanTerm fieldName="content">a'
+                    '</SpanTerm></SpanFirst>')
+        assert isinstance(q, SpanFirstQuery) and q.end == 5
+        q2 = self._p('<SpanNot><Include><SpanTerm>a</SpanTerm></Include>'
+                     '<Exclude><SpanTerm>b</SpanTerm></Exclude></SpanNot>')
+        assert isinstance(q2, SpanNotQuery)
+        assert q2.include.term == "a" and q2.exclude.term == "b"
+
+    def test_span_inside_boolean(self):
+        from lucene_solr_spark.search.queries import BooleanQuery
+
+        q = self._p('<BooleanQuery><Clause occurs="must">'
+                    '<SpanNear slop="0" inOrder="true">'
+                    '<SpanTerm>x</SpanTerm><SpanTerm>y</SpanTerm>'
+                    '</SpanNear></Clause>'
+                    '<Clause occurs="should"><TermQuery>z</TermQuery>'
+                    '</Clause></BooleanQuery>')
+        assert isinstance(q, BooleanQuery)
+
+    def test_boost_applies(self):
+        q = self._p('<SpanTerm boost="2.5" fieldName="content">a'
+                    '</SpanTerm>')
+        assert q.boost == 2.5
