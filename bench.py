@@ -78,7 +78,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "token_counts", "graph_traversal", "cluster_kmeans",
         "suggest_freetext", "interval_facets", "facet_heatmap",
         "sessionize", "gopher_repetition", "source_quota_sample",
-        "decontaminate_ngram",
+        "decontaminate_ngram", "ip_point_queries", "bbox_overlap_topk",
+        "dedup_canonical", "sampled_facets",
     ]
     out = {}
     for name in names:
