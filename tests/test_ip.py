@@ -134,3 +134,41 @@ def test_plan_stays_jvm(ip_df):
     plan = ip_df.where(ip_prefix(F.col("ip"), "10.0.0.0", 8))\
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+
+# ---- property tests (no Spark) --------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 32))
+@settings(max_examples=200, deadline=None)
+def test_cidr_membership_matches_ipaddress(addr, prefix_len):
+    """lo <= encode(x) <= hi  ⇔  x ∈ network(addr/prefix) — checked
+    against the stdlib's independent network-membership logic."""
+    import ipaddress
+
+    ip = str(ipaddress.ip_address(addr))
+    lo, hi = cidr_bounds(ip, prefix_len)
+    net = ipaddress.ip_network(f"{ip}/{prefix_len}", strict=False)
+    # probe: the address itself, the network edges, and a nearby value
+    probes = {addr, int(net.network_address), int(net.broadcast_address),
+              min(2**32 - 1, addr + 1), max(0, addr - 1)}
+    for p in probes:
+        ptext = str(ipaddress.ip_address(p))
+        enc = encode_ip(ptext)
+        in_range = lo <= enc <= hi
+        assert in_range == (ipaddress.ip_address(p) in net), (ip, prefix_len, ptext)
+
+
+@given(st.integers(0, 2**128 - 1))
+@settings(max_examples=200, deadline=None)
+def test_hex_order_is_address_order_v6(v):
+    """Lexicographic order over the hex encoding IS numeric order —
+    the property every range predicate relies on."""
+    import ipaddress
+
+    w = (v + 12345678901234567890) % (2**128)
+    a = encode_ip(str(ipaddress.ip_address(v)))
+    b = encode_ip(str(ipaddress.ip_address(w)))
+    assert (a < b) == (v < w) or v == w
