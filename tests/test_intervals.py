@@ -208,3 +208,40 @@ def test_engine_oracle_identity_difference(built):
     assert exp, "query should match test corpus"
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
+
+
+# ---- property tests (no Spark) --------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_positions = st.lists(st.integers(0, 40), min_size=0, max_size=12,
+                      unique=True).map(sorted)
+
+
+@given(_positions, _positions)
+@settings(max_examples=150, deadline=None)
+def test_not_within_zero_is_non_overlapping(pa, pb):
+    pos = {"a": np.asarray(pa, dtype=np.int64),
+           "b": np.asarray(pb, dtype=np.int64)}
+    nw0 = I.enumerate_intervals(I.not_within(I.term("a"), 0, I.term("b")),
+                                pos)
+    nov = I.enumerate_intervals(I.non_overlapping(I.term("a"),
+                                                  I.term("b")), pos)
+    assert nw0 == nov
+
+
+@given(_positions, _positions, st.integers(0, 8))
+@settings(max_examples=150, deadline=None)
+def test_not_within_monotone_in_positions(pa, pb, k):
+    # widening the exclusion zone can only REMOVE minuend intervals
+    pos = {"a": np.asarray(pa, dtype=np.int64),
+           "b": np.asarray(pb, dtype=np.int64)}
+    wide = I.enumerate_intervals(
+        I.not_within(I.term("a"), k + 1, I.term("b")), pos)
+    narrow = I.enumerate_intervals(
+        I.not_within(I.term("a"), k, I.term("b")), pos)
+    assert set(wide) <= set(narrow)
+    # empty subtrahend keeps everything
+    assert I.enumerate_intervals(
+        I.not_within(I.term("a"), k, I.term("zz")), pos) == \
+        I.enumerate_intervals(I.term("a"), pos)

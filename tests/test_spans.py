@@ -244,3 +244,54 @@ def test_identity_contain_family(built):
     _identical(searcher, oracle,
                SpanNearQuery((w, SpanTermQuery(hot2)), slop=8,
                              in_order=False))
+
+
+# ---- property tests (no Spark) --------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_positions = st.lists(st.integers(0, 40), min_size=0, max_size=12,
+                      unique=True).map(sorted)
+
+
+@given(_positions, _positions, st.integers(0, 6))
+@settings(max_examples=150, deadline=None)
+def test_contain_family_subset_properties(pa, pb, slop):
+    from lucene_solr_spark.search.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanWithinQuery,
+    )
+
+    pos = {"a": np.asarray(pa, dtype=np.int64),
+           "b": np.asarray(pb, dtype=np.int64)}
+    big = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")),
+                        slop=slop, in_order=False)
+    bigs = enumerate_spans(big, pos)
+    littles = enumerate_spans(SpanTermQuery("b"), pos)
+    containing = enumerate_spans(
+        SpanContainingQuery(big, SpanTermQuery("b")), pos)
+    within = enumerate_spans(
+        SpanWithinQuery(big, SpanTermQuery("b")), pos)
+    # containing emits a subset of big's spans; within of little's
+    assert all(s in bigs for s in containing)
+    assert all(s in littles for s in within)
+    # every containing span really contains some little span
+    for s in containing:
+        assert any(l[0] >= s[0] and l[1] <= s[1] for l in littles)
+    # every within span really lies inside some big span
+    for l in within:
+        assert any(l[0] >= b_[0] and l[1] <= b_[1] for b_ in bigs)
+
+
+@given(_positions, st.integers(0, 30), st.integers(0, 35))
+@settings(max_examples=150, deadline=None)
+def test_position_range_is_a_filter(pa, start, end):
+    from lucene_solr_spark.search.spans import SpanPositionRangeQuery
+
+    pos = {"a": np.asarray(pa, dtype=np.int64)}
+    all_spans = enumerate_spans(SpanTermQuery("a"), pos)
+    ranged = enumerate_spans(
+        SpanPositionRangeQuery(SpanTermQuery("a"), start, end), pos)
+    assert ranged == [s for s in all_spans
+                      if s[0] >= start and s[1] <= end]
