@@ -120,3 +120,34 @@ def test_validation():
         min_hash_filter(0, 1, 1)
     with pytest.raises(ValueError):
         min_hash_filter(1, 1, 1, encode="base64")
+
+
+# ---- property tests -------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_tokens = st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+                   min_size=1, max_size=20)
+
+
+@given(_tokens)
+@settings(max_examples=100, deadline=None)
+def test_set_semantics(toks):
+    # min-hash is a function of the token SET: order and duplicates
+    # cannot change the signature
+    f = min_hash_filter(2, 8, 1, True)
+    a, _ = f(list(toks), list(range(len(toks))))
+    b, _ = f(sorted(set(toks)), list(range(len(set(toks)))))
+    c, _ = f(list(reversed(toks)), list(range(len(toks))))
+    assert a == b == c
+
+
+@given(_tokens)
+@settings(max_examples=100, deadline=None)
+def test_rotation_emits_full_grid(toks):
+    # rotation + hashSetSize=1 always yields hashCount × bucketCount
+    # tokens (the unbiased banded-estimation invariant)
+    f = min_hash_filter(3, 4, 1, True)
+    out, pos = f(list(toks), list(range(len(toks))))
+    assert len(out) == 12
+    assert pos == [0] * 12
