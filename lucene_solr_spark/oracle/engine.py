@@ -109,13 +109,17 @@ class OracleIndex:
         return sum(tf for _, tf, _ in self.postings.get((field, term), ()))
 
     def scorer(self, field: str = "content"):
-        from ..search.similarities import SIMILARITIES
+        from ..search.similarities import (
+            SIMILARITIES,
+            resolve_field_similarity,
+        )
 
         dc = max(self.field_doc_count.get(field, 0), 1)
         st = max(self.field_sum_ttf.get(field, 0), 1)
-        if callable(self.similarity) and not isinstance(self.similarity, str):
-            return self.similarity(dc, st)  # configured similarity
-        return SIMILARITIES[self.similarity](dc, st, self.k1, self.b)
+        sim = resolve_field_similarity(self.similarity, field)
+        if callable(sim) and not isinstance(sim, str):
+            return sim(dc, st)  # configured similarity
+        return SIMILARITIES[sim](dc, st, self.k1, self.b)
 
     # -- matching ------------------------------------------------------
     def _match(self, q: Query, scorer: bm25.BM25Scorer, boost: float = 1.0) -> dict[int, float]:

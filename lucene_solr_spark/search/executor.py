@@ -246,8 +246,11 @@ class IndexSearcher:
         # IndexSearcher.setSimilarity, search/similarities/)
         self.field_stats = m.get("field_stats") or {
             "content": {"doc_count": self.doc_count, "sum_ttf": self.sum_ttf}}
+        from .similarities import resolve_field_similarity
+
         self.scorers = {
-            f: make_scorer(similarity, s["doc_count"], s["sum_ttf"])
+            f: make_scorer(resolve_field_similarity(similarity, f),
+                           s["doc_count"], s["sum_ttf"])
             for f, s in self.field_stats.items()}
         self.scorer = self.scorers.get(
             "content", next(iter(self.scorers.values())))
@@ -421,9 +424,10 @@ class IndexSearcher:
     def field_scorer(self, field: str):
         s = self.scorers.get(field)
         if s is None:  # unknown field: empty stats (no matches anyway)
-            from .similarities import make_scorer
+            from .similarities import make_scorer, resolve_field_similarity
 
-            s = make_scorer(self.similarity, max(self.doc_count, 1),
+            s = make_scorer(resolve_field_similarity(self.similarity, field),
+                            max(self.doc_count, 1),
                             max(self.sum_ttf, 1))
         return s
 

@@ -405,6 +405,18 @@ SIMILARITIES = {"bm25": BM25Scorer, "classic": ClassicScorer,
                 "sweet_spot": SweetSpotScorer}
 
 
+def resolve_field_similarity(similarity, field: str):
+    """PerFieldSimilarityWrapper (search/similarities/
+    PerFieldSimilarityWrapper.java: ``get(String field)`` dispatch, the
+    Solr schema's per-fieldType similarity model): a dict similarity
+    spec maps field → similarity, with ``"*"`` as the default (bm25 —
+    IndexSearcher.java:116 — when absent). Non-dict specs apply to
+    every field."""
+    if isinstance(similarity, dict):
+        return similarity.get(field, similarity.get("*", "bm25"))
+    return similarity
+
+
 def make_scorer(name, doc_count: int, sum_ttf: int):
     """Resolve a similarity: a registry name, or a callable
     ``(doc_count, sum_ttf) -> scorer`` for CONFIGURED similarities

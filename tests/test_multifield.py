@@ -266,3 +266,55 @@ def test_field_masking_enumeration_unit():
     near = SpanNearQuery((qx, qy), slop=0, field="a_field")
     assert enumerate_spans(near, pos) == [(0, 2, 0)]
     assert span_field_terms(near) == {("a_field", "x"), ("b_field", "y")}
+
+
+# ---- per-field similarity (PerFieldSimilarityWrapper) ---------------------
+
+def _title_docs(pdf):
+    return [{"title": _title_expr(r["lang"], r["path"]),
+             "content": r["content"]} for _, r in pdf.iterrows()]
+
+
+def test_per_field_similarity(spark, tmp_path_factory):
+    """search/similarities/PerFieldSimilarityWrapper.java — dict spec
+    {field: similarity, "*": default}: title scores with Classic
+    TF-IDF while content stays BM25, engine vs oracle identical under
+    the same spec; single-field queries must equal a searcher built
+    wholly with that field's similarity."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("index_pfs"))
+    corpus = corpus_df(spark, 60, partitions=2).withColumn(
+        "title",
+        F.concat_ws(" ", F.col("lang"), F.lit("file"), F.lit("of"),
+                    F.element_at(F.split(F.element_at(
+                        F.split(F.col("path"), "/"), -1), "\\."), 1)))
+    tables = build_index(corpus, root, stop_words=ENGLISH_STOP_WORDS,
+                         n_buckets=8, fields=("title", "content"))
+    spec = {"title": "classic", "*": "bm25"}
+    searcher = IndexSearcher(tables, cache=True, similarity=spec)
+    pdf = (corpus_pandas(60)
+           .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS),
+        similarity=spec)
+    oracle.add_all(_title_docs(pdf))
+
+    _identical(searcher, oracle, TermQuery("file", field="title"))
+    _identical(searcher, oracle, TermQuery("return", field="content"))
+    _identical(searcher, oracle, DisjunctionMaxQuery(
+        (TermQuery("file", field="title"),
+         TermQuery("return", field="content")), tie_breaker=0.3))
+
+    # the title leg must match a purely-classic searcher's scores
+    classic = IndexSearcher(tables, cache=False, similarity="classic")
+    a = searcher.search(TermQuery("file", field="title"), 10)
+    b = classic.search(TermQuery("file", field="title"), 10)
+    assert [(d.docid, np.float32(d.score)) for d in a] == [
+        (d.docid, np.float32(d.score)) for d in b]
+    # and the content leg a purely-bm25 searcher's
+    bm = IndexSearcher(tables, cache=False, similarity="bm25")
+    a = searcher.search(TermQuery("return", field="content"), 10)
+    b = bm.search(TermQuery("return", field="content"), 10)
+    assert [(d.docid, np.float32(d.score)) for d in a] == [
+        (d.docid, np.float32(d.score)) for d in b]
