@@ -421,6 +421,32 @@ def spellcheck_collate(searcher: IndexSearcher, query_string: str,
     return out
 
 
+def passage_score(term_freqs_in_passage: dict, term_freqs_in_doc: dict,
+                  passage_len: int, passage_start: int, content_len: int,
+                  k1: float = 1.2, b: float = 0.75,
+                  pivot: float = 87.0) -> float:
+    """uhighlight/PassageScorer.java score (:117-141) with the default
+    parameters of :62-67 (k1=1.2, b=0.75, pivot=87 — "typical average
+    english sentence length" in chars):
+
+      weight(L, ttf) = (k1+1) * ln(1 + (numDocs+0.5)/(ttf+0.5)),
+        numDocs = 1 + L/pivot                        (:86-92)
+      tf(f, plen)    = f / (f + k1*((1-b) + b*plen/pivot))  (:98-101)
+      norm(start)    = 1 + 1/ln(pivot + start)       (:114-116)
+      score = norm(start) * Σ_terms tf(fp, plen) * weight(L, fd)
+    """
+    import math
+
+    num_docs = 1.0 + content_len / pivot
+    score = 0.0
+    for t, fp in term_freqs_in_passage.items():
+        fd = term_freqs_in_doc.get(t, fp)
+        weight = (k1 + 1.0) * math.log(1.0 + (num_docs + 0.5) / (fd + 0.5))
+        norm = k1 * ((1.0 - b) + b * (passage_len / pivot))
+        score += (fp / (fp + norm)) * weight
+    return score * (1.0 + 1.0 / math.log(pivot + passage_start))
+
+
 def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
               window_tokens: int = 16, pre: str = "<b>", post: str = "</b>",
               corpus: DataFrame | None = None,
@@ -458,19 +484,35 @@ def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
             if not flags.any() or not spans:
                 out.append(text[:120])
                 continue
-            # densest windows of `window_tokens` tokens; greedy
-            # non-overlapping top-N by match count (PassageScorer
-            # ranking role), emitted in document order
+            # candidate windows of `window_tokens` tokens ranked by
+            # the reference PassageScorer formula (match-count
+            # prefilter keeps the scored set small), greedy
+            # non-overlapping top-N, emitted in document order
             csum = np.concatenate(([0], np.cumsum(flags)))
             w = min(window_tokens, len(flags))
             dens = csum[w:] - csum[:-w]
             if dens.size == 0:
                 starts = [0]
             else:
-                order = np.argsort(-dens, kind="stable")
+                doc_tf: dict[str, int] = {}
+                for (t, _a, _b), fl in zip(spans, flags):
+                    if fl:
+                        doc_tf[t] = doc_tf.get(t, 0) + 1
+                content_len = len(text)
+                cand = np.flatnonzero(dens > 0)
+                pscores = np.zeros(dens.size, dtype=np.float64)
+                for s in cand:
+                    wtf: dict[str, int] = {}
+                    for t, _a, _b in spans[s:s + w]:
+                        if t in qterms:
+                            wtf[t] = wtf.get(t, 0) + 1
+                    plen = spans[min(s + w, len(spans)) - 1][2] - spans[s][1]
+                    pscores[s] = passage_score(
+                        wtf, doc_tf, plen, spans[s][1], content_len)
+                order = np.argsort(-pscores, kind="stable")
                 starts, taken = [], []
                 for s in order:
-                    if dens[s] == 0 and starts:
+                    if pscores[s] <= 0 and starts:
                         break
                     if all(abs(int(s) - t) >= w for t in taken):
                         starts.append(int(s))

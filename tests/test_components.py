@@ -247,3 +247,24 @@ def test_mlt_interesting_terms_match_query(built):
     assert all(a[1] >= b[1] for a, b in zip(terms, terms[1:]))
     q = C.more_like_this(searcher, docid=1, max_query_terms=15)
     assert {t for t, _s in terms} == {c.query.term for c in q.clauses}
+
+
+def test_passage_score_formula():
+    """PassageScorer.java hand-computed golden (defaults k1=1.2,
+    b=0.75, pivot=87): one term, freq 2 in passage, 5 in doc,
+    passage 100 chars starting at offset 50, doc 870 chars."""
+    import math
+
+    from lucene_solr_spark.search.components import passage_score
+
+    num_docs = 1 + 870 / 87.0                      # 11.0
+    weight = 2.2 * math.log(1 + (num_docs + 0.5) / (5 + 0.5))
+    norm = 1.2 * (0.25 + 0.75 * 100 / 87.0)
+    tf = 2 / (2 + norm)
+    expected = tf * weight * (1 + 1 / math.log(87.0 + 50))
+    got = passage_score({"x": 2}, {"x": 5}, 100, 50, 870)
+    assert got == pytest.approx(expected)
+    # position norm: identical passage later in the doc scores lower
+    assert passage_score({"x": 2}, {"x": 5}, 100, 500, 870) < got
+    # rarer term in doc (smaller ttf) weighs MORE (the DFR-ish weight)
+    assert passage_score({"x": 2}, {"x": 2}, 100, 50, 870) > got
