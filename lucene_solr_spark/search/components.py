@@ -349,24 +349,79 @@ def suggest_fuzzy(sugg: DataFrame, query: str, n: int = 10,
 
 
 def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
-               max_edits: int = 2) -> list[tuple[str, int, int]]:
-    """DirectSpellChecker role: candidate corrections =  dictionary
-    terms within `max_edits` (OSA, like FuzzyQuery), ranked by
-    (distance asc, df desc, term asc). Spark prefilter with builtin
-    levenshtein, exact OSA refinement driver-side on the candidates."""
-    cands = (searcher.dict
-             .where((F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
-                    & (F.col("field") == "content"))
-             .select("term", "df").collect())
+               max_edits: int = 2, accuracy: float = 0.5,
+               min_prefix: int = 1, min_query_length: int = 4,
+               max_query_frequency: float = 0.01,
+               threshold_frequency: float = 0.0,
+               suggest_mode: str = "not_in_index",
+               ) -> list[tuple[str, float, int]]:
+    """DirectSpellChecker (suggest/spell/DirectSpellChecker.java
+    :316-378 ``suggestSimilar`` with the class defaults :68-81:
+    minPrefix 1, accuracy 0.5, thresholdFrequency 0, minQueryLength 4,
+    maxQueryFrequency 0.01):
+
+    * query gates — too-short queries return nothing (:320-321);
+      ``not_in_index`` mode returns nothing for in-vocabulary words
+      (:329-331); words more frequent than maxQueryFrequency (a count
+      when >= 1, else a ceil'd fraction of maxDoc, :335-338) are
+      assumed correctly spelled;
+    * candidate gates — must share the first ``min_prefix`` chars
+      (the FuzzyTermsEnum prefix, :409), be within ``max_edits`` OSA
+      edits, have df above the floor (thresholdFrequency per
+      :343-347; ``more_popular`` mode floors at the query word's own
+      df, :341);
+    * score = 1 - edits / min(|term|, |word|) — FuzzyTermsEnum's
+      boost, the INTERNAL_LEVENSHTEIN path (:440-446) — kept when
+      >= ``accuracy`` (:449-451);
+    * ranked score desc, df desc, term asc (SuggestWordQueue's
+      SuggestWordScoreComparator).
+
+    Spark prefilter: builtin levenshtein bound + sargable prefix
+    predicate on the dictionary scan; exact OSA refinement driver-side
+    on the candidates. Returns (term, score, df) triples."""
+    import math
+
+    if min_query_length > 0 and len(word) < min_query_length:
+        return []
+    df_word = searcher.term_stats({("content", word)}).get(
+        ("content", word), 0)
+    if suggest_mode == "not_in_index" and df_word > 0:
+        return []
+    if max_query_frequency >= 1.0:
+        if df_word > max_query_frequency:
+            return []
+    elif df_word > math.ceil(max_query_frequency * searcher.doc_count):
+        return []
+    df_floor = 0
+    if suggest_mode == "more_popular":
+        df_floor = df_word
+    if threshold_frequency >= 1.0:
+        df_floor = max(df_floor, int(threshold_frequency))
+    elif threshold_frequency > 0.0:
+        df_floor = max(df_floor,
+                       int(threshold_frequency * searcher.doc_count) - 1)
+
+    cond = ((F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+            & (F.col("field") == "content"))
+    if min_prefix > 0:
+        cond = cond & F.col("term").startswith(word[:min_prefix])
+    cands = searcher.dict.where(cond).select("term", "df").collect()
     out = []
     for r in cands:
         t = r["term"]
         if t == word:
             continue
+        df = int(r["df"])
+        if df <= df_floor:
+            continue
         d = osa_distance(t, word, cap=max_edits)
-        if d <= max_edits:
-            out.append((t, int(d), int(r["df"])))
-    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        if d > max_edits:
+            continue
+        score = 1.0 - d / min(len(t), len(word))
+        if score < accuracy:
+            continue
+        out.append((t, score, df))
+    out.sort(key=lambda x: (-x[1], -x[2], x[0]))
     return out[:n]
 
 
@@ -395,8 +450,9 @@ def spellcheck_collate(searcher: IndexSearcher, query_string: str,
             options.append([w])
         else:
             any_misspelled = True
-            cands = [c for c, _d, _df in
-                     spellcheck(searcher, w, n_suggestions, max_edits)]
+            cands = [c for c, _s, _df in
+                     spellcheck(searcher, w, n_suggestions, max_edits,
+                                min_query_length=1)]
             options.append(cands or [w])
     if not any_misspelled:
         return []

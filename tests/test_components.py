@@ -114,11 +114,19 @@ def test_suggest(built):
 
 def test_spellcheck(built):
     searcher, oracle, _, _ = built
-    word = max((t for _f, t in oracle.postings), key=lambda t: (oracle.doc_freq(t), t))
+    word = max((t for _f, t in oracle.postings if len(t) >= 5),
+               key=lambda t: (oracle.doc_freq(t), t))
     typo = word[:-1] + ("x" if word[-1] != "x" else "y")
     out = C.spellcheck(searcher, typo, n=5)
     assert out and out[0][0] == word  # distance-1 high-df correction first
-    assert all(d <= 2 for _, d, _ in out)
+    # DirectSpellChecker gates: accuracy floor, boost-formula scores
+    assert all(s >= 0.5 for _, s, _ in out)
+    d1 = 1.0 - 1.0 / min(len(word), len(typo))
+    assert out[0][1] == pytest.approx(d1)
+    # in-vocabulary words return nothing in not_in_index mode (:329)
+    assert C.spellcheck(searcher, word, n=5) == []
+    # too-short queries return nothing (minQueryLength, :320)
+    assert C.spellcheck(searcher, "ab", n=5) == []
 
 
 def test_highlight(built):
