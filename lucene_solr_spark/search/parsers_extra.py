@@ -579,6 +579,8 @@ class XmlQueryParser:
             return SpanTermQuery((el.text or "").strip(), field=f)
         if tag == "SpanNear":
             clauses = tuple(self._build_span(c) for c in el)
+            if not clauses:
+                raise ValueError("SpanNear needs at least one clause")
             return SpanNearQuery(
                 clauses, slop=int(el.get("slop", "0")),
                 in_order=el.get("inOrder", "true") == "true", field=f)

@@ -295,6 +295,9 @@ class TestXmlParser:
         import pytest as _pytest
 
         with _pytest.raises(ValueError):
+            XmlQueryParser().parse("<NoSuchQuery/>")
+        # supported-but-empty span containers still refuse
+        with _pytest.raises(ValueError):
             XmlQueryParser().parse("<SpanNear/>")
 
 
