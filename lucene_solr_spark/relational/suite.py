@@ -1271,28 +1271,31 @@ def block_join(spark, sf_dir):
       SELECT l_orderkey AS okey,
              round(avg(l_discount), 4) AS avg_s,
              round(max(l_discount), 4) AS max_s,
+             round(min(l_discount), 4) AS min_s,
              round(sum(l_discount), 4) AS total_s
       FROM lineitem WHERE l_returnflag = 'R'
       GROUP BY l_orderkey
     )
-    SELECT o.o_orderkey, c.avg_s, c.max_s, c.total_s
+    SELECT o.o_orderkey, c.avg_s, c.max_s, c.min_s, c.total_s
     FROM orders o JOIN child_scores c ON c.okey = o.o_orderkey
     """,
 )
 def joinutil_score_modes(spark, sf_dir):
-    """JoinUtil.createJoinQuery with ScoreMode Avg/Max/Total
-    (join/JoinUtil.java:516): the from-side query's scores aggregate
-    per join value and attach to the to-side docs (round-1 had only
-    the None/semi-join mode)."""
+    """JoinUtil.createJoinQuery with ScoreMode Avg/Max/Min/Total
+    (join/JoinUtil.java:516; ScoreMode.java:22-49 — all four scoring
+    modes): the from-side query's scores aggregate per join value and
+    attach to the to-side docs (round-1 had only the None/semi-join
+    mode)."""
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_returnflag") == "R")
           .groupBy(F.col("l_orderkey").alias("okey"))
           .agg(F.round(F.avg("l_discount"), 4).alias("avg_s"),
                F.round(F.max("l_discount"), 4).alias("max_s"),
+               F.round(F.min("l_discount"), 4).alias("min_s"),
                F.round(F.sum("l_discount"), 4).alias("total_s")))
     o = load_table(spark, sf_dir, "orders")
     return (o.join(li, o.o_orderkey == F.col("okey"))
-            .select("o_orderkey", "avg_s", "max_s", "total_s"))
+            .select("o_orderkey", "avg_s", "max_s", "min_s", "total_s"))
 
 
 # deterministic synthetic coordinates from the customer key: identical
