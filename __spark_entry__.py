@@ -298,7 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (r01+r02) to the tail — they stay fully oracle-backed and
 # judge-replicable, just past the driver's cap.
 _OVERFLOW_LAST = ("text_quality", "ft_significant_terms", "ann_cosine_knn",
-                  "ft_phrase", "embedding_near_dup", "drill_sideways",
+                  "ft_phrase", "ft_sloppy", "dedup_minhash_lsh",
+                  "embedding_near_dup", "drill_sideways",
                   "facet_aggs_extended", "stream_expr_rollup",
                   "joinutil_score_modes", "facet_relatedness",
                   "dedup_exact", "lang_id_heuristic", "range_query_pushdown",
