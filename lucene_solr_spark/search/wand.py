@@ -585,6 +585,12 @@ class SegmentSearcher:
         # deleted docs until compaction, exactly like Lucene's
         # docCount-vs-liveDocs split
         self.deleted = index.deleted_docids()
+        # per-segment term Bloom filters (BloomFilteringPostingsFormat
+        # role, index/bloom.py) — present only after
+        # build_segment_blooms; prunes segment PARTITIONS driver-side
+        from ..index.bloom import SegmentBlooms
+
+        self.blooms = SegmentBlooms.load(index)
         self._df_map: dict[str, int] | None = None
         if cache:
             self.blocks.persist()
@@ -738,6 +744,21 @@ class SegmentSearcher:
         ).select("segment", "term", "block_ord", "n", "first_docid",
                  "last_docid", "docids", "tfs", "norms", *pos_cols,
                  "imp_tfs", "imp_norms")
+        if self.blooms is not None:
+            # segment skipping: a segment missing a required term (or,
+            # with no required terms, missing EVERY scoring term)
+            # cannot match — drop its partition before Spark lists it.
+            # False positives only add segments; excludes never prune.
+            must_like = (set(must) | set(filters)
+                         | {t for p in rphrases
+                            if p[4] in ("MUST", "FILTER")
+                            for t in p[0]})
+            should_set = ((set(weights) - must_like)
+                          | {t for p in rphrases if p[4] == "SHOULD"
+                             for t in p[0]})
+            excl = self.blooms.excluded_segments(must_like, should_set)
+            if excl:
+                filtered = filtered.where(~F.col("segment").isin(excl))
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "docid long, score float"
         )
