@@ -860,6 +860,29 @@ class SegmentSearcher:
         ).select("segment", "term", "block_ord", "n", "first_docid",
                  "last_docid", "docids", "tfs", "norms", *pos_cols,
                  "imp_tfs", "imp_norms")
+        if self.blooms is not None:
+            # batch segment skipping: drop a partition only when EVERY
+            # query of the batch excludes it (intersection)
+            excl_batch: set[int] | None = None
+            for entry in plans:
+                if entry is None:
+                    continue
+                w, p, rphrases = entry
+                must_like = (set(p.must) | set(p.filters)
+                             | {t for ph in rphrases
+                                if ph[4] in ("MUST", "FILTER")
+                                for t in ph[0]})
+                should_set = ((set(w) - must_like)
+                              | {t for ph in rphrases
+                                 if ph[4] == "SHOULD" for t in ph[0]})
+                e = set(self.blooms.excluded_segments(must_like,
+                                                      should_set))
+                excl_batch = e if excl_batch is None else (excl_batch & e)
+                if not excl_batch:
+                    break
+            if excl_batch:
+                filtered = filtered.where(
+                    ~F.col("segment").isin(sorted(excl_batch)))
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "qidx int, docid long, score float")
         from pyspark.sql.window import Window

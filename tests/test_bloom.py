@@ -115,3 +115,35 @@ def test_should_only_pruning_conservative(built):
     for seg in b.filters:
         if b.maybe_contains(seg, "a"):
             assert seg not in excl_mixed
+
+
+def test_batch_ab_identity(built, spark):
+    searcher, oracle = built
+    terms = sorted(t for _f, t in oracle.postings)
+    hot = max(terms, key=lambda t: oracle.doc_freq(t))
+    mid = terms[len(terms) // 2]
+    batch = {
+        "q_marker": TermQuery("zzmarkerzz"),
+        "q_or": BooleanQuery.of(should=[TermQuery(hot), TermQuery(mid)]),
+        "q_and": BooleanQuery.of(must=[TermQuery(hot),
+                                       TermQuery("zzmarkerzz")]),
+    }
+    got = searcher.search_many(batch, k=12)
+    for qid, q in batch.items():
+        exp = oracle.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+
+
+def test_batch_marker_only_prunes_when_all_queries_agree(built):
+    searcher, oracle = built
+    # the hot-term query touches every segment, so the BATCH exclusion
+    # (intersection) must be empty even though the marker query alone
+    # would skip 3 of 4 segments — verified via identical results
+    terms = sorted(t for _f, t in oracle.postings)
+    hot = max(terms, key=lambda t: oracle.doc_freq(t))
+    got = searcher.search_many(
+        {"m": TermQuery("zzmarkerzz"), "h": TermQuery(hot)}, k=30)
+    exp_h = oracle.search(TermQuery(hot), 30)
+    assert [(d.docid, np.float32(d.score)) for d in got["h"]] == [
+        (d.docid, np.float32(d.score)) for d in exp_h]
