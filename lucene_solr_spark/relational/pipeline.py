@@ -777,3 +777,107 @@ def dedup_canonical(spark, sf_dir):
         )
         .orderBy("group_id")
     )
+
+
+# --- n-gram LM quality scoring (CCNet/KenLM-style filtering) ---------------
+
+_LM_ALPHA = 0.4
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, w, row_number() OVER (
+           PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM (
+    SELECT doc_id, source, unnest(arr) AS w,
+           generate_subscripts(arr, 1) AS ord
+    FROM (SELECT doc_id, source,
+                 string_split_regex(lower(text), '[^a-z]+') AS arr
+          FROM documents)
+  ) WHERE w <> ''
+),
+ref AS (SELECT * FROM toks WHERE CAST(substr(source, 4) AS INT) < 10),
+uni AS (SELECT w, count(*) AS c FROM ref GROUP BY w),
+tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM ref),
+big AS (
+  SELECT prev, w, count(*) AS c FROM (
+    SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+    FROM ref
+  ) WHERE prev IS NOT NULL GROUP BY prev, w
+),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN b.c IS NOT NULL THEN ln(CAST(b.c AS DOUBLE) / up.c)
+              ELSE ln({_LM_ALPHA} * (coalesce(uw.c, 0) + 1.0)
+                      / (tot.n + tot.v))
+         END AS logp
+  FROM (
+    SELECT doc_id,
+           lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+    FROM toks
+  ) s
+  CROSS JOIN tot
+  LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+  LEFT JOIN uni up ON up.w = s.prev
+  LEFT JOIN uni uw ON uw.w = s.w
+  WHERE s.prev IS NOT NULL
+)
+SELECT doc_id, round(avg(logp), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+ORDER BY round(avg(logp), 4), doc_id
+LIMIT 15
+"""
+
+
+@register("lm_quality_score", _LM_ORACLE)
+def lm_quality_score(spark, sf_dir):
+    """n-gram language-model quality scoring — the CCNet/KenLM
+    filtering step of a training-data pipeline (Wenzek et al. 2020:
+    score each document by LM log-likelihood under a reference corpus;
+    low-likelihood docs are boilerplate/foreign/garbage). Model =
+    bigram stupid backoff (alpha 0.4, Brants et al. 2007 — the same
+    scheme the engine's FreeTextSuggester uses): P(w|prev) =
+    c(prev,w)/c(prev) when the bigram was SEEN in the reference slice,
+    else alpha * (c(w)+1)/(N+V) (add-one unigram backoff, OOV-safe).
+    Returns the 15 LOWEST-scoring docs (the filter's reject tail).
+
+    Plan: reference counts = two groupBys over the tokenized slice;
+    scoring = three word-keyed broadcast-size joins; per-doc avg. At
+    100 TB the unigram/bigram tables are the only shuffles and both
+    are vocabulary-, not corpus-, sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs
+            .select("doc_id", "source",
+                    F.posexplode(F.split(F.lower(F.col("text")),
+                                         "[^a-z]+"))
+                    .alias("ord", "w"))
+            .where(F.col("w") != ""))
+    w_doc = Window.partitionBy("doc_id").orderBy("ord")
+    toks = toks.withColumn("prev", F.lag("w").over(w_doc))
+    ref = toks.where(
+        F.substring("source", 4, 10).cast("int") < 10)
+    uni = ref.groupBy("w").agg(F.count("*").alias("uc"))
+    tot = ref.agg(F.count("*").alias("n"),
+                  F.countDistinct("w").alias("v")).collect()[0]
+    n_tot, v_tot = int(tot["n"]), int(tot["v"])
+    big = (ref.where(F.col("prev").isNotNull())
+           .groupBy("prev", "w").agg(F.count("*").alias("bc")))
+    pairs = toks.where(F.col("prev").isNotNull())
+    scored = (
+        pairs
+        .join(F.broadcast(big), ["prev", "w"], "left")
+        .join(F.broadcast(uni.select(F.col("w").alias("prev"),
+                                     F.col("uc").alias("pc"))),
+              "prev", "left")
+        .join(F.broadcast(uni), "w", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bc").isNotNull(),
+                   F.log(F.col("bc").cast("double") / F.col("pc")))
+            .otherwise(F.log(F.lit(_LM_ALPHA)
+                             * (F.coalesce(F.col("uc"), F.lit(0)) + 1.0)
+                             / F.lit(float(n_tot + v_tot))))
+            .alias("logp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.avg("logp"), 4).alias("avg_logp"))
+            .orderBy(F.asc("avg_logp"), F.asc("doc_id"))
+            .limit(15))
