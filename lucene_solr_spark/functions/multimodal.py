@@ -38,11 +38,17 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 64
 
 
-def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+def attach_fake_media(docs: DataFrame, kind: str = "image",
+                      fmt: str = "fake") -> DataFrame:
     """Derive a deterministic synthetic media table from `documents`
-    (doc_id, text): payload = repeated sha256 stream of the text,
-    metadata derived from doc stats. Stands in for reading an Iceberg
-    media table; deterministic ⇒ test- and bench-stable."""
+    (doc_id, text). ``fmt="fake"``: payload = repeated sha256 stream
+    of the text. ``fmt="ppm"``: payload = a VALID binary P6 image
+    whose pixels derive from the text's sha256 stream — so the real
+    bytes→pixels decoder runs end-to-end with no imaging library.
+    Stands in for reading an Iceberg media table; deterministic ⇒
+    test- and bench-stable."""
+    if fmt not in ("fake", "ppm"):
+        raise ValueError("fmt must be 'fake' or 'ppm'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,10 +56,21 @@ def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
             for t in pdf["text"].fillna(""):
                 seed = hashlib.sha256(t.encode("utf-8")).digest()
                 reps = 1 + len(t) % 8
-                payloads.append(seed * reps)  # 32..256 bytes
-                metas.append(
-                    {"width": 16 + len(t) % 64, "height": 16 + (len(t) // 7) % 64,
-                     "sample_rate": 16000, "n_frames": reps, "format": "fake"})
+                if fmt == "ppm":
+                    w, h = 16 + len(t) % 16, 16 + (len(t) // 7) % 16
+                    n = w * h * 3
+                    pix = (seed * (n // len(seed) + 1))[:n]
+                    payloads.append(b"P6\n%d %d\n255\n" % (w, h) + pix)
+                    metas.append({"width": w, "height": h,
+                                  "sample_rate": 16000, "n_frames": reps,
+                                  "format": "ppm"})
+                else:
+                    payloads.append(seed * reps)  # 32..256 bytes
+                    metas.append(
+                        {"width": 16 + len(t) % 64,
+                         "height": 16 + (len(t) // 7) % 64,
+                         "sample_rate": 16000, "n_frames": reps,
+                         "format": "fake"})
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].to_numpy(),
                 "kind": kind, "meta": metas, "payload": payloads,
@@ -62,14 +79,69 @@ def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary PPM (P6, RGB) and PGM (P5, gray)
+    — the netpbm formats need nothing beyond numpy, so this container
+    can exercise a genuine bytes→pixels path end-to-end. Returns
+    (H, W, 3) or (H, W) uint8. Handles comment lines and any
+    whitespace run in the header; maxval must be <= 255 (the 2-byte
+    variant raises)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    rgb = payload[:2] == b"P6"
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, '#' comments run to end of line
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = width * height * (3 if rgb else 1)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return (raster.reshape(height, width, 3) if rgb
+            else raster.reshape(height, width))
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy index math)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
 def _decode_real(payload: bytes, fmt: str) -> np.ndarray:
-    """Real decoder hook — requires an imaging library."""
+    """Real decoder: netpbm handled natively (decode → grayscale →
+    8x8 nearest-neighbour thumbnail → 64 floats, L1-normalized — the
+    classic perceptual-hash shape, matching FEATURE_DIM); other
+    formats require an imaging library this container doesn't ship."""
+    if payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload)
+        gray = (img.mean(axis=2) if img.ndim == 3
+                else img.astype(np.float64))
+        thumb = resize_nearest(gray, 8, 8).astype(np.float64).ravel()
+        total = thumb.sum()
+        return (thumb / total if total else thumb).astype(np.float32)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decoding needs Pillow; this environment ships "
-            "none — the pipeline uses the deterministic fake decoder"
+            f"decoding {fmt!r} needs Pillow; this environment ships "
+            "none — netpbm payloads decode natively, others use the "
+            "deterministic fake decoder"
         ) from e
     raise NotImplementedError("wire PIL decode here in a full environment")
 

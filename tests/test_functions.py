@@ -110,3 +110,59 @@ def test_sample_frames(spark, docs):
     for r in pdf:
         expected = (metas[r["media_id"]] + 1) // 2
         assert r["n"] == expected
+
+
+# ---- real netpbm decode path ----------------------------------------------
+
+def test_decode_ppm_p6_and_p5():
+    import numpy as np
+
+    from lucene_solr_spark.functions.multimodal import decode_ppm
+
+    # 2x2 RGB P6 with a comment line in the header
+    raster = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  9, 9, 9])
+    img = decode_ppm(b"P6\n# a comment\n2 2\n255\n" + raster)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [9, 9, 9]
+    # P5 grayscale
+    g = decode_ppm(b"P5\n3 1\n255\n" + bytes([1, 2, 3]))
+    assert g.shape == (1, 3) and g.tolist() == [[1, 2, 3]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    from lucene_solr_spark.functions.multimodal import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nearest(img, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[7, 7] == 15
+
+
+def test_real_decode_end_to_end(spark, sf_dir):
+    from lucene_solr_spark.functions.multimodal import (
+        FEATURE_DIM,
+        attach_fake_media,
+        decode_image_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_fake_media(docs, fmt="ppm")
+    feats = decode_image_features(media, use_real=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        s = sum(r["features"])
+        assert abs(s - 1.0) < 1e-3  # L1-normalized thumbnail
+    # deterministic across runs
+    again = decode_image_features(
+        attach_fake_media(docs, fmt="ppm"), use_real=True).collect()
+    assert sorted((r["media_id"], tuple(r["features"])) for r in feats) == \
+        sorted((r["media_id"], tuple(r["features"])) for r in again)
