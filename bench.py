@@ -79,7 +79,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "suggest_freetext", "interval_facets", "facet_heatmap",
         "sessionize", "gopher_repetition", "source_quota_sample",
         "decontaminate_ngram", "ip_point_queries", "bbox_overlap_topk",
-        "dedup_canonical", "sampled_facets",
+        "dedup_canonical", "sampled_facets", "lm_quality_score",
     ]
     out = {}
     for name in names:
