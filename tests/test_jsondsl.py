@@ -95,3 +95,41 @@ def test_errors():
     with pytest.raises(SyntaxError_):
         # nested object under a string-body parser
         json_query({"prefix": {"f": "x", "query": {"lucene": "y"}}})
+
+
+# ---- property: both front ends compile identically -------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@given(_word, _word, st.sampled_from(["prefix", "term", "field"]))
+@settings(max_examples=80, deadline=None)
+def test_front_end_equivalence_random(f_suffix, body, ptype):
+    field = "content"
+    js = json_query({ptype: {"f": field, "query": body}})
+    ls = qparse(f"{{!{ptype} f={field}}}{body}")
+    assert js == ls
+
+
+@given(st.lists(_word, min_size=1, max_size=4),
+       st.lists(_word, min_size=0, max_size=2))
+@settings(max_examples=60, deadline=None)
+def test_bool_front_end_equivalence(musts, nots):
+    js = json_query({"bool": {
+        "must": [{"term": {"f": "content", "query": w}} for w in musts],
+        "must_not": [{"term": {"f": "content", "query": w}}
+                     for w in nots]}})
+    params = {}
+    for i, w in enumerate(musts):
+        params[f"m{i}"] = f"{{!term f=content}}{w}"
+    for i, w in enumerate(nots):
+        params[f"n{i}"] = f"{{!term f=content}}{w}"
+    expr = ("{!bool "
+            + " ".join(f"must=$m{i}" for i in range(len(musts)))
+            + " "
+            + " ".join(f"must_not=$n{i}" for i in range(len(nots)))
+            + "}")
+    ls = qparse(expr, params)
+    assert js == ls
