@@ -44,6 +44,11 @@ def main() -> int:
     ap.add_argument("--term-buckets", type=int, default=32, help="v1 only")
     ap.add_argument("--no-stopwords", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--blooms", action="store_true",
+                    help="v2 only: write per-segment term Bloom filters "
+                         "(index/bloom.py — BloomFilteringPostingsFormat "
+                         "role; searchers then skip segment partitions "
+                         "that cannot match)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -76,6 +81,10 @@ def main() -> int:
             resume=args.resume,
         )
         manifest = idx.manifest()
+        if args.blooms:
+            from lucene_solr_spark.index.bloom import build_segment_blooms
+
+            build_segment_blooms(idx)
     else:
         from lucene_solr_spark.index import build_index
 
