@@ -234,7 +234,12 @@ def _p_lucene(local, body, params):
     from .parser import QueryParser
 
     df = _get(local, "df", "content")
-    return QueryParser(default_field=df).parse(body)
+    # Solr's q.op local param (LuceneQParser/QueryParsing: the
+    # default operator override, e.g. {!lucene q.op=AND df=text})
+    q_op = str(_get(local, "q.op", "OR")).upper()
+    if q_op not in ("AND", "OR"):
+        raise SyntaxError_(f"q.op must be AND or OR, got {q_op!r}")
+    return QueryParser(default_field=df, default_operator=q_op).parse(body)
 
 
 def _p_field(local, body, params):

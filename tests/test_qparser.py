@@ -292,3 +292,17 @@ def test_field_join_cross_fields(built):
     langs = {pdf.iloc[d]["lang"] for d in match_docs}
     want = {i for i in range(len(pdf)) if pdf.iloc[i]["lang"] in langs}
     assert got == want
+
+
+def test_lucene_q_op_local_param():
+    """{!lucene q.op=AND}: the default-operator override
+    (LuceneQParserPlugin / QueryParsing's q.op handling)."""
+    from lucene_solr_spark.search.qparser import SyntaxError_, qparse
+
+    q_or = qparse("{!lucene df=content}alpha beta")
+    q_and = qparse("{!lucene df=content q.op=AND}alpha beta")
+    assert [c.occur for c in q_or.clauses] == ["SHOULD", "SHOULD"]
+    assert [c.occur for c in q_and.clauses] == ["MUST", "MUST"]
+    import pytest as _pytest
+    with _pytest.raises(SyntaxError_):
+        qparse("{!lucene q.op=XOR}alpha")
