@@ -68,8 +68,8 @@ WITH ips AS (
 """ + "\nUNION ALL\n".join(
     f"SELECT '{q}' AS qname, "
     f"count(CASE WHEN {_ORACLE_PRED[q]} THEN 1 END) AS n, "
-    f"coalesce(sum(CASE WHEN {_ORACLE_PRED[q]} THEN event_id ELSE 0 END), 0)"
-    f" AS id_sum FROM ips"
+    f"CAST(coalesce(sum(CASE WHEN {_ORACLE_PRED[q]} THEN event_id ELSE 0 END), 0)"
+    f" AS BIGINT) AS id_sum FROM ips"
     for q in _QNAMES
 ) + "\nORDER BY qname"
 

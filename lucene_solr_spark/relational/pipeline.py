@@ -694,7 +694,7 @@ def pack_sequences(docs, seq_len: int, order_col: str = "doc_id",
       FROM t WHERE n_tokens > 0
     )
     SELECT doc_id, n_tokens,
-           end_tok - n_tokens AS start_tok,
+           CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
            CAST(floor((end_tok - n_tokens) / {_PACK_SEQ_LEN}) AS BIGINT)
            AS seq_first,
            CAST(floor((end_tok - 1) / {_PACK_SEQ_LEN}) AS BIGINT)
@@ -743,7 +743,7 @@ def pack_sequences_entry(spark, sf_dir):
     SELECT group_id,
            max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
            count(*) AS group_size,
-           sum(CASE WHEN rk > 1 THEN doc_id ELSE 0 END) AS removed_id_sum
+           CAST(sum(CASE WHEN rk > 1 THEN doc_id ELSE 0 END) AS BIGINT) AS removed_id_sum
     FROM ranked GROUP BY group_id ORDER BY group_id
     """,
 )

@@ -138,8 +138,8 @@ _PRED["crosses"] = (f"({_PRED['intersects']}) "
 _RANGES_ORACLE = _RANGES_CTE + "\nUNION ALL\n".join(
     f"SELECT '{rel}' AS relation, "
     f"count(CASE WHEN {_PRED[rel]} THEN 1 END) AS n, "
-    f"coalesce(sum(CASE WHEN {_PRED[rel]} THEN key ELSE 0 END), 0) "
-    f"AS key_sum FROM r"
+    f"CAST(coalesce(sum(CASE WHEN {_PRED[rel]} THEN key ELSE 0 END), 0) "
+    f"AS BIGINT) AS key_sum FROM r"
     for rel in RELATIONS
 ) + "\nORDER BY relation"
 

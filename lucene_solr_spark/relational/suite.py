@@ -1533,7 +1533,7 @@ def drill_sideways(spark, sf_dir):
       FROM orders GROUP BY 1, 2
     ),
     parent AS (
-      SELECT p, sum(cnt) AS parent_cnt,
+      SELECT p, CAST(sum(cnt) AS BIGINT) AS parent_cnt,
              row_number() OVER (ORDER BY sum(cnt) DESC, p ASC) AS prank
       FROM cell GROUP BY p
     ),
@@ -1588,7 +1588,7 @@ def facet_pivot(spark, sf_dir):
       FROM documents GROUP BY 1, 2
     ),
     parent AS (
-      SELECT lang, sum(cnt) AS langs_count,
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS langs_count,
              round(sum(cnt * al) / sum(cnt), 4) AS avg_len,
              row_number() OVER (ORDER BY sum(cnt) DESC, lang ASC) AS pr
       FROM cell GROUP BY lang

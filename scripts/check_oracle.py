@@ -96,6 +96,26 @@ def main():
             bad += 1
             continue
         problems = []
+        # The driver's value hash is TYPE-sensitive (arrow buffers): an
+        # un-CAST integer sum() types HUGEINT in DuckDB and hash-mismatches
+        # an int64 Spark column even when values are identical (round-3
+        # lesson — six rows). Catch type divergence pre-driver.
+        dtypes = {d[0].lower(): str(d[1]).upper() for d in res.description}
+        stypes = {c.lower(): t for c, t in sdf.dtypes}
+        for col, dt in dtypes.items():
+            if "HUGEINT" in dt:
+                problems.append(
+                    f"oracle col {col} is {dt} — CAST(... AS BIGINT) it")
+            st = stypes.get(col)
+            if st is None:
+                continue
+            d_int = any(x in dt for x in ("INT",)) and "HUGE" not in dt
+            s_int = st in ("tinyint", "smallint", "int", "bigint", "long")
+            d_flt = any(x in dt for x in ("DOUBLE", "FLOAT", "DECIMAL"))
+            s_flt = st in ("float", "double") or st.startswith("decimal")
+            if (d_int and s_flt) or (d_flt and s_int):
+                problems.append(f"type divergence on {col}: spark {st} vs "
+                                f"oracle {dt}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             problems.append(f"cols {scols} vs {dcols}")
         if len(srows) != len(drows):
