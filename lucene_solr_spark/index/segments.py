@@ -83,11 +83,175 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+#: separator between field name and term in qualified postings keys.
+#: Lucene's term dictionary is keyed by (field, text) (index/Term.java);
+#: the v2 codec renders that as one string column — the default field
+#: "content" stores the bare term (bit-compatible with single-field
+#: indexes), any other field stores "<field>\x1f<term>" (\x1f cannot
+#: appear in a token: the tokenizer's word grammar excludes controls).
+FIELD_SEP = "\x1f"
+
+
+def _invert_segment_field(toks_col, docids_doc: np.ndarray,
+                          stop_arr, seg: int, prefix: str):
+    """Vectorized inversion of ONE field's token arrays over one
+    segment: numpy StopFilter (position = raw token index → gaps
+    preserved), factorize, ONE stable sort → posting runs → encoded
+    128-blocks with competitive impacts. Returns
+    ``(dls, norms_doc, blocks_pdf_or_None)``; block terms carry
+    ``prefix`` ("" for the content field)."""
+    from ..util.smallfloat import int_to_byte4_np
+
+    ndocs = len(docids_doc)
+    raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
+                           count=ndocs)
+    total_raw = int(raw_lens.sum())
+
+    if total_raw:
+        flat_raw = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_col])
+        doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int32), raw_lens)
+        starts = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(raw_lens[:-1], out=starts[1:])
+        pos_raw = (np.arange(total_raw, dtype=np.int64)
+                   - starts[doc_of_tok]).astype(np.int32)
+        codes_all, uniq = pd.factorize(flat_raw, sort=True)
+        codes_all = np.asarray(codes_all).astype(np.int32, copy=False)
+        uniq = np.asarray(uniq, dtype=object)
+        if stop_arr is not None and len(uniq):
+            keep = ~np.isin(uniq, stop_arr)[codes_all]
+            codes = codes_all[keep]
+            tok_didx = doc_of_tok[keep]
+            flat_pos = pos_raw[keep]
+        else:
+            codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
+        dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
+    else:
+        dls = np.zeros(ndocs, dtype=np.int64)
+    norms_doc = int_to_byte4_np(dls).astype(np.int16)
+
+    total = int(dls.sum())
+    if total == 0:
+        return dls, norms_doc, None
+
+    # --- invert: ONE stable sort by term code ----------------------
+    # tokens are already in (doc, position) order → stable sort by
+    # term code yields the (term, docid, position) stream
+    order = np.argsort(codes, kind="stable")
+    codes_s = codes[order]
+    didx_s = tok_didx[order]
+    pos_s = flat_pos[order]
+    doc_s = docids_doc[didx_s]
+
+    # posting boundaries: (term, doc) runs in token space
+    new_post = np.empty(total, dtype=bool)
+    new_post[0] = True
+    new_post[1:] = (codes_s[1:] != codes_s[:-1]) | (didx_s[1:] != didx_s[:-1])
+    post_starts = np.flatnonzero(new_post)
+    nposts = len(post_starts)
+    post_ends = np.append(post_starts[1:], total)
+    tf = post_ends - post_starts
+    post_code = codes_s[post_starts]
+    post_doc = doc_s[post_starts]
+    post_norm = norms_doc[didx_s[post_starts]]
+
+    # position deltas (first of each posting absolute)
+    pdelta = pos_s.copy()
+    pdelta[1:] = pos_s[1:] - pos_s[:-1]
+    pdelta[post_starts] = pos_s[post_starts]
+
+    # --- block structure (posting space) ---------------------------
+    B = codec.BLOCK_SIZE
+    new_term = np.empty(nposts, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = post_code[1:] != post_code[:-1]
+    term_id = np.cumsum(new_term) - 1
+    term_first = np.flatnonzero(new_term)
+    rank_in_term = np.arange(nposts) - term_first[term_id]
+    block_ord = rank_in_term // B
+    new_block = new_term.copy()
+    new_block[1:] |= block_ord[1:] != block_ord[:-1]
+    blk_starts = np.flatnonzero(new_block)
+    blk_ends = np.append(blk_starts[1:], nposts)
+    blk_n = blk_ends - blk_starts
+    blk_sumtf = np.add.reduceat(tf, blk_starts)
+
+    # docid deltas (first of each block = 0, relative to first_docid)
+    ddelta = post_doc.copy()
+    ddelta[1:] = post_doc[1:] - post_doc[:-1]
+    ddelta[blk_starts] = 0
+
+    # --- grouped varbyte streams ----------------------------------
+    docid_bufs = codec.grouped_varbyte(ddelta.astype(np.uint64), blk_starts)
+    tf_bufs = codec.grouped_varbyte(tf.astype(np.uint64), blk_starts)
+    # token-space boundaries of each block (postings are contiguous)
+    tok_blk_starts = post_starts[blk_starts]
+    pos_bufs = codec.grouped_varbyte(pdelta.astype(np.uint64), tok_blk_starts)
+    norm_stream = post_norm.astype(np.uint8).tobytes()
+    mv = memoryview(norm_stream)
+    norm_bufs = [bytes(mv[s:e]) for s, e in zip(blk_starts, blk_ends)]
+
+    # FOR/all-equal re-encode for full 128-blocks (Lucene parity;
+    # a small minority of blocks — hot terms only)
+    full = np.flatnonzero(blk_n == B)
+    for bi in full:
+        s, e = blk_starts[bi], blk_ends[bi]
+        docid_bufs[bi] = codec.encode_seq(ddelta[s:e].astype(np.uint64))
+        tf_bufs[bi] = codec.encode_seq(tf[s:e].astype(np.uint64))
+
+    # --- competitive impacts (vectorized pareto) -------------------
+    blk_of_post = np.cumsum(new_block) - 1
+    io = np.lexsort((tf, post_norm, blk_of_post))
+    b_s2, n_s2, t_s2 = blk_of_post[io], post_norm[io], tf[io]
+    grp_new = np.empty(nposts, dtype=bool)
+    grp_new[0] = True
+    grp_new[1:] = (b_s2[1:] != b_s2[:-1]) | (n_s2[1:] != n_s2[:-1])
+    grp_last = np.append(np.flatnonzero(grp_new)[1:] - 1, nposts - 1)
+    gb, gn, gt = b_s2[grp_last], n_s2[grp_last], t_s2[grp_last]
+    # pareto: within block (norm asc) keep strictly-increasing max tf
+    big = int(gt.max()) + 1
+    shifted = gt + gb * big
+    prev = np.concatenate(([-1], np.maximum.accumulate(shifted)[:-1]))
+    keep = shifted > prev
+    imp_b, imp_n, imp_t = gb[keep], gn[keep], gt[keep]
+    imp_starts = np.flatnonzero(
+        np.diff(imp_b, prepend=-1) != 0)  # every block has >= 1 impact
+    imp_tf_bufs = codec.grouped_varbyte(imp_t.astype(np.uint64), imp_starts)
+    imp_norm_bufs = codec.grouped_varbyte(imp_n.astype(np.uint64), imp_starts)
+
+    terms_out = uniq[post_code[blk_starts]]
+    if prefix:
+        terms_out = np.array([prefix + t for t in terms_out], dtype=object)
+    blocks = pd.DataFrame({
+        "segment": seg, "kind": 0,
+        "term": terms_out,
+        "block_ord": block_ord[blk_starts],
+        "n": blk_n,
+        "first_docid": post_doc[blk_starts],
+        "last_docid": post_doc[blk_ends - 1],
+        "sum_tf": blk_sumtf,
+        "docids": docid_bufs, "tfs": tf_bufs, "norms": norm_bufs,
+        "positions": pos_bufs,
+        "imp_tfs": imp_tf_bufs, "imp_norms": imp_norm_bufs,
+        "repo": None, "path": None, "commit": None, "lang": None,
+    })
+    return dls, norms_doc, blocks
+
+
 def _segment_builder(docs_per_segment: int,
-                     stop_words: frozenset[str] = frozenset()):
+                     stop_words: frozenset[str] = frozenset(),
+                     extra_fields: tuple[str, ...] = ()):
     """applyInPandas fn: all (pre-tokenized) docs of ONE segment →
     encoded block rows (kind=0) + one summary row per doc (kind=1:
     term=sha256, n=dl, norms=[normbyte]).
+
+    ``extra_fields`` adds per-field postings beyond "content"
+    (Lucene70Codec.java:144-166 per-field delegation): each extra
+    field's token arrays ride in ``tokens__<field>`` columns, its
+    postings land under qualified terms ``<field>\\x1f<term>`` with
+    that field's own norms, and one kind=2 row per (doc with the
+    field) carries the per-field dl/norm (term = field name) — the
+    per-field norms/docvalues + collection-stats record.
 
     Input rows carry ``tokens``/``content_sha256`` from
     :func:`..analysis.jvm.analyzed_columns` — tokenization happened
@@ -105,44 +269,14 @@ def _segment_builder(docs_per_segment: int,
     stop_arr = np.asarray(sorted(stop_words), dtype=object) if stop_words else None
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..util.smallfloat import int_to_byte4_np
-
         pdf = pdf.sort_values("docid")
         seg = int(pdf["segment"].iloc[0])
         docids_doc = pdf["docid"].to_numpy(dtype=np.int64)
         ndocs = len(pdf)
-
-        # int32 throughout the token-space arrays: positions and doc
-        # ordinals fit comfortably, and halving the bytes matters —
-        # in a cold worker, page-fault cost tracks bytes touched.
-        toks_col = pdf["tokens"].to_numpy()
-        raw_lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64,
-                               count=ndocs)
-        total_raw = int(raw_lens.sum())
         shas = pdf["content_sha256"].tolist()
 
-        if total_raw:
-            flat_raw = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_col])
-            doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int32), raw_lens)
-            starts = np.zeros(ndocs, dtype=np.int64)
-            np.cumsum(raw_lens[:-1], out=starts[1:])
-            pos_raw = (np.arange(total_raw, dtype=np.int64)
-                       - starts[doc_of_tok]).astype(np.int32)
-            codes_all, uniq = pd.factorize(flat_raw, sort=True)
-            codes_all = np.asarray(codes_all).astype(np.int32, copy=False)
-            uniq = np.asarray(uniq, dtype=object)
-            if stop_arr is not None and len(uniq):
-                keep = ~np.isin(uniq, stop_arr)[codes_all]
-                codes = codes_all[keep]
-                tok_didx = doc_of_tok[keep]
-                flat_pos = pos_raw[keep]
-            else:
-                codes, tok_didx, flat_pos = codes_all, doc_of_tok, pos_raw
-            dls = np.bincount(tok_didx, minlength=ndocs).astype(np.int64)
-        else:
-            dls = np.zeros(ndocs, dtype=np.int64)
-        norms_doc = int_to_byte4_np(dls).astype(np.int16)
+        dls, norms_doc, blocks = _invert_segment_field(
+            pdf["tokens"].to_numpy(), docids_doc, stop_arr, seg, "")
 
         summary = pd.DataFrame({
             "segment": seg, "kind": 1, "term": shas, "block_ord": 0,
@@ -155,111 +289,38 @@ def _segment_builder(docs_per_segment: int,
             "commit": pdf["commit"].to_numpy(),
             "lang": pdf["lang"].to_numpy(),
         })
+        frames = [summary]
+        if blocks is not None:
+            frames.append(blocks)
 
-        total = int(dls.sum())
-        if total == 0:
+        for f in extra_fields:
+            nullcol = f"null_{f}"
+            null_mask = (pdf[nullcol].to_numpy(dtype=bool)
+                         if nullcol in pdf.columns
+                         else np.zeros(ndocs, dtype=bool))
+            fdls, fnorms, fblocks = _invert_segment_field(
+                pdf[f"tokens__{f}"].to_numpy(), docids_doc, stop_arr,
+                seg, f + FIELD_SEP)
+            present = ~null_mask
+            # kind=2: per-(doc, field) dl/norm — field absent (NULL) docs
+            # get no row, mirroring v1's dl=-1 exclusion
+            # (builder.py _invert_field; FieldInfos semantics)
+            frames.append(pd.DataFrame({
+                "segment": seg, "kind": 2, "term": f, "block_ord": 0,
+                "n": fdls[present],
+                "first_docid": docids_doc[present],
+                "last_docid": docids_doc[present],
+                "sum_tf": fdls[present], "docids": b"", "tfs": b"",
+                "norms": [bytes([b]) for b in fnorms[present]],
+                "positions": b"", "imp_tfs": b"", "imp_norms": b"",
+                "repo": None, "path": None, "commit": None, "lang": None,
+            }))
+            if fblocks is not None:
+                frames.append(fblocks)
+
+        if len(frames) == 1:
             return summary
-
-        # --- invert: ONE stable sort by term code ----------------------
-        # tokens are already in (doc, position) order → stable sort by
-        # term code yields the (term, docid, position) stream
-        order = np.argsort(codes, kind="stable")
-        codes_s = codes[order]
-        didx_s = tok_didx[order]
-        pos_s = flat_pos[order]
-        doc_s = docids_doc[didx_s]
-
-        # posting boundaries: (term, doc) runs in token space
-        new_post = np.empty(total, dtype=bool)
-        new_post[0] = True
-        new_post[1:] = (codes_s[1:] != codes_s[:-1]) | (didx_s[1:] != didx_s[:-1])
-        post_starts = np.flatnonzero(new_post)
-        nposts = len(post_starts)
-        post_ends = np.append(post_starts[1:], total)
-        tf = post_ends - post_starts
-        post_code = codes_s[post_starts]
-        post_doc = doc_s[post_starts]
-        post_norm = norms_doc[didx_s[post_starts]]
-
-        # position deltas (first of each posting absolute)
-        pdelta = pos_s.copy()
-        pdelta[1:] = pos_s[1:] - pos_s[:-1]
-        pdelta[post_starts] = pos_s[post_starts]
-
-        # --- block structure (posting space) ---------------------------
-        B = codec.BLOCK_SIZE
-        new_term = np.empty(nposts, dtype=bool)
-        new_term[0] = True
-        new_term[1:] = post_code[1:] != post_code[:-1]
-        term_id = np.cumsum(new_term) - 1
-        term_first = np.flatnonzero(new_term)
-        rank_in_term = np.arange(nposts) - term_first[term_id]
-        block_ord = rank_in_term // B
-        new_block = new_term.copy()
-        new_block[1:] |= block_ord[1:] != block_ord[:-1]
-        blk_starts = np.flatnonzero(new_block)
-        nblocks = len(blk_starts)
-        blk_ends = np.append(blk_starts[1:], nposts)
-        blk_n = blk_ends - blk_starts
-        blk_sumtf = np.add.reduceat(tf, blk_starts)
-
-        # docid deltas (first of each block = 0, relative to first_docid)
-        ddelta = post_doc.copy()
-        ddelta[1:] = post_doc[1:] - post_doc[:-1]
-        ddelta[blk_starts] = 0
-
-        # --- grouped varbyte streams ----------------------------------
-        docid_bufs = codec.grouped_varbyte(ddelta.astype(np.uint64), blk_starts)
-        tf_bufs = codec.grouped_varbyte(tf.astype(np.uint64), blk_starts)
-        # token-space boundaries of each block (postings are contiguous)
-        tok_blk_starts = post_starts[blk_starts]
-        pos_bufs = codec.grouped_varbyte(pdelta.astype(np.uint64), tok_blk_starts)
-        norm_stream = post_norm.astype(np.uint8).tobytes()
-        mv = memoryview(norm_stream)
-        norm_bufs = [bytes(mv[s:e]) for s, e in zip(blk_starts, blk_ends)]
-
-        # FOR/all-equal re-encode for full 128-blocks (Lucene parity;
-        # a small minority of blocks — hot terms only)
-        full = np.flatnonzero(blk_n == B)
-        for bi in full:
-            s, e = blk_starts[bi], blk_ends[bi]
-            docid_bufs[bi] = codec.encode_seq(ddelta[s:e].astype(np.uint64))
-            tf_bufs[bi] = codec.encode_seq(tf[s:e].astype(np.uint64))
-
-        # --- competitive impacts (vectorized pareto) -------------------
-        blk_of_post = np.cumsum(new_block) - 1
-        io = np.lexsort((tf, post_norm, blk_of_post))
-        b_s2, n_s2, t_s2 = blk_of_post[io], post_norm[io], tf[io]
-        grp_new = np.empty(nposts, dtype=bool)
-        grp_new[0] = True
-        grp_new[1:] = (b_s2[1:] != b_s2[:-1]) | (n_s2[1:] != n_s2[:-1])
-        grp_last = np.append(np.flatnonzero(grp_new)[1:] - 1, nposts - 1)
-        gb, gn, gt = b_s2[grp_last], n_s2[grp_last], t_s2[grp_last]
-        # pareto: within block (norm asc) keep strictly-increasing max tf
-        big = int(gt.max()) + 1
-        shifted = gt + gb * big
-        prev = np.concatenate(([-1], np.maximum.accumulate(shifted)[:-1]))
-        keep = shifted > prev
-        imp_b, imp_n, imp_t = gb[keep], gn[keep], gt[keep]
-        imp_starts = np.flatnonzero(
-            np.diff(imp_b, prepend=-1) != 0)  # every block has >= 1 impact
-        imp_tf_bufs = codec.grouped_varbyte(imp_t.astype(np.uint64), imp_starts)
-        imp_norm_bufs = codec.grouped_varbyte(imp_n.astype(np.uint64), imp_starts)
-
-        blocks = pd.DataFrame({
-            "segment": seg, "kind": 0,
-            "term": uniq[post_code[blk_starts]],
-            "block_ord": block_ord[blk_starts],
-            "n": blk_n,
-            "first_docid": post_doc[blk_starts],
-            "last_docid": post_doc[blk_ends - 1],
-            "sum_tf": blk_sumtf,
-            "docids": docid_bufs, "tfs": tf_bufs, "norms": norm_bufs,
-            "positions": pos_bufs,
-            "imp_tfs": imp_tf_bufs, "imp_norms": imp_norm_bufs,
-            "repo": None, "path": None, "commit": None, "lang": None,
-        })
-        return pd.concat([summary, blocks], ignore_index=True)
+        return pd.concat(frames, ignore_index=True)
 
     return build
 
@@ -709,8 +770,17 @@ def build_segment_index(
     resume: bool = False,
     fail_after_chunk: int | None = None,
     max_concurrent_chunks: int | None = None,
+    fields: tuple[str, ...] = ("content",),
 ) -> SegmentIndex:
     """Build (or resume) the compressed segment index.
+
+    ``fields`` lists the analyzed text columns ("content" must be one
+    of them — it carries the sha256 invariant). Extra fields get their
+    own postings/norms under qualified terms (FIELD_SEP) and per-field
+    collection stats in the manifest — the Lucene per-field codec
+    delegation (codecs/lucene70/Lucene70Codec.java:144-166), which is
+    what lets edismax / per-field similarity run on this compressed
+    path.
 
     ``fail_after_chunk`` injects a crash after N chunk commits — used by
     the kill-and-resume test (BASELINE.md resumability row).
@@ -729,6 +799,9 @@ def build_segment_index(
     spark = corpus.sparkSession
     t0 = time.time()
     stop_words = stop_words or frozenset()
+    if "content" not in fields:
+        raise ValueError("fields must include 'content' (sha invariant)")
+    extra_fields = tuple(f for f in fields if f != "content")
     os.makedirs(out_root, exist_ok=True)
     idx = SegmentIndex(out_root, spark)
     if not resume:
@@ -760,6 +833,13 @@ def build_segment_index(
     parent = getattr(base, "_lss_persisted_parent", None)
     with_ids = base.withColumn(
         "segment", (F.col("docid") / docs_per_segment).cast("int"))
+    # extra fields: copy the source column first — metadata columns
+    # (path etc.) must survive into the docmap/summaries, and
+    # analyzed_deferred drops its content column
+    for f in extra_fields:
+        with_ids = (with_ids
+                    .withColumn(f"null_{f}", F.col(f).isNull())
+                    .withColumn(f"_lss_src_{f}", F.col(f)))
     # DEFERRED analyze: one Project, ONE regexp_extract_all per row
     # (subexpression elimination); rows needing the Python analyzer
     # carry NULL tokens + retained content and are finalized per chunk
@@ -768,6 +848,11 @@ def build_segment_index(
     # shape ran the tokenize 3x per row over 2 corpus scans).
     analyzed_plan = analyzed_deferred(
         with_ids, max_token_length=max_token_length)
+    for f in extra_fields:
+        analyzed_plan = analyzed_deferred(
+            analyzed_plan, max_token_length=max_token_length,
+            content_col=f"_lss_src_{f}", tokens_col=f"tokens__{f}",
+            with_sha=False, py_content_col=f"_lss_py_{f}")
     spill_path = os.path.join(out_root, "analyzed_spill")
     if not (resume and os.path.exists(os.path.join(spill_path, "_SUCCESS"))):
         analyzed_plan.write.mode("overwrite").parquet(spill_path)
@@ -776,7 +861,10 @@ def build_segment_index(
     if parent is not None:
         parent.unpersist()
     if not (resume and os.path.exists(os.path.join(idx.docmap_path, "_SUCCESS"))):
-        spill.drop("tokens", "content_sha256", PY_CONTENT_COL).write.mode(
+        docmap_drop = ["tokens", "content_sha256", PY_CONTENT_COL]
+        for f in extra_fields:
+            docmap_drop += [f"tokens__{f}", f"_lss_py_{f}", f"null_{f}"]
+        spill.drop(*docmap_drop).write.mode(
             "overwrite").parquet(idx.docmap_path)
         _append_checkpoint(spark, out_root,
                            ("docmap", -1, 0, 0, 0, 0, 0, 0,
@@ -787,7 +875,7 @@ def build_segment_index(
 
     # ---- stage 1: per-chunk block build (resumable, overlapped) -------
     done = _done_chunks(spark, out_root) if resume else set()
-    builder = _segment_builder(docs_per_segment, stop_words)
+    builder = _segment_builder(docs_per_segment, stop_words, extra_fields)
     if max_concurrent_chunks is None:
         max_concurrent_chunks = int(
             os.environ.get("LSS_CONCURRENT_CHUNKS", "2"))
@@ -823,6 +911,12 @@ def build_segment_index(
             spill.where((F.col("segment") >= seg_lo)
                         & (F.col("segment") < seg_hi)),
             max_token_length=max_token_length)
+        for f in extra_fields:
+            part_df = finalize_analyzed(
+                part_df, max_token_length=max_token_length,
+                content_col=f"_lss_src_{f}", tokens_col=f"tokens__{f}",
+                with_sha=False, py_content_col=f"_lss_py_{f}")
+            part_df = part_df.drop(f"_lss_src_{f}")
         # segment-granular exchange: with shuffle.partitions = cores,
         # ~200 segments hash into a few reduce partitions whose skewed
         # max (Poisson tail) sets the stage wall and WORSENS with width;
@@ -885,7 +979,12 @@ def build_segment_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ttf_row = idx.dict().agg(F.sum("ttf").alias("s")).collect()[0]
+    # content-field stats only: qualified (<field>\x1f<term>) entries
+    # belong to their own field's collection stats, not content's
+    ttf_dict = idx.dict()
+    if extra_fields:
+        ttf_dict = ttf_dict.where(~F.col("term").contains(FIELD_SEP))
+    ttf_row = ttf_dict.agg(F.sum("ttf").alias("s")).collect()[0]
     stats_dir = os.path.join(out_root, "stats")
     if os.path.exists(stats_dir):
         shutil.rmtree(stats_dir)
@@ -896,6 +995,20 @@ def build_segment_index(
         os.path.join(stats_dir, "part-0.parquet"))
 
     st = idx.stats()
+    field_stats = None
+    if extra_fields:
+        # per-field collection stats, v1 convention (builder.py:483-489):
+        # doc_count = docs WITH the field, sum_ttf = Σ dl over them
+        # (BM25Similarity.java:79); content counts every doc (NULL
+        # content indexes as "" — the single-field v2 semantics)
+        field_stats = {"content": {"doc_count": int(st["doc_count"]),
+                                   "sum_ttf": int(st["sum_ttf"] or 0)}}
+        k2 = spark.read.parquet(idx.blocks_path).where(F.col("kind") == 2)
+        for r in k2.groupBy("term").agg(
+                F.count("*").alias("dc"),
+                F.sum("n").alias("st")).collect():
+            field_stats[r["term"]] = {"doc_count": int(r["dc"]),
+                                      "sum_ttf": int(r["st"] or 0)}
     manifest = {
         "format_version": 2,
         "doc_count": st["doc_count"],
@@ -908,6 +1021,9 @@ def build_segment_index(
         "max_token_length": max_token_length,
         "build_wall_sec": round(time.time() - t0, 3),
     }
+    if field_stats is not None:
+        manifest["fields"] = list(fields)
+        manifest["field_stats"] = field_stats
     with open(os.path.join(out_root, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     shutil.rmtree(spill_path, ignore_errors=True)  # build-scoped spill

@@ -65,7 +65,7 @@ class ShardedSearcher:
             # mergeToGlobalStats role); per-term dfs resolve per query
             scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
             for s in self.shards:
-                s.scorer = scorer
+                s.set_scorer(scorer)
 
     def _global_dfs(self, q: Query) -> dict[str, int]:
         """Per-term global docFreq = Σ shard docFreq (the stats

@@ -40,10 +40,39 @@ from pyspark.sql import DataFrame, functions as F
 from dataclasses import dataclass
 
 from ..index import codec
-from ..index.segments import SegmentIndex
+from ..index.segments import FIELD_SEP, SegmentIndex
 from . import bm25
 from .executor import _str_in
-from .queries import BooleanQuery, PhraseQuery, Query, TermQuery, TopDoc
+from .queries import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    Query,
+    SynonymQuery,
+    TermQuery,
+    TopDoc,
+)
+
+
+def _field_of(qterm: str) -> str:
+    """Field of a qualified postings key (segments.FIELD_SEP)."""
+    i = qterm.find(FIELD_SEP)
+    return qterm[:i] if i >= 0 else "content"
+
+
+def _qual(field: str, term: str) -> str:
+    return term if field == "content" else field + FIELD_SEP + term
+
+
+def _cache_for(cache, qterm: str):
+    """Resolve a term's norm cache: ``cache`` is either one ndarray
+    (single-field index) or a {field: ndarray} dict (per-field codec —
+    avgdl, hence the cache, is per field: BM25Similarity.java:79)."""
+    if isinstance(cache, dict):
+        return cache[_field_of(qterm)]
+    return cache
 
 
 @dataclass(frozen=True)
@@ -79,9 +108,10 @@ class _TermBlocks:
     whole query batch (the batched WAND path)."""
 
     __slots__ = ("first", "last", "n", "dbufs", "tbufs", "nbufs", "pbufs",
-                 "ub_unit", "nblocks")
+                 "ub_unit", "nblocks", "cache")
 
     def __init__(self, rows: pd.DataFrame, cache: np.ndarray):
+        self.cache = cache
         rows = rows.sort_values("block_ord")
         self.first = rows["first_docid"].to_numpy(dtype=np.int64)
         self.last = rows["last_docid"].to_numpy(dtype=np.int64)
@@ -106,14 +136,45 @@ class _TermBlocks:
             ubs[i] = s.max() if s.size else 0.0
         self.ub_unit = ubs
 
-    def decode(self, i: int, cache: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(docids, per-doc float32 UNIT scores) of block i."""
+    def decode(self, i: int, cache: np.ndarray | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """(docids, per-doc float32 UNIT scores) of block i; scores use
+        the cache the blocks were constructed with (the term's FIELD
+        cache) unless overridden."""
+        if cache is None:
+            cache = self.cache
         n = int(self.n[i])
         docids = codec.decode_docids(int(self.first[i]), self.dbufs[i], n)
         tfs = codec.decode_seq(self.tbufs[i], n).astype(np.int64)
         norms = np.frombuffer(self.nbufs[i], dtype=np.uint8).astype(np.int64)
         scores = bm25.score_terms(tfs, norms, np.float32(1.0), cache)
         return docids, scores
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-posting-list decode: (docids asc, unit scores)."""
+        if not self.nblocks:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float32))
+        ds, ss = zip(*(self.decode(i) for i in range(self.nblocks)))
+        return np.concatenate(ds), np.concatenate(ss)
+
+    def decode_raw_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+        """Whole-list raw decode: (docids, tfs, norm bytes, positions)."""
+        ds, ts, ns, ps = [], [], [], []
+        for i in range(self.nblocks):
+            n = int(self.n[i])
+            d = codec.decode_docids(int(self.first[i]), self.dbufs[i], n)
+            tfs = codec.decode_seq(self.tbufs[i], n).astype(np.int64)
+            nb = np.frombuffer(self.nbufs[i], dtype=np.uint8).astype(np.int64)
+            ds.append(d)
+            ts.append(tfs)
+            ns.append(nb)
+            if self.pbufs is not None:
+                ps.extend(codec.decode_positions(self.pbufs[i], tfs))
+        if not ds:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64), [])
+        return np.concatenate(ds), np.concatenate(ts), np.concatenate(ns), ps
 
     def decode_raw(self, i: int) -> tuple[np.ndarray, np.ndarray, list]:
         """(docids, norm bytes, per-doc position arrays) of block i —
@@ -244,7 +305,7 @@ def segment_topk(
             rows = groups.get(term)
             if rows is None or not len(rows):
                 return None
-            tb = _TermBlocks(rows, cache)
+            tb = _TermBlocks(rows, _cache_for(cache, term))
             if tb_cache is not None:
                 tb_cache[term] = tb
         return tb
@@ -296,7 +357,8 @@ def segment_topk(
         ph.append({"tbs": tbs, "ptr": [0] * len(tbs),
                    "offs": tuple(offs_p), "slop": int(slop_p),
                    "w": None if w_p is None else np.float32(w_p),
-                   "occ": occ, "dead": False})
+                   "occ": occ, "dead": False,
+                   "cache": _cache_for(cache, terms_p[0])})
         if occ == "MUST":
             n_must_ph += 1
         elif occ == "FILTER":
@@ -428,7 +490,7 @@ def segment_topk(
             for t in overlap:
                 key = (id(terms[t]), ptr[t])
                 if key not in decoded:
-                    decoded[key] = terms[t].decode(ptr[t], cache)
+                    decoded[key] = terms[t].decode(ptr[t])
                 d, u = decoded[key]
                 m = (d > cursor) & (d <= boundary)
                 dm = d[m]
@@ -443,7 +505,7 @@ def segment_topk(
                 tb = filt_tbs[i]
                 key = (id(tb), fptr[i])
                 if key not in decoded:
-                    decoded[key] = tb.decode(fptr[i], cache)
+                    decoded[key] = tb.decode(fptr[i])
                 d, _u = decoded[key]
                 m = (d > cursor) & (d <= boundary)
                 dm = d[m]
@@ -462,7 +524,7 @@ def segment_topk(
                 if p["occ"] == "FILTER":
                     s = np.zeros(dm.size, dtype=np.float32)
                 else:
-                    s = bm25.score_terms(freqs, nbs, p["w"], cache)
+                    s = bm25.score_terms(freqs, nbs, p["w"], p["cache"])
                 all_d.append(dm)
                 all_s.append(s)
                 one = np.ones(dm.size, dtype=np.int64)
@@ -519,7 +581,7 @@ def segment_topk(
                                and int(tb.first[j]) <= boundary):
                             key = (id(tb), j)
                             if key not in decoded:
-                                decoded[key] = tb.decode(j, cache)
+                                decoded[key] = tb.decode(j)
                             ex.append(decoded[key][0])
                             j += 1
                     for p in mn_ph:
@@ -577,6 +639,22 @@ class SegmentSearcher:
         self.doc_count = int(m["doc_count"])
         self.sum_ttf = int(m["sum_ttf"])
         self.scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
+        # per-field collection stats → per-field scorers (the
+        # Lucene70Codec per-field delegation, manifest "field_stats";
+        # single-field indexes keep the flat doc_count/sum_ttf scorer)
+        self.field_stats = m.get("field_stats") or {
+            "content": {"doc_count": self.doc_count,
+                        "sum_ttf": self.sum_ttf}}
+        self.scorers = {"content": self.scorer}
+        for f, st in self.field_stats.items():
+            if f != "content":
+                self.scorers[f] = bm25.BM25Scorer(
+                    max(int(st["doc_count"]), 1),
+                    max(int(st["sum_ttf"]), 1))
+        #: cache arg for segment_topk: plain ndarray on single-field
+        #: indexes (bit-stable historic path), {field: cache} otherwise
+        self.caches = (self.scorer.cache if len(self.scorers) == 1
+                       else {f: sc.cache for f, sc in self.scorers.items()})
         self.blocks = index.blocks()
         self.dict = index.dict()
         # tombstones, masked inside each leaf BEFORE its top-k cut
@@ -600,7 +678,25 @@ class SegmentSearcher:
                 pdf = self.dict.select("term", "df").toPandas()
                 self._df_map = dict(zip(pdf["term"], pdf["df"].astype(int)))
 
+    def set_scorer(self, scorer: "bm25.BM25Scorer",
+                   field: str = "content") -> None:
+        """Swap one field's scorer (the distributed ExactStatsCache
+        hook — sharded.py installs a GLOBAL-collection-stats scorer so
+        every shard scores with corpus-wide avgdl/docCount), keeping
+        the per-field cache map consistent."""
+        self.scorers[field] = scorer
+        if field == "content":
+            self.scorer = scorer
+        self.caches = (self.scorer.cache if len(self.scorers) == 1
+                       else {f: sc.cache for f, sc in self.scorers.items()})
+
     # -- planning -------------------------------------------------------
+    def field_scorer(self, field: str) -> "bm25.BM25Scorer":
+        sc = self.scorers.get(field)
+        if sc is None:  # unknown field: empty stats (no matches anyway)
+            sc = bm25.BM25Scorer(1, 1)
+        return sc
+
     def _stats(self, terms: set[str]) -> dict[str, int]:
         if not terms:
             return {}
@@ -618,12 +714,13 @@ class SegmentSearcher:
         is", BooleanQuery semantics — same rule as
         IndexSearcher._compile_boolean)."""
         if isinstance(q, TermQuery):
-            return _SegPlan([(q.term, q.boost)], frozenset(), frozenset(),
-                            frozenset(), 0)
+            return _SegPlan([(_qual(q.field, q.term), q.boost)],
+                            frozenset(), frozenset(), frozenset(), 0)
         if isinstance(q, PhraseQuery):
             return _SegPlan(
                 [], frozenset(), frozenset(), frozenset(), 0,
-                ((tuple(q.terms), q.effective_positions(), int(q.slop),
+                ((tuple(_qual(q.field, t) for t in q.terms),
+                  q.effective_positions(), int(q.slop),
                   q.boost, "MUST"),))
         if isinstance(q, BooleanQuery):
             scoring: list[tuple[str, float]] = []
@@ -637,7 +734,8 @@ class SegmentSearcher:
                 if isinstance(c.query, PhraseQuery):
                     pq = c.query
                     phrases.append(
-                        (tuple(pq.terms), pq.effective_positions(),
+                        (tuple(_qual(pq.field, t) for t in pq.terms),
+                         pq.effective_positions(),
                          int(pq.slop), pq.boost * q.boost, c.occur))
                     if c.occur == "SHOULD":
                         n_should += 1
@@ -651,7 +749,7 @@ class SegmentSearcher:
                         "and phrases); use IndexSearcher for other "
                         "nested/compound clauses"
                     )
-                t = c.query.term
+                t = _qual(c.query.field, c.query.term)
                 if c.occur in ("MUST", "SHOULD"):
                     if any(t == s for s, _ in scoring):
                         raise TypeError(
@@ -691,7 +789,7 @@ class SegmentSearcher:
                 if t in plan.must:
                     return None
                 continue
-            weights[t] = float(self.scorer.weight(df, b))
+            weights[t] = float(self.field_scorer(_field_of(t)).weight(df, b))
         rphrases: list[tuple] = []
         for terms_p, offs_p, slop_p, boost_p, occ in plan.phrases:
             if any(stats.get(t, 0) == 0 for t in terms_p):
@@ -700,20 +798,166 @@ class SegmentSearcher:
                 continue  # SHOULD scores nothing / MUST_NOT excludes nothing
             w = None
             if occ in ("MUST", "SHOULD"):
-                idfs = [self.scorer.idf(stats[t]) for t in terms_p]
+                fsc = self.field_scorer(_field_of(terms_p[0]))
+                idfs = [fsc.idf(stats[t]) for t in terms_p]
                 idf_sum = np.float32(np.sum(np.asarray(idfs,
                                                        dtype=np.float64)))
-                w = float(self.scorer.weight_from_idf_sum(idf_sum, boost_p))
+                w = float(fsc.weight_from_idf_sum(idf_sum, boost_p))
             rphrases.append((terms_p, offs_p, slop_p, w, occ))
         return weights, tuple(rphrases)
+
+    # -- general compiled-tree path (dismax / nested boolean / ...) -----
+    @staticmethod
+    def _general_terms(q: Query) -> set[str]:
+        """All qualified leaf terms of a general query tree."""
+        if isinstance(q, TermQuery):
+            return {_qual(q.field, q.term)}
+        if isinstance(q, SynonymQuery):
+            return {_qual(q.field, t) for t in q.terms}
+        if isinstance(q, PhraseQuery):
+            return {_qual(q.field, t) for t in q.terms}
+        if isinstance(q, BooleanQuery):
+            out: set[str] = set()
+            for c in q.clauses:
+                out |= SegmentSearcher._general_terms(c.query)
+            return out
+        if isinstance(q, DisjunctionMaxQuery):
+            out = set()
+            for d in q.disjuncts:
+                out |= SegmentSearcher._general_terms(d)
+            return out
+        if isinstance(q, ConstantScoreQuery):
+            return SegmentSearcher._general_terms(q.query)
+        if isinstance(q, MatchNoDocsQuery):
+            return set()
+        raise TypeError(
+            f"SegmentSearcher cannot evaluate {type(q).__name__}; "
+            "rewrite it first (IndexSearcher.rewrite) or use "
+            "IndexSearcher")
+
+    @staticmethod
+    def _general_has_phrase(q: Query) -> bool:
+        if isinstance(q, PhraseQuery):
+            return True
+        if isinstance(q, BooleanQuery):
+            return any(SegmentSearcher._general_has_phrase(c.query)
+                       for c in q.clauses)
+        if isinstance(q, DisjunctionMaxQuery):
+            return any(SegmentSearcher._general_has_phrase(d)
+                       for d in q.disjuncts)
+        if isinstance(q, ConstantScoreQuery):
+            return SegmentSearcher._general_has_phrase(q.query)
+        return False
+
+    def _compile_general(self, q: Query, boost: float,
+                         stats: dict[str, int]):
+        """Driver-side weight resolution of a general query tree into a
+        plain-tuple program for :func:`segment_eval_topk`. Weight and
+        float disciplines mirror OracleIndex._match / IndexSearcher
+        (per-field scorer, boost folded into the leaf weight)."""
+        if isinstance(q, TermQuery):
+            qt = _qual(q.field, q.term)
+            df = stats.get(qt, 0)
+            if not df:
+                return ("none",)
+            w = float(self.field_scorer(q.field).weight(df, boost * q.boost))
+            return ("term", qt, w)
+        if isinstance(q, SynonymQuery):
+            qts = tuple(_qual(q.field, t) for t in q.terms)
+            df = max((stats.get(t, 0) for t in qts), default=0)
+            if not df:
+                return ("none",)
+            w = float(self.field_scorer(q.field).weight(df, boost * q.boost))
+            return ("syn", qts, w)
+        if isinstance(q, PhraseQuery):
+            qts = tuple(_qual(q.field, t) for t in q.terms)
+            if any(stats.get(t, 0) == 0 for t in qts):
+                return ("none",)
+            fsc = self.field_scorer(q.field)
+            idfs = [fsc.idf(stats[t]) for t in qts]
+            idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
+            return ("phrase", qts, tuple(q.effective_positions()),
+                    int(q.slop), w)
+        if isinstance(q, ConstantScoreQuery):
+            child = self._compile_general(q.query, 1.0, stats)
+            if child[0] == "none":
+                return ("none",)
+            return ("const", child, float(np.float32(boost * q.boost)))
+        if isinstance(q, DisjunctionMaxQuery):
+            kids = []
+            for d in q.disjuncts:
+                c = self._compile_general(d, boost * q.boost, stats)
+                if c[0] != "none":
+                    kids.append(c)
+            if not kids:
+                return ("none",)
+            return ("dismax", tuple(kids), float(q.tie_breaker))
+        if isinstance(q, BooleanQuery):
+            kids = []
+            for c in q.clauses:
+                cb = 1.0 if c.occur in ("FILTER", "MUST_NOT") \
+                    else boost * q.boost
+                node = self._compile_general(c.query, cb, stats)
+                if node[0] == "none":
+                    if c.occur in ("MUST", "FILTER"):
+                        return ("none",)  # required clause can't match
+                    continue  # SHOULD scores nothing; MUST_NOT excludes nothing
+                kids.append((c.occur, node))
+            if not kids:
+                return ("none",)
+            return ("bool", tuple(kids), int(q.minimum_should_match))
+        if isinstance(q, MatchNoDocsQuery):
+            return ("none",)
+        raise TypeError(
+            f"SegmentSearcher cannot evaluate {type(q).__name__}")
+
+    def _search_general_df(self, q: Query, k: int,
+                           stats: dict[str, int] | None = None) -> DataFrame:
+        spark = self.index.spark
+        term_set = self._general_terms(q)
+        if stats is None:
+            stats = self._stats(term_set)
+        tree = self._compile_general(q, 1.0, stats)
+        if tree[0] == "none":
+            return spark.createDataFrame([], "docid long, score float")
+        caches = self.caches
+        deleted = self.deleted if self.deleted.size else None
+        kk = int(k)
+
+        def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+            d, sc = segment_eval_topk(pdf, tree, caches, kk,
+                                      deleted=deleted)
+            return pd.DataFrame({"docid": d.astype(np.int64),
+                                 "score": sc.astype(np.float32)})
+
+        pos_cols = (["positions"]
+                    if self._general_has_phrase(q) else [])
+        filtered = self.blocks.where(
+            _str_in("term", sorted(term_set))
+        ).select("segment", "term", "block_ord", "n", "first_docid",
+                 "last_docid", "docids", "tfs", "norms", *pos_cols,
+                 "imp_tfs", "imp_norms")
+        per_seg = filtered.groupBy("segment").applyInPandas(
+            leaf, "docid long, score float")
+        return per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(kk)
 
     # -- execution ------------------------------------------------------
     def search_df(self, q: Query, k: int = 10, use_wand: bool = True,
                   stats: dict[str, int] | None = None) -> DataFrame:
         """``stats``: optional (term → df) override — the distributed
         ExactStatsCache hook (search/sharded.py injects GLOBAL term
-        stats so a shard scores with corpus-wide weights)."""
-        plan = self._flatten(q)
+        stats so a shard scores with corpus-wide weights).
+
+        Term/phrase boolean algebra runs the block-max WAND traversal;
+        any other supported shape (DisjunctionMax — the edismax front
+        end — nested booleans, constant-score, synonyms) falls through
+        to the compiled-tree per-segment evaluator (same scan pruning,
+        no dynamic pruning — rank/score identity unchanged)."""
+        try:
+            plan = self._flatten(q)
+        except TypeError:
+            return self._search_general_df(q, k, stats=stats)
         resolved = self._resolve(plan, stats=stats)
         spark = self.index.spark
         if resolved is None:
@@ -721,7 +965,7 @@ class SegmentSearcher:
         weights, rphrases = resolved
         if not weights and not plan.filters and not rphrases:
             return spark.createDataFrame([], "docid long, score float")
-        cache = self.scorer.cache
+        cache = self.caches
         need = plan.need
         must, filters, excludes = plan.must, plan.filters, plan.excludes
 
@@ -818,7 +1062,7 @@ class SegmentSearcher:
             return spark.createDataFrame(
                 [], ("qidx int" if _raw else "qid string")
                     + ", docid long, score float, rn int")
-        cache = self.scorer.cache
+        cache = self.caches
         deleted = self.deleted if self.deleted.size else None
         kk = int(k)
 
@@ -909,3 +1153,195 @@ class SegmentSearcher:
         for r in sorted(rows, key=lambda r: (r["qidx"], r["rn"])):
             out[qid_list[r["qidx"]]].append(TopDoc(r["docid"], r["score"]))
         return out
+
+
+# ---------------------------------------------------------------------------
+# General compiled-tree evaluation over the v2 codec — the per-segment
+# rendering of the full query algebra (dismax / nested booleans /
+# constant-score / synonyms), which the windowed WAND traversal above
+# does not cover. Exhaustive within a segment (no dynamic pruning —
+# a BulkScorer without ImpactsDISI), so results are rank- and
+# score-identical to IndexSearcher/OracleIndex by construction; the
+# scan still reads ONLY the query's terms' blocks (term pushdown +
+# column pruning), one Arrow task per segment, global TopDocs.merge.
+# This is what lets edismax — DisjunctionMax over per-field clauses —
+# run on the compressed 100-TB path (per-field postings/norms/stats).
+
+def _topk_arrays(d: np.ndarray, s: np.ndarray, k: int):
+    order = np.lexsort((d, -s.astype(np.float64)))[:k]
+    return d[order], s[order]
+
+
+def _eval_node(node, get_tb, caches):
+    """Evaluate one compiled node over a segment: (docids unique asc,
+    float32 scores). ``get_tb(qterm) -> _TermBlocks | None``."""
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+    kind = node[0]
+    if kind in ("none", "matchno"):
+        return empty
+
+    if kind == "term":
+        _, qterm, w = node
+        tb = get_tb(qterm)
+        if tb is None:
+            return empty
+        d, u = tb.decode_all()
+        return d, (np.float32(w) * u).astype(np.float32)
+
+    if kind == "syn":
+        # pseudo-term: freq = Σ member tf, ONE similarity call
+        # (SynonymQuery.java:144-158, freq sum :446-455)
+        _, qterms, w = node
+        ds, ts, ns = [], [], []
+        for t in qterms:
+            tb = get_tb(t)
+            if tb is None:
+                continue
+            d, tfs, nb, _ = tb.decode_raw_all()
+            ds.append(d)
+            ts.append(tfs)
+            ns.append(nb)
+        if not ds:
+            return empty
+        d_cat = np.concatenate(ds)
+        uds, inv = np.unique(d_cat, return_inverse=True)
+        fsum = np.bincount(inv, weights=np.concatenate(ts).astype(np.float64))
+        norms = np.zeros(uds.size, dtype=np.int64)
+        norms[inv] = np.concatenate(ns)  # same field → same norm per doc
+        sc = bm25.score_terms(fsum, norms, np.float32(w),
+                              _cache_for(caches, qterms[0]))
+        return uds, sc.astype(np.float32)
+
+    if kind == "phrase":
+        _, qterms, offs, slop, w = node
+        cand = None
+        per_term = []
+        for t in qterms:
+            tb = get_tb(t)
+            if tb is None:
+                return empty
+            d, tfs, nb, poss = tb.decode_raw_all()
+            per_term.append((d, nb, poss))
+            cand = d if cand is None else cand[
+                np.isin(cand, d, assume_unique=True)]
+            if cand.size == 0:
+                return empty
+        pos_lists = []
+        norms0 = None
+        for i, (d, nb, poss) in enumerate(per_term):
+            idx = np.searchsorted(d, cand)
+            pos_lists.append([poss[j] for j in idx])
+            if i == 0:
+                norms0 = nb[idx]
+        freqs = _phrase_freqs(pos_lists, offs, slop)
+        hit = freqs > 0
+        if not hit.any():
+            return empty
+        sc = bm25.score_terms(freqs[hit], norms0[hit], np.float32(w),
+                              _cache_for(caches, qterms[0]))
+        return cand[hit], sc.astype(np.float32)
+
+    if kind == "const":
+        _, child, c = node
+        d, _s = _eval_node(child, get_tb, caches)
+        return d, np.full(d.size, np.float32(c), dtype=np.float32)
+
+    if kind == "dismax":
+        # (float)(max + (sum - max) * tieBreaker), sum in double
+        # (DisjunctionMaxScorer.java:58-71)
+        _, children, tb_f = node
+        subs = [_eval_node(c, get_tb, caches) for c in children]
+        subs = [(d, sc) for d, sc in subs if d.size]
+        if not subs:
+            return empty
+        d_cat = np.concatenate([d for d, _ in subs])
+        s_cat = np.concatenate([sc for _, sc in subs])
+        uds, inv = np.unique(d_cat, return_inverse=True)
+        mx = np.full(uds.size, -np.inf, dtype=np.float64)
+        np.maximum.at(mx, inv, s_cat.astype(np.float64))
+        sums = np.bincount(inv, weights=s_cat.astype(np.float64),
+                           minlength=uds.size)
+        tbv = np.float64(np.float32(tb_f))
+        out = (mx + (sums - mx) * tbv).astype(np.float32)
+        return uds, out
+
+    if kind == "bool":
+        _, children, msm = node
+        must, should, filt, must_not = [], [], [], []
+        for occ, c in children:
+            r = _eval_node(c, get_tb, caches)
+            if occ == "MUST":
+                must.append(r)
+            elif occ == "SHOULD":
+                should.append(r)
+            elif occ == "FILTER":
+                filt.append(r)
+            else:
+                must_not.append(r)
+        # candidate docs — IndexSearcher._compile_boolean /
+        # OracleIndex._match_boolean semantics
+        if must or filt:
+            cand = None
+            for d, _s in must + filt:
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=True)
+                if cand.size == 0:
+                    return empty
+            if should and msm > 0:
+                cnt = np.zeros(cand.size, dtype=np.int64)
+                for d, _s in should:
+                    cnt += np.isin(cand, d, assume_unique=True)
+                cand = cand[cnt >= msm]
+        else:
+            need = max(msm, 1)
+            if not should:
+                return empty
+            d_cat = np.concatenate([d for d, _s in should])
+            uds, counts = np.unique(d_cat, return_counts=True)
+            cand = uds[counts >= need]
+        if cand.size == 0:
+            return empty
+        for d, _s in must_not:
+            if d.size:
+                cand = cand[~np.isin(cand, d, assume_unique=True)]
+                if cand.size == 0:
+                    return empty
+        # score = float32(Σ float64 of scoring-clause float32 partials)
+        total = np.zeros(cand.size, dtype=np.float64)
+        for d, sc in must + should:
+            idx = np.searchsorted(d, cand)
+            idx_ok = idx < d.size
+            idx_c = np.minimum(idx, d.size - 1) if d.size else idx
+            m = idx_ok & (d[idx_c] == cand) if d.size else np.zeros(
+                cand.size, dtype=bool)
+            total[m] += sc[idx_c[m]].astype(np.float64)
+        return cand, total.astype(np.float32)
+
+    raise TypeError(f"unknown compiled node {kind}")
+
+
+def segment_eval_topk(seg_blocks, tree, caches, k: int,
+                      deleted: np.ndarray | None = None):
+    """Top-k (docids, scores) of a compiled general query tree over one
+    segment's block rows."""
+    if isinstance(seg_blocks, dict):
+        groups = seg_blocks
+    else:
+        groups = {t: r for t, r in seg_blocks.groupby("term", sort=False)}
+    tb_cache: dict = {}
+
+    def get_tb(term: str) -> _TermBlocks | None:
+        tb = tb_cache.get(term)
+        if tb is None:
+            rows = groups.get(term)
+            if rows is None or not len(rows):
+                return None
+            tb = _TermBlocks(rows, _cache_for(caches, term))
+            tb_cache[term] = tb
+        return tb
+
+    d, sc = _eval_node(tree, get_tb, caches)
+    if deleted is not None and deleted.size and d.size:
+        live = ~np.isin(d, deleted)
+        d, sc = d[live], sc[live]
+    return _topk_arrays(d, sc, k)

