@@ -108,10 +108,13 @@ class _TermBlocks:
     whole query batch (the batched WAND path)."""
 
     __slots__ = ("first", "last", "n", "dbufs", "tbufs", "nbufs", "pbufs",
-                 "ub_unit", "nblocks", "cache")
+                 "_ub", "_imp_tfs", "_imp_norms", "nblocks", "cache",
+                 "_all", "_raw_all")
 
     def __init__(self, rows: pd.DataFrame, cache: np.ndarray):
         self.cache = cache
+        self._all = None      # memoized decode_all (batched paths)
+        self._raw_all = None  # memoized decode_raw_all
         rows = rows.sort_values("block_ord")
         self.first = rows["first_docid"].to_numpy(dtype=np.int64)
         self.last = rows["last_docid"].to_numpy(dtype=np.int64)
@@ -124,17 +127,50 @@ class _TermBlocks:
         self.pbufs = (rows["positions"].tolist()
                       if "positions" in rows.columns else None)
         self.nblocks = len(rows)
-        ubs = np.empty(self.nblocks, dtype=np.float32)
-        one = np.float32(1.0)
-        imp_tfs = rows["imp_tfs"].tolist()
-        imp_norms = rows["imp_norms"].tolist()
-        for i in range(self.nblocks):
-            # impact buffers carry the standard sequence header byte
-            tfs = codec.decode_seq(imp_tfs[i], 0).astype(np.int64)
-            nbs = codec.decode_seq(imp_norms[i], 0).astype(np.int64)
-            s = bm25.score_terms(tfs, nbs, one, cache)
-            ubs[i] = s.max() if s.size else 0.0
-        self.ub_unit = ubs
+        self._imp_tfs = rows["imp_tfs"].tolist()
+        self._imp_norms = rows["imp_norms"].tolist()
+        self._ub = None  # lazy: only the pruning traversal needs bounds
+
+    @classmethod
+    def from_slices(cls, first, last, n, dbufs, tbufs, nbufs, pbufs,
+                    imp_tfs, imp_norms, cache):
+        """Zero-pandas constructor from pre-sliced per-term arrays
+        (_SegGroups) — the per-term ``sort_values`` + column boxing of
+        the DataFrame path cost ~0.2 ms per term, which dominated
+        853-term batched leaves."""
+        tb = cls.__new__(cls)
+        tb.cache = cache
+        tb._all = None
+        tb._raw_all = None
+        tb.first = first
+        tb.last = last
+        tb.n = n
+        tb.dbufs = dbufs
+        tb.tbufs = tbufs
+        tb.nbufs = nbufs
+        tb.pbufs = pbufs
+        tb.nblocks = len(dbufs)
+        tb._imp_tfs = imp_tfs
+        tb._imp_norms = imp_norms
+        tb._ub = None
+        return tb
+
+    @property
+    def ub_unit(self) -> np.ndarray:
+        """Per-block max unit scores from the stored competitive
+        impacts — computed LAZILY: the batched exhaustive leaf never
+        prunes, so it never pays the per-block impact decode."""
+        if self._ub is None:
+            ubs = np.empty(self.nblocks, dtype=np.float32)
+            one = np.float32(1.0)
+            for i in range(self.nblocks):
+                # impact buffers carry the standard sequence header byte
+                tfs = codec.decode_seq(self._imp_tfs[i], 0).astype(np.int64)
+                nbs = codec.decode_seq(self._imp_norms[i], 0).astype(np.int64)
+                sc = bm25.score_terms(tfs, nbs, one, self.cache)
+                ubs[i] = sc.max() if sc.size else 0.0
+            self._ub = ubs
+        return self._ub
 
     def decode(self, i: int, cache: np.ndarray | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
@@ -151,15 +187,23 @@ class _TermBlocks:
         return docids, scores
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        """Whole-posting-list decode: (docids asc, unit scores)."""
-        if not self.nblocks:
-            return (np.zeros(0, dtype=np.int64),
-                    np.zeros(0, dtype=np.float32))
-        ds, ss = zip(*(self.decode(i) for i in range(self.nblocks)))
-        return np.concatenate(ds), np.concatenate(ss)
+        """Whole-posting-list decode: (docids asc, unit scores) —
+        memoized, so a query batch decodes each (term, segment) ONCE
+        no matter how many queries touch the term."""
+        if self._all is None:
+            if not self.nblocks:
+                self._all = (np.zeros(0, dtype=np.int64),
+                             np.zeros(0, dtype=np.float32))
+            else:
+                ds, ss = zip(*(self.decode(i) for i in range(self.nblocks)))
+                self._all = (np.concatenate(ds), np.concatenate(ss))
+        return self._all
 
     def decode_raw_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
-        """Whole-list raw decode: (docids, tfs, norm bytes, positions)."""
+        """Whole-list raw decode: (docids, tfs, norm bytes, positions)
+        — memoized like :meth:`decode_all`."""
+        if self._raw_all is not None:
+            return self._raw_all
         ds, ts, ns, ps = [], [], [], []
         for i in range(self.nblocks):
             n = int(self.n[i])
@@ -172,9 +216,13 @@ class _TermBlocks:
             if self.pbufs is not None:
                 ps.extend(codec.decode_positions(self.pbufs[i], tfs))
         if not ds:
-            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
-                    np.zeros(0, dtype=np.int64), [])
-        return np.concatenate(ds), np.concatenate(ts), np.concatenate(ns), ps
+            self._raw_all = (np.zeros(0, dtype=np.int64),
+                             np.zeros(0, dtype=np.int64),
+                             np.zeros(0, dtype=np.int64), [])
+        else:
+            self._raw_all = (np.concatenate(ds), np.concatenate(ts),
+                             np.concatenate(ns), ps)
+        return self._raw_all
 
     def decode_raw(self, i: int) -> tuple[np.ndarray, np.ndarray, list]:
         """(docids, norm bytes, per-doc position arrays) of block i —
@@ -185,6 +233,50 @@ class _TermBlocks:
         norms = np.frombuffer(self.nbufs[i], dtype=np.uint8).astype(np.int64)
         poss = codec.decode_positions(self.pbufs[i], tfs)
         return docids, norms, poss
+
+
+class _SegGroups:
+    """One segment's scanned block rows, sorted ONCE by (term,
+    block_ord) and sliced per term with numpy — replaces the
+    per-term pandas groupby/sort_values machinery in the leaves
+    (measured: ~0.2 ms/term of frame overhead at ~1 block/term)."""
+
+    __slots__ = ("terms", "first", "last", "n", "dbufs", "tbufs",
+                 "nbufs", "pbufs", "imp_tfs", "imp_norms", "slices")
+
+    def __init__(self, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(["term", "block_ord"], kind="stable")
+        terms = pdf["term"].to_numpy()
+        self.first = pdf["first_docid"].to_numpy(dtype=np.int64)
+        self.last = pdf["last_docid"].to_numpy(dtype=np.int64)
+        self.n = pdf["n"].to_numpy(dtype=np.int64)
+        self.dbufs = pdf["docids"].tolist()
+        self.tbufs = pdf["tfs"].tolist()
+        self.nbufs = pdf["norms"].tolist()
+        self.pbufs = (pdf["positions"].tolist()
+                      if "positions" in pdf.columns else None)
+        self.imp_tfs = pdf["imp_tfs"].tolist()
+        self.imp_norms = pdf["imp_norms"].tolist()
+        nrows = len(terms)
+        if nrows:
+            starts = np.flatnonzero(
+                np.r_[True, terms[1:] != terms[:-1]])
+            ends = np.r_[starts[1:], nrows]
+            self.slices = {terms[st]: (int(st), int(en))
+                           for st, en in zip(starts, ends)}
+        else:
+            self.slices = {}
+
+    def get(self, term: str, cache) -> "_TermBlocks | None":
+        se = self.slices.get(term)
+        if se is None:
+            return None
+        st, en = se
+        return _TermBlocks.from_slices(
+            self.first[st:en], self.last[st:en], self.n[st:en],
+            self.dbufs[st:en], self.tbufs[st:en], self.nbufs[st:en],
+            self.pbufs[st:en] if self.pbufs is not None else None,
+            self.imp_tfs[st:en], self.imp_norms[st:en], cache)
 
 
 def _phrase_freqs(pos_lists: list[list[np.ndarray]], offs, slop: int) -> np.ndarray:
@@ -294,18 +386,22 @@ def segment_topk(
     share _TermBlocks construction and block decodes across the
     queries of one batch; without dec_cache, decoded blocks are
     dropped as the traversal passes them (bounded memory)."""
-    if isinstance(seg_blocks, dict):
+    if isinstance(seg_blocks, (dict, _SegGroups)):
         groups = seg_blocks
     else:
-        groups = {t: r for t, r in seg_blocks.groupby("term", sort=False)}
+        groups = _SegGroups(seg_blocks)
 
     def get_tb(term: str) -> _TermBlocks | None:
         tb = tb_cache.get(term) if tb_cache is not None else None
         if tb is None:
-            rows = groups.get(term)
-            if rows is None or not len(rows):
+            if isinstance(groups, _SegGroups):
+                tb = groups.get(term, _cache_for(cache, term))
+            else:
+                rows = groups.get(term)
+                tb = (None if rows is None or not len(rows)
+                      else _TermBlocks(rows, _cache_for(cache, term)))
+            if tb is None:
                 return None
-            tb = _TermBlocks(rows, _cache_for(cache, term))
             if tb_cache is not None:
                 tb_cache[term] = tb
         return tb
@@ -1012,6 +1108,122 @@ class SegmentSearcher:
         rows = self.search_df(q, k, use_wand=use_wand).collect()
         return [TopDoc(r["docid"], r["score"]) for r in rows]
 
+    #: batch size at which search_many switches from per-query WAND
+    #: traversals to the compiled-tree exhaustive leaf. Rationale: in a
+    #: large batch every hot term's blocks get decoded anyway (shared
+    #: dec cache), so dynamic pruning saves nothing — while the Python
+    #: window loop costs ~1 ms/(query x segment). The tree leaf decodes
+    #: each (term, segment) once (memoized decode_all) and scores each
+    #: query in a handful of whole-list numpy ops (~0.15 ms). Results
+    #: are rank/score-identical (pruning is an optimization, not a
+    #: semantics change — A/B-tested).
+    BATCH_TREE_MIN = 16
+
+    def _search_many_tree_df(self, queries: dict[str, Query], k: int = 10,
+                             _raw: bool = False) -> DataFrame:
+        """Batched compiled-tree evaluation (see BATCH_TREE_MIN). Also
+        lifts the batch path's query-algebra limit: any search_df-able
+        query (dismax/nested boolean/constant-score/synonym) batches."""
+        spark = self.index.spark
+        qid_list = list(queries)
+        term_set: set[str] = set()
+        for q in queries.values():
+            term_set |= self._general_terms(q)
+        stats = self._stats(term_set)
+        trees = []
+        scan_term_set: set[str] = set()
+        any_phrases = False
+        for qid in qid_list:
+            t = self._compile_general(queries[qid], 1.0, stats)
+            trees.append(t)
+            if t[0] != "none":
+                scan_term_set |= _tree_terms(t)
+                any_phrases = any_phrases or _tree_has_phrase(t)
+        terms_present = sorted(scan_term_set)
+        if not terms_present:
+            return spark.createDataFrame(
+                [], ("qidx int" if _raw else "qid string")
+                    + ", docid long, score float, rn int")
+        caches = self.caches
+        deleted = self.deleted if self.deleted.size else None
+        kk = int(k)
+
+        def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+            from lucene_solr_spark.util.env import retain_malloc
+
+            retain_malloc()
+            groups = _SegGroups(pdf)
+            tb_cache: dict = {}
+
+            def get_tb(term: str) -> _TermBlocks | None:
+                tb = tb_cache.get(term)
+                if tb is None:
+                    tb = groups.get(term, _cache_for(caches, term))
+                    if tb is None:
+                        return None
+                    tb_cache[term] = tb
+                return tb
+
+            out_q, out_d, out_s = [], [], []
+            for qi, tree in enumerate(trees):
+                if tree[0] == "none":
+                    continue
+                d, sc = _eval_node(tree, get_tb, caches)
+                if deleted is not None and d.size:
+                    live = ~np.isin(d, deleted)
+                    d, sc = d[live], sc[live]
+                d, sc = _topk_arrays(d, sc, kk)
+                if d.size:
+                    out_q.append(np.full(d.size, qi, dtype=np.int32))
+                    out_d.append(d)
+                    out_s.append(sc)
+            if not out_q:
+                return pd.DataFrame({
+                    "qidx": pd.Series([], dtype="int32"),
+                    "docid": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float32")})
+            return pd.DataFrame({
+                "qidx": np.concatenate(out_q),
+                "docid": np.concatenate(out_d),
+                "score": pd.Series(np.concatenate(out_s), dtype="float32")})
+
+        pos_cols = ["positions"] if any_phrases else []
+        filtered = self.blocks.where(
+            _str_in("term", terms_present)
+        ).select("segment", "term", "block_ord", "n", "first_docid",
+                 "last_docid", "docids", "tfs", "norms", *pos_cols,
+                 "imp_tfs", "imp_norms")
+        if self.blooms is not None:
+            excl_batch: set[int] | None = None
+            for tree in trees:
+                if tree[0] == "none":
+                    continue
+                must_like, should_set = _tree_bloom_sets(tree)
+                e = set(self.blooms.excluded_segments(must_like,
+                                                      should_set))
+                excl_batch = e if excl_batch is None else (excl_batch & e)
+                if not excl_batch:
+                    break
+            if excl_batch:
+                filtered = filtered.where(
+                    ~F.col("segment").isin(sorted(excl_batch)))
+        per_seg = filtered.groupBy("segment").applyInPandas(
+            leaf, "qidx int, docid long, score float")
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy("qidx").orderBy(
+            F.desc("score"), F.asc("docid"))
+        topk = (per_seg.select(
+            "qidx", "docid", "score", F.row_number().over(win).alias("rn"))
+            .where(F.col("rn") <= kk))
+        if _raw:
+            return topk
+        qmap_df = spark.createDataFrame(pd.DataFrame(
+            {"qidx": pd.array(range(len(qid_list)), dtype="int32"),
+             "qid": qid_list}))
+        return (topk.join(F.broadcast(qmap_df), "qidx")
+                .select("qid", "docid", "score", "rn"))
+
     # -- batched execution ---------------------------------------------
     def search_many_df(self, queries: dict[str, Query], k: int = 10,
                        use_wand: bool = True, _raw: bool = False) -> DataFrame:
@@ -1035,6 +1247,8 @@ class SegmentSearcher:
         of executor count."""
         spark = self.index.spark
         qid_list = list(queries)
+        if len(qid_list) >= self.BATCH_TREE_MIN:
+            return self._search_many_tree_df(queries, k, _raw=_raw)
         flat = {qid: self._flatten(q) for qid, q in queries.items()}
         term_set = {t for p in flat.values() for t, _ in p.scoring}
         term_set |= {t for p in flat.values()
@@ -1070,7 +1284,7 @@ class SegmentSearcher:
             from lucene_solr_spark.util.env import retain_malloc
 
             retain_malloc()
-            groups = {t: r for t, r in pdf.groupby("term", sort=False)}
+            groups = _SegGroups(pdf)
             tb_cache: dict = {}
             dec_cache: dict = {}
             out_q, out_d, out_s = [], [], []
@@ -1166,6 +1380,63 @@ class SegmentSearcher:
 # column pruning), one Arrow task per segment, global TopDocs.merge.
 # This is what lets edismax — DisjunctionMax over per-field clauses —
 # run on the compressed 100-TB path (per-field postings/norms/stats).
+
+def _tree_terms(node) -> set:
+    """Qualified terms a compiled node will actually scan."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind in ("syn", "phrase"):
+        return set(node[1])
+    if kind == "bool":
+        out = set()
+        for _occ, c in node[1]:
+            out |= _tree_terms(c)
+        return out
+    if kind == "dismax":
+        out = set()
+        for c in node[1]:
+            out |= _tree_terms(c)
+        return out
+    if kind == "const":
+        return _tree_terms(node[1])
+    return set()
+
+
+def _tree_has_phrase(node) -> bool:
+    kind = node[0]
+    if kind == "phrase":
+        return True
+    if kind == "bool":
+        return any(_tree_has_phrase(c) for _occ, c in node[1])
+    if kind == "dismax":
+        return any(_tree_has_phrase(c) for c in node[1])
+    if kind == "const":
+        return _tree_has_phrase(node[1])
+    return False
+
+
+def _tree_bloom_sets(node) -> tuple[set, set]:
+    """(must_like, should) term sets for driver-side Bloom segment
+    skipping — conservative: anything not provably required counts as
+    SHOULD (false inclusions only add segments, never drop matches)."""
+    kind = node[0]
+    if kind in ("term", "syn", "phrase", "dismax", "const"):
+        return set(), _tree_terms(node)
+    if kind == "bool":
+        must_like: set = set()
+        should: set = set()
+        for occ, c in node[1]:
+            m, sh = _tree_bloom_sets(c)
+            if occ in ("MUST", "FILTER"):
+                must_like |= m | (sh if c[0] in ("term", "phrase") else set())
+                should |= sh if c[0] not in ("term", "phrase") else set()
+            elif occ == "SHOULD":
+                should |= m | sh
+            # MUST_NOT never prunes
+        return must_like, should
+    return set(), set()
+
 
 def _topk_arrays(d: np.ndarray, s: np.ndarray, k: int):
     order = np.lexsort((d, -s.astype(np.float64)))[:k]
@@ -1324,19 +1595,23 @@ def segment_eval_topk(seg_blocks, tree, caches, k: int,
                       deleted: np.ndarray | None = None):
     """Top-k (docids, scores) of a compiled general query tree over one
     segment's block rows."""
-    if isinstance(seg_blocks, dict):
+    if isinstance(seg_blocks, (dict, _SegGroups)):
         groups = seg_blocks
     else:
-        groups = {t: r for t, r in seg_blocks.groupby("term", sort=False)}
+        groups = _SegGroups(seg_blocks)
     tb_cache: dict = {}
 
     def get_tb(term: str) -> _TermBlocks | None:
         tb = tb_cache.get(term)
         if tb is None:
-            rows = groups.get(term)
-            if rows is None or not len(rows):
+            if isinstance(groups, _SegGroups):
+                tb = groups.get(term, _cache_for(caches, term))
+            else:
+                rows = groups.get(term)
+                tb = (None if rows is None or not len(rows)
+                      else _TermBlocks(rows, _cache_for(caches, term)))
+            if tb is None:
                 return None
-            tb = _TermBlocks(rows, _cache_for(caches, term))
             tb_cache[term] = tb
         return tb
 
