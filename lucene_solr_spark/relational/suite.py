@@ -1489,6 +1489,66 @@ def stream_expr_rollup(spark, sf_dir):
 
 
 @register(
+    "stream_matrix_ops",
+    """
+    WITH c AS (
+      SELECT event_type, extract(hour FROM ts) AS h, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             sum(a.cnt * b.cnt) AS s
+      FROM c a JOIN c b ON a.h = b.h GROUP BY 1, 2
+    ),
+    t AS (SELECT DISTINCT event_type FROM events)
+    SELECT t1.event_type AS t1, t2.event_type AS t2,
+           CAST(coalesce(p.s, 0) AS DOUBLE) AS gram
+    FROM t t1 CROSS JOIN t t2
+    LEFT JOIN p ON p.t1 = t1.event_type AND p.t2 = t2.event_type
+    ORDER BY 1, 2
+    """,
+)
+def stream_matrix_ops(spark, sf_dir):
+    """Matrix evaluator family end-to-end (io/eval/MatrixEvaluator,
+    TransposeEvaluator, MatrixMultiplyEvaluator — Lang.java:178-234):
+    per-type hourly count vectors assemble into one matrix column,
+    G = M·Mᵀ computes with the pure-JVM evaluator Columns
+    (array<array<double>>, no UDF), then flattens back to relational
+    (t1, t2, gram) rows. The oracle renders the same multiply as a
+    join-aggregate — (M·Mᵀ)[i,j] = Σ_h cnt_ih·cnt_jh. Matrices here
+    are per-ROW values (the Solr let/math model, bounded by group
+    cardinality, not corpus size — types × 24 hours), so the plan's
+    scale path is the groupBy underneath, never the matrix itself."""
+    from ..streaming.expressions import compile_evaluator, parse_expression
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("event_type", F.hour("ts").alias("h"))
+              .agg(F.count("*").cast("double").alias("cnt")))
+    vecs = (counts.groupBy("event_type")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("h", "cnt"))).alias("m"))
+            .select("event_type",
+                    F.transform(F.sequence(F.lit(0), F.lit(23)),
+                                lambda h: F.coalesce(
+                                    F.element_at("m", h.cast("int")),
+                                    F.lit(0.0))).alias("vec")))
+    one = vecs.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "vec")))
+        .alias("rows"))
+    one = one.select(
+        F.col("rows.event_type").alias("types"),
+        F.col("rows.vec").alias("m"))
+    gram = one.withColumn(
+        "g", compile_evaluator(parse_expression("matrixMult(m, transpose(m))")))
+    return (gram
+            .select("types", F.posexplode("g").alias("i", "grow"))
+            .select("types", "i", F.posexplode("grow").alias("j", "gram"))
+            .select(F.expr("types[i]").alias("t1"),
+                    F.expr("types[j]").alias("t2"), "gram")
+            .orderBy("t1", "t2"))
+
+
+@register(
     "drill_sideways",
     """
     SELECT 'o_orderstatus' AS dim, o_orderstatus AS bucket, count(*) AS cnt

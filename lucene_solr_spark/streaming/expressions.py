@@ -226,7 +226,65 @@ _EVALS: dict[str, Callable] = {
     # StandardDeviationEvaluator — commons-math SAMPLE variance, n-1)
     "var": lambda a: _sample_var(a[0]),
     "stddev": lambda a: F.sqrt(_sample_var(a[0])),
+    # matrix evaluator family (io/eval/MatrixEvaluator.java,
+    # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
+    # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
+    # CovarianceEvaluator, CorrelationEvaluator — Lang.java:120-234).
+    # A matrix is an array<array<double>> column; everything below is
+    # pure-JVM higher-order array functions, no UDF.
+    "matrix": lambda a: F.array(*a),
+    "transpose": lambda a: _transpose(a[0]),
+    "matrixmult": lambda a: _matmul(a[0], a[1]),
+    "rowcount": lambda a: F.size(a[0]),
+    "columncount": lambda a: F.size(F.get(a[0], 0)),
+    "rowat": lambda a: F.get(a[0], a[1].cast("int")),
+    "columnat": lambda a: F.transform(
+        a[0], lambda row: F.get(row, a[1].cast("int"))),
+    "sumrows": lambda a: F.transform(a[0], _asum),
+    "sumcolumns": lambda a: F.transform(_transpose(a[0]), _asum),
+    "grandsum": lambda a: _asum(F.transform(a[0], _asum)),
+    "scalaradd": lambda a: _scalar_op(a[1], a[0], lambda x, sc: x + sc),
+    "scalarsubtract": lambda a: _scalar_op(
+        a[1], a[0], lambda x, sc: x - sc),
+    "scalarmultiply": lambda a: _scalar_op(
+        a[1], a[0], lambda x, sc: x * sc),
+    "scalardivide": lambda a: _scalar_op(a[1], a[0], lambda x, sc: x / sc),
+    # commons-math Covariance (bias-corrected, n-1) and Pearson
+    # correlation over two numeric arrays
+    "cov": lambda a: _cov(a[0], a[1]),
+    "corr": lambda a: (_cov(a[0], a[1])
+                       / (F.sqrt(_sample_var(a[0]))
+                          * F.sqrt(_sample_var(a[1])))),
 }
+
+
+def _transpose(m):
+    """array<array<double>> transpose: column i of every row."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(F.get(m, 0)) - 1),
+        lambda i: F.transform(m, lambda row: F.get(row, i.cast("int"))))
+
+
+def _matmul(a, b):
+    """(A·B)[i][j] = dot(A row i, B column j) — B transposed once."""
+    bt = _transpose(b)
+    return F.transform(a, lambda row: F.transform(
+        bt, lambda bcol: _dot(row, bcol)))
+
+
+def _scalar_op(m, sc, op):
+    """Scalar op over a MATRIX (Solr's Scalar*Evaluator matrix form;
+    vectors use ebeAdd/scale)."""
+    return F.transform(
+        m, lambda row: F.transform(row, lambda x: op(x.cast("double"), sc)))
+
+
+def _cov(x, y):
+    n = F.size(x)
+    mx = _asum(x) / n
+    my = _asum(y) / n
+    return _asum(F.zip_with(
+        x, y, lambda a_, b_: (a_ - mx) * (b_ - my))) / (n - 1)
 
 
 def _sample_var(arr):

@@ -105,11 +105,16 @@ def simultaneous_probe(lo_cpus: list[int], hi_cpus: list[int],
 
 # ---------------------------------------------------------------- child
 
-def _wait_for(path: str, timeout: float = 900.0) -> None:
+def _wait_for(path: str, timeout: float = 900.0, procs=None) -> None:
     t0 = time.time()
     while not os.path.exists(path):
         if time.time() - t0 > timeout:
             raise TimeoutError(f"timed out waiting for {path}")
+        if procs:
+            for role, p in procs.items():
+                if p.poll() is not None and p.returncode != 0:
+                    raise RuntimeError(
+                        f"{role} rung died rc={p.returncode}; see its log")
         time.sleep(0.25)
 
 
@@ -279,36 +284,39 @@ def run_pair(lo_n: int, hi_n: int, lo_cpus: list[int], hi_cpus: list[int],
         env = dict(os.environ)
         # per-core-proportional heap (a 4N cluster has 4N x the RAM)
         env["LSS_DRIVER_MEM"] = f"{max(int(n * 2.5), 8)}g"
+        log_path = os.path.join(sync_dir, f"log_{role}.txt")
         cmd = ["taskset", "-c", ",".join(map(str, cpus)),
                sys.executable, os.path.abspath(__file__), "--child",
                "--role", role, "--cpus", str(n), "--docs", str(docs),
                "--queries", str(queries), "--sync-dir", sync_dir]
-        procs[role] = subprocess.Popen(cmd, env=env, cwd=REPO,
-                                       stdout=subprocess.PIPE,
-                                       stderr=subprocess.PIPE, text=True)
+        procs[role] = subprocess.Popen(
+            cmd, env=env, cwd=REPO, text=True,
+            stdout=open(log_path, "w"), stderr=subprocess.STDOUT)
 
     # both rungs ready (JVM up, corpus cached, warmup done) -> go
-    _wait_for(os.path.join(sync_dir, "ready_lo"), 900)
-    _wait_for(os.path.join(sync_dir, "ready_hi"), 900)
+    _wait_for(os.path.join(sync_dir, "ready_lo"), 1800, procs)
+    _wait_for(os.path.join(sync_dir, "ready_hi"), 1800, procs)
     t0 = time.time() + 2
     with open(os.path.join(sync_dir, "go"), "w") as f:
         json.dump({"t0": t0, "build_until": t0 + build_window}, f)
 
     _wait_for(os.path.join(sync_dir, "qready_lo"),
-              build_window + 1800)
+              build_window + 1800, procs)
     _wait_for(os.path.join(sync_dir, "qready_hi"),
-              build_window + 1800)
+              build_window + 1800, procs)
     tq = time.time() + 2
     with open(os.path.join(sync_dir, "qgo"), "w") as f:
         json.dump({"t0": tq, "query_until": tq + query_window}, f)
 
     results = {}
     for role, p in procs.items():
-        stdout, stderr = p.communicate(timeout=build_window + query_window + 2400)
+        p.wait(timeout=build_window + query_window + 2400)
+        log_path = os.path.join(sync_dir, f"log_{role}.txt")
+        stdout = open(log_path).read()
         lines = [ln for ln in stdout.splitlines()
                  if ln.startswith("CHILD_RESULT ")]
         if not lines:
-            sys.stderr.write(stdout[-2000:] + stderr[-4000:])
+            sys.stderr.write(stdout[-6000:])
             raise RuntimeError(f"{role} rung produced no result")
         results[role] = json.loads(lines[-1][len("CHILD_RESULT "):])
 

@@ -329,3 +329,47 @@ def test_sql_stream_and_echo(spark, tables):
     assert [tuple(r) for r in df.collect()] == [
         ("a", 40), ("b", 20), ("c", 40)]
     assert f.compile('echo("hi")').collect()[0]["echo"] == "hi"
+
+
+def test_matrix_evaluators(spark):
+    """Matrix family vs numpy (io/eval/MatrixEvaluator.java,
+    TransposeEvaluator, MatrixMultiplyEvaluator, SumRows/SumColumns,
+    GrandSum, Scalar*, RowAt/ColumnAt, Row/ColumnCount, cov/corr —
+    Lang.java:120-234)."""
+    import numpy as np
+
+    a = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    b = np.array([[7.0, 8.0], [9.0, 10.0], [11.0, 12.0]])
+    x = [2.0, 4.0, 6.0, 8.0]
+    y = [1.0, 3.0, 2.0, 5.0]
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist(), x, y)],
+        "a array<array<double>>, b array<array<double>>, "
+        "x array<double>, y array<double>")
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    assert ev("transpose(a)") == a.T.tolist()
+    assert ev("matrixMult(a, b)") == (a @ b).tolist()
+    assert ev("rowCount(a)") == 2
+    assert ev("columnCount(a)") == 3
+    assert ev("rowAt(a, 1)") == a[1].tolist()
+    assert ev("columnAt(a, 2)") == a[:, 2].tolist()
+    assert ev("sumRows(a)") == a.sum(axis=1).tolist()
+    assert ev("sumColumns(a)") == a.sum(axis=0).tolist()
+    assert ev("grandSum(a)") == a.sum()
+    assert ev("scalarAdd(10, a)") == (a + 10).tolist()
+    assert ev("scalarMultiply(2, a)") == (a * 2).tolist()
+    assert ev("scalarSubtract(1, a)") == (a - 1).tolist()
+    assert ev("scalarDivide(2, a)") == (a / 2).tolist()
+    import math
+
+    assert math.isclose(ev("cov(x, y)"), float(np.cov(x, y, ddof=1)[0, 1]))
+    assert math.isclose(ev("corr(x, y)"), float(np.corrcoef(x, y)[0, 1]))
+    # matrix literal from vectors
+    assert ev("matrix(x, y)") == [x, y]
+    # composition: transpose(matrixMult) == matrixMult of transposes
+    assert ev("transpose(matrixMult(a, b))") == (a @ b).T.tolist()
