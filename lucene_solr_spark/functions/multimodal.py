@@ -47,8 +47,8 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
     bytes→pixels decoder runs end-to-end with no imaging library.
     Stands in for reading an Iceberg media table; deterministic ⇒
     test- and bench-stable."""
-    if fmt not in ("fake", "ppm"):
-        raise ValueError("fmt must be 'fake' or 'ppm'")
+    if fmt not in ("fake", "ppm", "jpeg"):
+        raise ValueError("fmt must be 'fake', 'ppm' or 'jpeg'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -56,7 +56,25 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
             for t in pdf["text"].fillna(""):
                 seed = hashlib.sha256(t.encode("utf-8")).digest()
                 reps = 1 + len(t) % 8
-                if fmt == "ppm":
+                if fmt == "jpeg":
+                    # REAL baseline JPEG payload (functions/jpeg.py):
+                    # deterministic smooth image seeded by the sha
+                    from .jpeg import encode_jpeg
+
+                    w, h = 24 + len(t) % 16, 24 + (len(t) // 7) % 16
+                    s0, s1, s2 = seed[0] + 1, seed[1] + 1, seed[2] + 1
+                    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+                    img = np.clip(np.stack([
+                        128 + 90 * np.sin(xx / (3 + s0 % 9)),
+                        128 + 70 * np.cos(yy / (3 + s1 % 9)),
+                        128 + 80 * np.sin((xx + yy) / (4 + s2 % 9)),
+                    ], axis=-1), 0, 255).astype(np.uint8)
+                    payloads.append(encode_jpeg(
+                        img, quality=85, subsample=bool(seed[3] % 2)))
+                    metas.append({"width": w, "height": h,
+                                  "sample_rate": 16000, "n_frames": reps,
+                                  "format": "jpeg"})
+                elif fmt == "ppm":
                     w, h = 16 + len(t) % 16, 16 + (len(t) // 7) % 16
                     n = w * h * 3
                     pix = (seed * (n // len(seed) + 1))[:n]
@@ -123,25 +141,35 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def _features_from_pixels(img: np.ndarray) -> np.ndarray:
+    """pixels → grayscale → 8x8 nearest-neighbour thumbnail → 64
+    floats, L1-normalized — the classic perceptual-hash shape,
+    matching FEATURE_DIM."""
+    gray = (img.mean(axis=2) if img.ndim == 3
+            else img.astype(np.float64))
+    thumb = resize_nearest(gray, 8, 8).astype(np.float64).ravel()
+    total = thumb.sum()
+    return (thumb / total if total else thumb).astype(np.float32)
+
+
 def _decode_real(payload: bytes, fmt: str) -> np.ndarray:
-    """Real decoder: netpbm handled natively (decode → grayscale →
-    8x8 nearest-neighbour thumbnail → 64 floats, L1-normalized — the
-    classic perceptual-hash shape, matching FEATURE_DIM); other
-    formats require an imaging library this container doesn't ship."""
+    """Real decoder: netpbm AND baseline JPEG handled natively
+    (functions/jpeg.py — pure-numpy T.81 baseline codec), so the
+    bytes→pixels→features path runs end-to-end in this container;
+    PNG/audio formats still require an external library."""
     if payload[:2] in (b"P5", b"P6"):
-        img = decode_ppm(payload)
-        gray = (img.mean(axis=2) if img.ndim == 3
-                else img.astype(np.float64))
-        thumb = resize_nearest(gray, 8, 8).astype(np.float64).ravel()
-        total = thumb.sum()
-        return (thumb / total if total else thumb).astype(np.float32)
+        return _features_from_pixels(decode_ppm(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return _features_from_pixels(decode_jpeg(payload))
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             f"decoding {fmt!r} needs Pillow; this environment ships "
-            "none — netpbm payloads decode natively, others use the "
-            "deterministic fake decoder"
+            "none — netpbm and baseline JPEG decode natively, others "
+            "use the deterministic fake decoder"
         ) from e
     raise NotImplementedError("wire PIL decode here in a full environment")
 

@@ -166,3 +166,62 @@ def test_real_decode_end_to_end(spark, sf_dir):
         attach_fake_media(docs, fmt="ppm"), use_real=True).collect()
     assert sorted((r["media_id"], tuple(r["features"])) for r in feats) == \
         sorted((r["media_id"], tuple(r["features"])) for r in again)
+
+
+# ---- real baseline JPEG codec (functions/jpeg.py, T.81) --------------------
+
+def test_jpeg_round_trip_444_and_420():
+    import numpy as np
+
+    from lucene_solr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53  # non-multiples of 16: padding + crop paths
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack([
+        128 + 80 * np.sin(xx / 9.0) + 20 * np.cos(yy / 7.0),
+        128 + 60 * np.cos(xx / 11.0 + yy / 13.0),
+        np.clip(xx * 3 + yy * 2, 0, 255)], axis=-1), 0, 255).astype(np.uint8)
+    for subsample, tol_max, tol_mean in ((False, 10, 2.0), (True, 40, 5.0)):
+        payload = encode_jpeg(img, quality=90, subsample=subsample)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(payload)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= tol_max and err.mean() <= tol_mean, (
+            subsample, err.max(), err.mean())
+    # grayscale single-component stream
+    g = np.clip(100 + 50 * np.sin(xx / 5.0) * np.cos(yy / 6.0),
+                0, 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dg.shape == g.shape
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 6
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pytest
+
+    from lucene_solr_spark.functions.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"P6\n1 1\n255\n\x00\x00\x00")
+    # progressive (SOF2) must be refused, not mis-decoded
+    bad = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+           + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with _pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
+def test_media_jpeg_end_to_end(spark, docs):
+    """attach_fake_media(fmt='jpeg') emits REAL JPEG payloads and the
+    use_real decode path extracts features from decoded pixels —
+    the full bytes→pixels→features pipeline with zero imaging libs."""
+    import numpy as np
+
+    media = attach_fake_media(docs, fmt="jpeg").limit(8)
+    rows = media.collect()
+    assert all(bytes(r["payload"])[:2] == b"\xff\xd8" for r in rows)
+    feats = decode_image_features(media, use_real=True).collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    for r in feats:
+        s = np.array(r["features"], dtype=np.float64).sum()
+        assert abs(s - 1.0) < 1e-3
