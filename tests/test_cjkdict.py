@@ -1,0 +1,112 @@
+"""Dictionary-driven CJK segmentation (kuromoji/smartcn/nori role,
+analysis/cjkdict.py): golden segmentations on classic examples + an
+end-to-end multi-character CJK search over the distributed build path
+— beyond what the bigram CJKAnalyzer fallback can express."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis.cjkdict import (
+    DictSegmenter,
+    JapaneseTokenizer,
+    KoreanTokenizer,
+    SmartChineseTokenizer,
+)
+from lucene_solr_spark.analysis.filters import CustomAnalyzer
+from lucene_solr_spark.index import build_index
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.executor import IndexSearcher
+from lucene_solr_spark.search.queries import PhraseQuery, TermQuery
+
+
+def test_ja_golden_segmentations():
+    tok = JapaneseTokenizer()
+    # classic example すもももももももものうち: FMM greedily prefers
+    # もも over も, so the alternating linguistic split (すもも|も|もも|
+    # も|もも|の|うち — what kuromoji's Viterbi lattice produces) is out
+    # of reach for maximum matching; the FMM output is still all-lexicon
+    # words and deterministic
+    assert tok("すもももももももものうち") == [
+        "すもも", "もも", "もも", "もも", "の", "うち"]
+    assert tok("私は日本語を勉強しています") == [
+        "私", "は", "日本語", "を", "勉強", "して", "います"]
+    # longest match wins: 日本語 over 日本 + 語
+    assert tok("日本語") == ["日本語"]
+    assert tok("東京大学") == ["東京", "大学"]
+
+
+def test_ja_katakana_unknown_run_stays_whole():
+    tok = JapaneseTokenizer()
+    # katakana unknown words group as one token (kuromoji unknown-word
+    # handling via character class), not per-char
+    assert tok("コンピュータ") == ["コンピュータ"]
+    assert tok("データベースの検索") == ["データベース", "の", "検索"]
+
+
+def test_ja_mixed_scripts_latin_passthrough():
+    tok = JapaneseTokenizer()
+    assert tok("Sparkで日本語を検索") == [
+        "Spark", "で", "日本語", "を", "検索"]
+    # NFKC folds fullwidth latin before matching
+    assert tok("ＡＢＣの本") == ["ABC", "の", "本"]
+
+
+def test_zh_golden_segmentations():
+    tok = SmartChineseTokenizer()
+    assert tok("我们喜欢学习汉语") == ["我们", "喜欢", "学习", "汉语"]
+    assert tok("研究生命起源") == ["研究", "生命", "起源"]
+    # unknown hanzi fall back to single characters
+    assert tok("中国龘") == ["中国", "龘"]
+
+
+def test_ko_golden_segmentations():
+    tok = KoreanTokenizer()
+    assert tok("한국어는언어") == ["한국어", "는", "언어"]
+
+
+def test_fmm_known_failure_documented():
+    """FMM's classic failure: a longer lexicon word shadowing the true
+    split. With 研究生 ALSO in the lexicon, 研究生命起源 segments as
+    研究生|命|起源 — the reason smartcn uses an HMM. Pinned so the
+    limitation is explicit, not hidden."""
+    tok = DictSegmenter(frozenset(["研究", "研究生", "生命", "起源"]))
+    assert tok("研究生命起源") == ["研究生", "命", "起源"]
+
+
+def test_cjk_search_end_to_end(spark, tmp_path_factory):
+    """Multi-character dictionary words are single terms in the index:
+    TermQuery('日本語') and a cross-word phrase match — semantics the
+    bigram fallback cannot give (it would match substrings)."""
+    an = CustomAnalyzer(tokenizer=JapaneseTokenizer())
+    docs = [
+        "私は日本語を勉強しています",
+        "東京大学で情報検索を研究する",
+        "コンピュータで文章を書く",
+        "日本の猫は魚を食べる",
+        "the quick brown fox",
+    ]
+    rows = [(f"r{i}", f"p/{i}.txt", str(i), "ja", t)
+            for i, t in enumerate(docs)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    root = str(tmp_path_factory.mktemp("idx_cjkdict"))
+    tables = build_index(corpus, root, analyzer=an, n_buckets=4,
+                         build_partitions=2)
+    searcher = IndexSearcher(tables, cache=True)
+    oracle = OracleIndex(analyzer=an)
+    for t in docs:
+        oracle.add(t)
+
+    for q in (TermQuery("日本語"), TermQuery("日本"),
+              TermQuery("検索"), TermQuery("コンピュータ"),
+              PhraseQuery(("日本語", "を", "勉強")),
+              PhraseQuery(("情報", "検索"))):
+        got = searcher.search(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+    # 日本語 matches doc 0 only; 日本 matches doc 3 only (not a
+    # substring of 日本語 — word-level semantics, not bigram)
+    assert [d.docid for d in oracle.search(TermQuery("日本語"), 10)] == [0]
+    assert [d.docid for d in oracle.search(TermQuery("日本"), 10)] == [3]
