@@ -226,6 +226,55 @@ _EVALS: dict[str, Callable] = {
     # StandardDeviationEvaluator — commons-math SAMPLE variance, n-1)
     "var": lambda a: _sample_var(a[0]),
     "stddev": lambda a: F.sqrt(_sample_var(a[0])),
+    # numeric/array evaluator widening (io/eval/*Evaluator.java,
+    # Lang.java registrations): ceil alias, SumSqEvaluator, L2Norm,
+    # LInfNorm, UnitizeEvaluator, StandardizeEvaluator, ModeEvaluator,
+    # PercentileEvaluator (commons-math legacy estimation),
+    # AddAll/Append/Ascending, IndexOf (ValueAt inverse), Copy/Range,
+    # DiffEvaluator (series difference, default lag 1), MovingAverage,
+    # MovingMedian, Zeros/Ones, Factorial/BinomialCoefficient,
+    # SumDifference/MeanDifference, DistanceEvaluator (euclidean
+    # default), uuid.
+    "ceil": lambda a: F.ceil(a[0]),
+    "sumsq": lambda a: _asum(F.transform(a[0], lambda x: x * x)),
+    "l2norm": lambda a: F.sqrt(_asum(F.transform(a[0], lambda x: x * x))),
+    "linfnorm": lambda a: F.array_max(F.transform(a[0], F.abs)),
+    "unitize": lambda a: F.transform(
+        a[0], lambda x: x / F.sqrt(_asum(
+            F.transform(a[0], lambda y: y * y)))),
+    "standardize": lambda a: F.transform(
+        a[0], lambda x: (x - _asum(a[0]) / F.size(a[0]))
+        / F.sqrt(_sample_var(a[0]))),
+    "mode": lambda a: F.array_max(F.transform(
+        F.array_distinct(a[0]),
+        lambda v: F.struct(
+            F.size(F.filter(a[0], lambda x: x == v)).alias("c"),
+            v.alias("v"))))["v"],
+    "percentile": lambda a: _percentile(a[0], a[1]),
+    "addall": lambda a: F.concat(*a),
+    "append": lambda a: F.concat(a[0], F.array(*a[1:])),
+    "asc": lambda a: F.sort_array(a[0]),
+    "indexof": lambda a: F.array_position(a[0], a[1]) - 1,
+    "copyof": lambda a: (F.slice(a[0], 1, a[1].cast("int"))
+                         if len(a) > 1 else a[0]),
+    "copyofrange": lambda a: F.slice(
+        a[0], a[1].cast("int") + 1, (a[2] - a[1]).cast("int")),
+    "diff": lambda a: _series_diff(a[0], a[1] if len(a) > 1 else F.lit(1)),
+    "movingavg": lambda a: _moving(a[0], a[1], _arr_mean),
+    "movingmedian": lambda a: _moving(a[0], a[1], _arr_median),
+    "zeros": lambda a: F.array_repeat(F.lit(0.0), a[0].cast("int")),
+    "ones": lambda a: F.array_repeat(F.lit(1.0), a[0].cast("int")),
+    "factorial": lambda a: F.factorial(a[0].cast("int")).cast("double"),
+    "binomialcoefficient": lambda a: F.round(
+        F.exp(_log_fact(a[0]) - _log_fact(a[1]) - _log_fact(a[0] - a[1]))
+    ).cast("double"),
+    "sumdifference": lambda a: _asum(
+        F.zip_with(a[0], a[1], lambda x, y: x - y)),
+    "meandifference": lambda a: _asum(
+        F.zip_with(a[0], a[1], lambda x, y: x - y)) / F.size(a[0]),
+    "distance": lambda a: F.sqrt(_asum(
+        F.zip_with(a[0], a[1], lambda x, y: (x - y) * (x - y)))),
+    "uuid": lambda a: F.expr("uuid()"),
     # matrix evaluator family (io/eval/MatrixEvaluator.java,
     # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
     # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
@@ -256,6 +305,63 @@ _EVALS: dict[str, Callable] = {
                        / (F.sqrt(_sample_var(a[0]))
                           * F.sqrt(_sample_var(a[1])))),
 }
+
+
+def _arr_mean(arr):
+    return _asum(arr) / F.size(arr)
+
+
+def _arr_median(arr):
+    srt = F.sort_array(arr)
+    n = F.size(arr)
+    mid = (n / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(srt, mid + 1).cast("double")
+    ).otherwise(
+        (F.element_at(srt, mid) + F.element_at(srt, mid + 1)) / 2.0)
+
+
+def _moving(arr, w, stat):
+    """Sliding-window statistic (MovingAverageEvaluator.java role):
+    output length n - w + 1."""
+    wi = w.cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr) - wi + 1),
+        lambda i: stat(F.slice(arr, i, wi)))
+
+
+def _series_diff(arr, lag):
+    """a[i] - a[i-lag] for i in [lag, n) (DiffEvaluator's series
+    difference; output length n - lag)."""
+    lg = lag.cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr) - lg),
+        lambda i: F.element_at(arr, i + lg) - F.element_at(arr, i))
+
+
+def _percentile(arr, p):
+    """commons-math Percentile, LEGACY estimation (the Solr
+    PercentileEvaluator default): pos = p*(n+1)/100 over the sorted
+    array, linear interpolation, clamped to the extremes."""
+    srt = F.sort_array(arr)
+    n = F.size(arr)
+    pos = p.cast("double") * (n + 1).cast("double") / 100.0
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    below = F.element_at(srt, F.greatest(lo, F.lit(1)))
+    above = F.element_at(srt, F.least(lo + 1, n))
+    return F.when(pos < 1.0, F.element_at(srt, 1).cast("double")) \
+        .when(pos >= n.cast("double"), F.element_at(srt, n).cast("double")) \
+        .otherwise(below + frac * (above - below))
+
+
+def _log_fact(x):
+    """log(x!) via Σ log(i) — exact enough for binomialCoefficient's
+    rounded result at stream-expression scales."""
+    xi = x.cast("int")
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(xi, F.lit(1))), F.lit(0.0),
+        lambda acc, i: acc + F.log(i.cast("double")))
 
 
 def _transpose(m):

@@ -373,3 +373,59 @@ def test_matrix_evaluators(spark):
     assert ev("matrix(x, y)") == [x, y]
     # composition: transpose(matrixMult) == matrixMult of transposes
     assert ev("transpose(matrixMult(a, b))") == (a @ b).T.tolist()
+
+
+def test_numeric_array_evaluator_widening(spark):
+    """Round-4 io/eval widening vs numpy (SumSq/L2Norm/LInfNorm/
+    Unitize/Standardize/Mode/Percentile/Diff/MovingAverage/
+    MovingMedian/Zeros/Ones/Factorial/BinomialCoefficient/
+    Sum-MeanDifference/Distance/IndexOf/CopyOfRange/AddAll/Append —
+    Lang.java registrations)."""
+    import math
+
+    import numpy as np
+
+    x = [4.0, 1.0, 7.0, 2.0, 9.0, 3.0]
+    y = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [(x, y)], "x array<double>, y array<double>")
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    xa, ya = np.array(x), np.array(y)
+    assert ev("sumSq(x)") == float((xa ** 2).sum())
+    assert math.isclose(ev("l2norm(x)"), float(np.linalg.norm(xa)))
+    assert ev("linfnorm(x)") == 9.0
+    assert np.allclose(ev("unitize(x)"), xa / np.linalg.norm(xa))
+    assert np.allclose(ev("standardize(x)"),
+                       (xa - xa.mean()) / xa.std(ddof=1))
+    assert ev("mode(array(1, 2, 2, 3, 2))") == 2
+    # commons-math legacy percentile: pos = p*(n+1)/100
+    assert math.isclose(ev("percentile(x, 50)"), float(np.median(xa)))
+    assert ev("percentile(x, 100)") == 9.0
+    assert ev("diff(x)") == np.diff(xa).tolist()
+    assert ev("diff(x, 2)") == (xa[2:] - xa[:-2]).tolist()
+    assert np.allclose(
+        ev("movingAvg(x, 3)"),
+        [xa[i:i + 3].mean() for i in range(len(x) - 2)])
+    assert ev("movingMedian(x, 3)") == [
+        float(np.median(xa[i:i + 3])) for i in range(len(x) - 2)]
+    assert ev("zeros(4)") == [0.0] * 4
+    assert ev("ones(3)") == [1.0] * 3
+    assert ev("factorial(6)") == 720.0
+    assert ev("binomialCoefficient(10, 3)") == 120.0
+    assert ev("sumDifference(x, y)") == float((xa - ya).sum())
+    assert math.isclose(ev("meanDifference(x, y)"),
+                        float((xa - ya).mean()))
+    assert math.isclose(ev("distance(x, y)"),
+                        float(np.linalg.norm(xa - ya)))
+    assert ev("indexOf(x, 7)") == 2
+    assert ev("copyOfRange(x, 1, 4)") == x[1:4]
+    assert ev("copyOf(x, 3)") == x[:3]
+    assert ev("addAll(x, y)") == x + y
+    assert ev("append(y, 99)") == y + [99.0]
+    assert ev("asc(x)") == sorted(x)
+    assert len(ev("uuid()")) == 36
