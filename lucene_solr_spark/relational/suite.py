@@ -1388,6 +1388,96 @@ def geo_suite(spark, sf_dir):
     return box.unionByName(dist).unionByName(poly).unionByName(nearest)
 
 
+# polygon with a HOLE (geo/Polygon.java holes[] — LatLonPoint polygon
+# queries accept interior rings): inside = parity(outer) AND NOT
+# parity(hole), both rings pure ray-casting arithmetic on both engines
+_HOLE = [(44.0, 2.0), (50.0, 4.0), (48.0, 14.0), (43.0, 10.0)]
+
+
+def _pip_ring(ring, lat: str, lon: str) -> str:
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        y1, x1 = ring[i]
+        y2, x2 = ring[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+@register(
+    "geo_polygon_holes",
+    f"""
+    SELECT c_custkey, round({_LAT}, 2) AS lat, round({_LON}, 2) AS lon
+    FROM customer
+    WHERE {_pip_ring(_POLY, _LAT, _LON)}
+      AND NOT {_pip_ring(_HOLE, _LAT, _LON)}
+    ORDER BY c_custkey
+    """,
+)
+def geo_polygon_holes(spark, sf_dir):
+    """Polygon-with-hole containment (geo/Polygon.java holes[],
+    LatLonPointInPolygonQuery over a ring set): point-in-polygon =
+    parity in the outer ring AND NOT parity in any hole — column
+    arithmetic on both engines, no UDF. At 100 TB the outer ring's
+    bbox is the scan prefilter (parquet min/max pruning), the parity
+    test runs only on survivors."""
+    c = load_table(spark, sf_dir, "customer")
+    inside = (F.expr(_pip_ring(_POLY, _LAT, _LON))
+              & ~F.expr(_pip_ring(_HOLE, _LAT, _LON)))
+    return (c.where(inside)
+            .select("c_custkey",
+                    F.round(F.expr(_LAT), 2).alias("lat"),
+                    F.round(F.expr(_LON), 2).alias("lon"))
+            .orderBy("c_custkey"))
+
+
+_QUAD_LEVEL = 6  # 2^6 x 2^6 grid ≈ 2.8° x 5.6° cells
+
+
+@register(
+    "geo_prefix_tree",
+    f"""
+    SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE {_LAT} BETWEEN 20 AND 48 AND {_LON} BETWEEN -12 AND 31
+    """,
+)
+def geo_prefix_tree(spark, sf_dir):
+    """RecursivePrefixTree strategy (spatial-extras
+    RecursivePrefixTreeStrategy.java / QuadPrefixTree.java): points
+    index under quadtree grid cells; a query shape decomposes into
+    its covering cells, candidates arrive via a broadcast equi-JOIN
+    on cell id (the scale move — the per-point shape test runs only
+    on cells the shape touches, never the whole corpus), then exact
+    verification filters edge cells. Here: level-{_QUAD_LEVEL} cells,
+    query = a bbox; the oracle evaluates the bbox directly — identical
+    results prove grid-decompose + verify loses nothing."""
+    c = load_table(spark, sf_dir, "customer")
+    n = 1 << _QUAD_LEVEL
+    cx = F.floor((F.expr(_LON) + 180.0) / 360.0 * n).cast("long")
+    cy = F.floor((F.expr(_LAT) + 90.0) / 180.0 * n).cast("long")
+    pts = c.select("c_custkey", F.expr(_LAT).alias("lat"),
+                   F.expr(_LON).alias("lon"),
+                   (cy * n + cx).alias("cell"))
+    # driver-side shape decomposition: covering cells of the bbox
+    lat_lo, lat_hi, lon_lo, lon_hi = 20.0, 48.0, -12.0, 31.0
+    x0 = int((lon_lo + 180.0) / 360.0 * n)
+    x1 = int((lon_hi + 180.0) / 360.0 * n)
+    y0 = int((lat_lo + 90.0) / 180.0 * n)
+    y1 = int((lat_hi + 90.0) / 180.0 * n)
+    cells = [(y * n + x,) for y in range(y0, y1 + 1)
+             for x in range(x0, x1 + 1)]
+    cells_df = spark.createDataFrame(cells, "cell long")
+    cand = pts.join(F.broadcast(cells_df), "cell")  # grid candidates
+    exact = cand.where(F.col("lat").between(lat_lo, lat_hi)
+                       & F.col("lon").between(lon_lo, lon_hi))
+    return exact.agg(F.count("*").alias("n"),
+                     F.sum("c_custkey").cast("long").alias("key_sum"))
+
+
 @register(
     "facet_aggs_extended",
     """
