@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _OVERFLOW_LAST = ("engine_prefix_topk", "engine_collapse",
                   "engine_suggest", "engine_mlt", "engine_synonym",
                   "engine_phrase_topk", "engine_dismax_topk",
+                  "engine_parsed_query",
                   "ft_boolean", "ft_bm25_scores", "ft_span_near",
                   "multiterm_expand", "gopher_repetition",
                   "decontaminate_ngram", "source_quota_sample", "set_ops",

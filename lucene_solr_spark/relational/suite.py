@@ -1478,6 +1478,38 @@ def geo_prefix_tree(spark, sf_dir):
                      F.sum("c_custkey").cast("long").alias("key_sum"))
 
 
+_ARC = (
+    "(6371.0088 * acos(least(1.0, greatest(-1.0, "
+    "sin(radians({lat0})) * sin(radians({lat})) + "
+    "cos(radians({lat0})) * cos(radians({lat})) * "
+    "cos(radians({lon} - {lon0}))))))"
+).format(lat=_LAT, lon=_LON, lat0="48.85", lon0="2.35")
+
+
+@register(
+    "geo3d_arc_distance",
+    f"""
+    SELECT c_custkey, round({_ARC}, 1) AS arc_km
+    FROM customer WHERE {_ARC} <= 1500
+    ORDER BY c_custkey
+    """,
+)
+def geo3d_arc_distance(spark, sf_dir):
+    """spatial3d arc distance (spatial3d/geom/GeoPoint.java
+    arcDistance: the angle between unit position vectors on the
+    sphere, not the haversine approximation of the flat LatLon path):
+    cos(angle) = sin(a)sin(b) + cos(a)cos(b)cos(dlon), distance =
+    R * acos(...), clamped for float safety — identical column
+    arithmetic on both engines. At 100 TB a bounding-box prefilter
+    (lat/lon window of the radius) prunes the scan before the
+    trigonometry runs."""
+    c = load_table(spark, sf_dir, "customer")
+    arc = F.expr(_ARC)
+    return (c.where(arc <= 1500)
+            .select("c_custkey", F.round(arc, 1).alias("arc_km"))
+            .orderBy("c_custkey"))
+
+
 @register(
     "facet_aggs_extended",
     """

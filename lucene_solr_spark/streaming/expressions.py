@@ -275,6 +275,11 @@ _EVALS: dict[str, Callable] = {
     "distance": lambda a: F.sqrt(_asum(
         F.zip_with(a[0], a[1], lambda x, y: (x - y) * (x - y)))),
     "uuid": lambda a: F.expr("uuid()"),
+    # RegressionEvaluator.java / PredictEvaluator.java: simple OLS over
+    # two numeric arrays -> tuple(slope, intercept, rSquared); predict
+    # applies the fitted model to a scalar or array
+    "regress": lambda a: _regress(a[0], a[1]),
+    "predict": lambda a: _predict(a[0], a[1]),
     # matrix evaluator family (io/eval/MatrixEvaluator.java,
     # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
     # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
@@ -305,6 +310,27 @@ _EVALS: dict[str, Callable] = {
                        / (F.sqrt(_sample_var(a[0]))
                           * F.sqrt(_sample_var(a[1])))),
 }
+
+
+def _regress(x, y):
+    n = F.size(x).cast("double")
+    mx = _asum(x) / n
+    my = _asum(y) / n
+    sxy = _asum(F.zip_with(x, y, lambda a_, b_: (a_ - mx) * (b_ - my)))
+    sxx = _asum(F.transform(x, lambda a_: (a_ - mx) * (a_ - mx)))
+    syy = _asum(F.transform(y, lambda b_: (b_ - my) * (b_ - my)))
+    slope = sxy / sxx
+    return F.struct(
+        slope.alias("slope"),
+        (my - slope * mx).alias("intercept"),
+        ((sxy * sxy) / (sxx * syy)).alias("rSquared"))
+
+
+def _predict(model, x):
+    """Scalar predict (PredictEvaluator's number branch); for arrays
+    Solr maps element-wise — compose with ebe ops/scale here, since a
+    Column's runtime type is not visible at compile time."""
+    return model["slope"] * x + model["intercept"]
 
 
 def _arr_mean(arr):

@@ -429,3 +429,29 @@ def test_numeric_array_evaluator_widening(spark):
     assert ev("append(y, 99)") == y + [99.0]
     assert ev("asc(x)") == sorted(x)
     assert len(ev("uuid()")) == 36
+
+
+def test_regress_and_predict(spark):
+    """RegressionEvaluator / PredictEvaluator: OLS slope/intercept/R²
+    vs numpy.polyfit + correlation."""
+    import math
+
+    import numpy as np
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.1, 3.9, 6.2, 8.1, 9.8]
+    df = spark.createDataFrame([(x, y)], "x array<double>, y array<double>")
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    m = ev("regress(x, y)")
+    slope, intercept = np.polyfit(np.array(x), np.array(y), 1)
+    assert math.isclose(m["slope"], slope, rel_tol=1e-9)
+    assert math.isclose(m["intercept"], intercept, rel_tol=1e-9)
+    r = np.corrcoef(x, y)[0, 1]
+    assert math.isclose(m["rSquared"], r * r, rel_tol=1e-9)
+    p = ev("predict(regress(x, y), 6)")
+    assert math.isclose(p, slope * 6 + intercept, rel_tol=1e-9)
