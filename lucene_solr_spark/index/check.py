@@ -336,6 +336,27 @@ def check_segment_index(idx: SegmentIndex, decode: bool = True,
     st.checks["stats_doc_count"] = _bool(int(stats["doc_count"]) == n_docs)
     st.checks["stats_sum_ttf"] = _bool(int(stats["sum_ttf"] or 0) == sum_dl)
 
+    # --- per-field collection stats (multi-field codec) ---------------------
+    # manifest field_stats must equal the kind=2 per-(doc, field) rows'
+    # aggregates (doc_count = rows, sum_ttf = Σ dl) — the FieldInfos
+    # reconciliation for the per-field delegation
+    manifest = idx.manifest()
+    fstats = manifest.get("field_stats")
+    if fstats:
+        k2 = (idx.spark.read.parquet(idx.blocks_path)
+              .where(F.col("kind") == 2)
+              .groupBy("term")
+              .agg(F.count("*").alias("dc"), F.sum("n").alias("st")))
+        got = {r["term"]: (int(r["dc"]), int(r["st"] or 0))
+               for r in k2.collect()}
+        bad = 0
+        for f, v in fstats.items():
+            if f == "content":
+                continue  # content stats are the flat doc_count/sum_ttf
+            if got.get(f) != (int(v["doc_count"]), int(v["sum_ttf"])):
+                bad += 1
+        st.checks["field_stats"] = bad
+
     # --- block structure per (segment, term) ---------------------------------
     # ordinals 0..max contiguous; every non-last block holds exactly
     # BLOCK_SIZE postings (Lucene50PostingsFormat BLOCK_SIZE=128);
