@@ -357,3 +357,36 @@ def test_concurrent_chunks_bit_identical(spark, tmp_path_factory):
     b = SegmentSearcher(con, cache=True).search(q, 10)
     assert [(d.docid, np.float32(d.score)) for d in a] == [
         (d.docid, np.float32(d.score)) for d in b]
+
+
+def test_batch_tree_path_identical_to_wand(built):
+    """Batches >= BATCH_TREE_MIN run the compiled-tree exhaustive
+    leaf; results must be rank/score-identical to the per-query WAND
+    traversal (pruning and batching are optimizations, never
+    semantics)."""
+    from lucene_solr_spark.search.queries import PhraseQuery
+    from lucene_solr_spark.search.wand import SegmentSearcher
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 8)
+    qs = {}
+    for i in range(max(SegmentSearcher.BATCH_TREE_MIN, 20)):
+        a, b = terms[i % len(terms)], terms[(i * 3 + 1) % len(terms)]
+        if i % 4 == 0:
+            qs[f"q{i}"] = TermQuery(a)
+        elif i % 4 == 1:
+            qs[f"q{i}"] = BooleanQuery.of(should=[TermQuery(a),
+                                                  TermQuery(b)])
+        elif i % 4 == 2:
+            qs[f"q{i}"] = BooleanQuery.of(must=[TermQuery(a)],
+                                          must_not=[TermQuery(b)])
+        else:
+            qs[f"q{i}"] = BooleanQuery.of(
+                must=[TermQuery(a)],
+                should=[PhraseQuery((b, a)), TermQuery(b)])
+    assert len(qs) >= SegmentSearcher.BATCH_TREE_MIN
+    batched = searcher.search_many(qs, 10)
+    for qid, q in qs.items():
+        solo = searcher.search(q, 10)  # WAND traversal (or general path)
+        assert [(d.docid, np.float32(d.score)) for d in batched[qid]] == [
+            (d.docid, np.float32(d.score)) for d in solo], qid
