@@ -280,6 +280,20 @@ _EVALS: dict[str, Callable] = {
     # applies the fitted model to a scalar or array
     "regress": lambda a: _regress(a[0], a[1]),
     "predict": lambda a: _predict(a[0], a[1]),
+    # probability-distribution family (io/eval/NormalDistribution
+    # Evaluator.java, UniformRealDistributionEvaluator, Density
+    # Evaluator, CumulativeProbabilityEvaluator): a distribution is a
+    # tagged struct; CDF of the normal uses the Abramowitz-Stegun
+    # 7.1.26 erf approximation (|err| < 1.5e-7) as pure Column math
+    "normaldistribution": lambda a: F.struct(
+        F.lit("normal").alias("type"),
+        a[0].cast("double").alias("p1"), a[1].cast("double").alias("p2")),
+    "uniformdistribution": lambda a: F.struct(
+        F.lit("uniform").alias("type"),
+        a[0].cast("double").alias("p1"), a[1].cast("double").alias("p2")),
+    "density": lambda a: _density(a[0], a[1].cast("double")),
+    "cumulativeprobability": lambda a: _cum_prob(
+        a[0], a[1].cast("double")),
     # matrix evaluator family (io/eval/MatrixEvaluator.java,
     # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
     # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
@@ -310,6 +324,41 @@ _EVALS: dict[str, Callable] = {
                        / (F.sqrt(_sample_var(a[0]))
                           * F.sqrt(_sample_var(a[1])))),
 }
+
+
+_SQRT_2PI = 2.5066282746310002
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation of erf
+    (published constants; |error| < 1.5e-7), sign-symmetric."""
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (t * (0.254829592
+                 + t * (-0.284496736
+                        + t * (1.421413741
+                               + t * (-1.453152027
+                                      + t * 1.061405429)))))
+    return sign * (1.0 - poly * F.exp(-ax * ax))
+
+
+def _density(dist, x):
+    mean, p2 = dist["p1"], dist["p2"]
+    normal = (F.exp(-(x - mean) * (x - mean) / (2.0 * p2 * p2))
+              / (p2 * _SQRT_2PI))
+    uniform = F.when((x >= mean) & (x <= p2),
+                     1.0 / (p2 - mean)).otherwise(F.lit(0.0))
+    return F.when(dist["type"] == "normal", normal).otherwise(uniform)
+
+
+def _cum_prob(dist, x):
+    mean, p2 = dist["p1"], dist["p2"]
+    normal = 0.5 * (1.0 + _erf((x - mean)
+                               / (p2 * 1.4142135623730951)))
+    uniform = F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0), (x - mean) / (p2 - mean)))
+    return F.when(dist["type"] == "normal", normal).otherwise(uniform)
 
 
 def _regress(x, y):

@@ -455,3 +455,34 @@ def test_regress_and_predict(spark):
     assert math.isclose(m["rSquared"], r * r, rel_tol=1e-9)
     p = ev("predict(regress(x, y), 6)")
     assert math.isclose(p, slope * 6 + intercept, rel_tol=1e-9)
+
+
+def test_distribution_evaluators(spark):
+    """normalDistribution/uniformDistribution + density/
+    cumulativeProbability vs python math (erf via the published
+    Abramowitz-Stegun 7.1.26 approximation, tol 1e-6)."""
+    import math
+
+    df = spark.range(1)
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    for x in (-2.0, -0.5, 0.0, 0.7, 1.5, 3.0):
+        got = ev(f"cumulativeProbability(normalDistribution(0, 1), {x})")
+        exp = 0.5 * (1.0 + math.erf(x / math.sqrt(2)))
+        assert abs(got - exp) < 1e-6, x
+        gotd = ev(f"density(normalDistribution(0, 1), {x})")
+        expd = math.exp(-x * x / 2) / math.sqrt(2 * math.pi)
+        assert abs(gotd - expd) < 1e-9, x
+    # shifted/scaled normal
+    got = ev("cumulativeProbability(normalDistribution(10, 2), 12)")
+    exp = 0.5 * (1.0 + math.erf(1 / math.sqrt(2)))
+    assert abs(got - exp) < 1e-6
+    # uniform
+    assert ev("density(uniformDistribution(2, 6), 3)") == 0.25
+    assert ev("density(uniformDistribution(2, 6), 7)") == 0.0
+    assert ev("cumulativeProbability(uniformDistribution(2, 6), 4)") == 0.5
+    assert ev("cumulativeProbability(uniformDistribution(2, 6), 9)") == 1.0
