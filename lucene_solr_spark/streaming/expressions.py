@@ -294,6 +294,29 @@ _EVALS: dict[str, Callable] = {
     "density": lambda a: _density(a[0], a[1].cast("double")),
     "cumulativeprobability": lambda a: _cum_prob(
         a[0], a[1].cast("double")),
+    # discrete distributions + pmf (BinomialDistributionEvaluator,
+    # PoissonDistributionEvaluator, ProbabilityEvaluator)
+    "binomialdistribution": lambda a: F.struct(
+        F.lit("binomial").alias("type"),
+        a[0].cast("double").alias("p1"), a[1].cast("double").alias("p2")),
+    "poissondistribution": lambda a: F.struct(
+        F.lit("poisson").alias("type"),
+        a[0].cast("double").alias("p1"), F.lit(0.0).alias("p2")),
+    "probability": lambda a: _pmf(a[0], a[1].cast("double")),
+    # EorEvaluator (exclusive or), RawValueEvaluator (val), NullEvaluator
+    "eor": lambda a: a[0] != a[1],
+    "val": lambda a: a[0],
+    "null": lambda a: F.lit(None),
+    "colat": lambda a: F.transform(
+        a[0], lambda row: F.get(row, a[1].cast("int"))),
+    # ExponentialMovingAverageEvaluator: seed = SMA of the first
+    # window, then ema_i = alpha*x_i + (1-alpha)*ema_{i-1},
+    # alpha = 2/(window+1); output length n - window + 1
+    "expmovingavg": lambda a: _exp_moving_avg(a[0], a[1]),
+    # RankEvaluator (commons-math NaturalRanking, ties averaged)
+    "rank": lambda a: _rank(a[0]),
+    # ConversionEvaluator.java:32 length units
+    "convert": lambda a: _convert(a[0], a[1], a[2]),
     # matrix evaluator family (io/eval/MatrixEvaluator.java,
     # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
     # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
@@ -324,6 +347,58 @@ _EVALS: dict[str, Callable] = {
                        / (F.sqrt(_sample_var(a[0]))
                           * F.sqrt(_sample_var(a[1])))),
 }
+
+
+#: metres per unit (ConversionEvaluator.java LENGTH_CONSTANT set)
+_UNIT_METERS = {
+    "inches": 0.0254, "feet": 0.3048, "yards": 0.9144,
+    "miles": 1609.344, "millimeters": 0.001, "centimeters": 0.01,
+    "meters": 1.0, "kilometers": 1000.0,
+}
+
+
+def _convert(frm, to, v):
+    # unit names arrive as quoted literals -> Column of string; resolve
+    # driver-side when literal, else build a CASE ladder
+    import pyspark.sql.column as _c  # noqa: F401
+
+    def factor_expr(col):
+        expr = F.lit(None).cast("double")
+        for name, m in _UNIT_METERS.items():
+            expr = F.when(col == name, F.lit(m)).otherwise(expr)
+        return expr
+
+    return v.cast("double") * factor_expr(frm) / factor_expr(to)
+
+
+def _exp_moving_avg(arr, w):
+    wi = w.cast("int")
+    alpha = 2.0 / (w.cast("double") + 1.0)
+    sma = _asum(F.slice(arr, 1, wi)) / w.cast("double")
+    rest = F.slice(arr, wi + 1, F.size(arr) - wi)
+    return F.aggregate(
+        rest, F.array(sma),
+        lambda acc, x: F.concat(acc, F.array(
+            alpha * x.cast("double")
+            + (1.0 - alpha) * F.element_at(acc, -1))))
+
+
+def _rank(arr):
+    """Fractional ranks, ties averaged (NaturalRanking TiesStrategy
+    .AVERAGE): rank(x) = #{y < x} + (#{y == x} + 1) / 2."""
+    return F.transform(arr, lambda x: (
+        F.size(F.filter(arr, lambda y: y < x)).cast("double")
+        + (F.size(F.filter(arr, lambda y: y == x)).cast("double") + 1.0)
+        / 2.0))
+
+
+def _pmf(dist, x):
+    n, p = dist["p1"], dist["p2"]
+    log_binom = (_log_fact(n) - _log_fact(x) - _log_fact(n - x)
+                 + x * F.log(p) + (n - x) * F.log(1.0 - p))
+    binomial = F.exp(log_binom)
+    poisson = F.exp(-n + x * F.log(n) - _log_fact(x))
+    return F.when(dist["type"] == "binomial", binomial).otherwise(poisson)
 
 
 _SQRT_2PI = 2.5066282746310002

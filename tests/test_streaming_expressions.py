@@ -486,3 +486,39 @@ def test_distribution_evaluators(spark):
     assert ev("density(uniformDistribution(2, 6), 7)") == 0.0
     assert ev("cumulativeProbability(uniformDistribution(2, 6), 4)") == 0.5
     assert ev("cumulativeProbability(uniformDistribution(2, 6), 9)") == 1.0
+
+
+def test_more_evaluators_round4b(spark):
+    """expMovingAvg, rank, convert, eor, val, null, binomial/poisson
+    pmf — vs python math."""
+    import math
+
+    df = spark.createDataFrame(
+        [([2.0, 4.0, 6.0, 8.0, 12.0, 14.0, 16.0, 18.0, 20.0],)],
+        "x array<double>")
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    # EMA, window 3, alpha = 0.5: seed = mean(2,4,6) = 4
+    x = [2.0, 4.0, 6.0, 8.0, 12.0, 14.0, 16.0, 18.0, 20.0]
+    ema = [sum(x[:3]) / 3]
+    for v in x[3:]:
+        ema.append(0.5 * v + 0.5 * ema[-1])
+    got = ev("expMovingAvg(x, 3)")
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, ema))
+    assert ev("rank(array(10, 20, 20, 30))") == [1.0, 2.5, 2.5, 4.0]
+    assert abs(ev('convert("miles", "kilometers", 10)') - 16.09344) < 1e-9
+    assert abs(ev('convert("inches", "centimeters", 2)') - 5.08) < 1e-9
+    assert ev("eor(gt(2, 1), gt(1, 2))") is True
+    assert ev("eor(gt(2, 1), gt(3, 2))") is False
+    assert ev("val(7)") == 7
+    assert ev("null()") is None
+    # binomial pmf: C(10,3) 0.5^10
+    got = ev("probability(binomialDistribution(10, 0.5), 3)")
+    assert abs(got - 120 * 0.5 ** 10) < 1e-9
+    # poisson pmf: e^-4 4^2/2!
+    got = ev("probability(poissonDistribution(4), 2)")
+    assert abs(got - math.exp(-4) * 16 / 2) < 1e-9
