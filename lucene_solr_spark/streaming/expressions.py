@@ -317,6 +317,14 @@ _EVALS: dict[str, Callable] = {
     "rank": lambda a: _rank(a[0]),
     # ConversionEvaluator.java:32 length units
     "convert": lambda a: _convert(a[0], a[1], a[2]),
+    # ConvolutionEvaluator (full discrete convolution),
+    # FindDelayEvaluator (argmax of cross-correlation),
+    # DescribeEvaluator (DescriptiveStatistics summary struct),
+    # EarthMoversEvaluator (1-D EMD = Σ |cumsum difference|)
+    "conv": lambda a: _conv(a[0], a[1]),
+    "finddelay": lambda a: _find_delay(a[0], a[1]),
+    "describe": lambda a: _describe(a[0]),
+    "earthmovers": lambda a: _earth_movers(a[0], a[1]),
     # matrix evaluator family (io/eval/MatrixEvaluator.java,
     # TransposeEvaluator, MatrixMultiplyEvaluator, RowAt/ColumnAt,
     # Row/ColumnCount, SumRows/SumColumns, GrandSum, Scalar*Evaluator,
@@ -369,6 +377,62 @@ def _convert(frm, to, v):
         return expr
 
     return v.cast("double") * factor_expr(frm) / factor_expr(to)
+
+
+def _conv(a, b):
+    """Full convolution, out[k] = Σ_i a[i] * b[k - i],
+    k ∈ [0, n+m-2] (ConvolutionEvaluator / commons-math
+    MathArrays.convolve)."""
+    n, m = F.size(a), F.size(b)
+    return F.transform(
+        F.sequence(F.lit(0), n + m - 2),
+        lambda k: F.aggregate(
+            F.sequence(F.greatest(F.lit(0), k - m + 1),
+                       F.least(n - 1, k)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, k - i + 1).cast("double")))
+
+
+def _find_delay(a, b):
+    """FindDelayEvaluator: delay of b relative to a = (argmax of the
+    full cross-correlation) - len(b) + 1; correlation = conv(a,
+    reverse(b))."""
+    xc = _conv(a, F.reverse(b))
+    mx = F.array_max(xc)
+    pos = F.array_position(xc, mx).cast("long")  # 1-based first argmax
+    return (F.size(b).cast("long") - pos) * F.lit(-1) + 0
+
+
+def _describe(arr):
+    n = F.size(arr)
+    mean = _asum(arr) / n
+    var = _sample_var(arr)
+    return F.struct(
+        n.cast("double").alias("N"),
+        F.array_min(arr).cast("double").alias("min"),
+        F.array_max(arr).cast("double").alias("max"),
+        mean.alias("mean"),
+        _asum(arr).alias("sum"),
+        var.alias("var"),
+        F.sqrt(var).alias("stdev"),
+        _percentile(arr, F.lit(50)).alias("50thpercentile"))
+
+
+def _earth_movers(a, b):
+    """1-D earth mover's distance between two same-length
+    distributions: Σ |prefix-sum difference| (the closed form the
+    commons-math EarthMoversDistance computes)."""
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y)
+    n = F.size(a)
+    # prefix sums via aggregate building an array, then Σ |...| of all
+    # but the final element (EMD_n-1 moves; last prefix is total mass
+    # difference, 0 for true distributions — commons-math sums all)
+    prefixes = F.aggregate(
+        diff, F.array().cast("array<double>"),
+        lambda acc, x: F.concat(acc, F.array(
+            F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x)))
+    return _asum(F.transform(prefixes, F.abs))
 
 
 def _exp_moving_avg(arr, w):

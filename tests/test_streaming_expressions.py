@@ -522,3 +522,31 @@ def test_more_evaluators_round4b(spark):
     # poisson pmf: e^-4 4^2/2!
     got = ev("probability(poissonDistribution(4), 2)")
     assert abs(got - math.exp(-4) * 16 / 2) < 1e-9
+
+
+def test_conv_delay_describe_emd(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [0.0, 1.0, 0.5],
+          [4.0, 1.0, 7.0, 2.0], [0.1, 0.2, 0.3, 0.4],
+          [0.4, 0.3, 0.2, 0.1])],
+        "a array<double>, b array<double>, x array<double>, "
+        "p array<double>, q array<double>")
+
+    def ev(expr):
+        return df.select(
+            compile_evaluator(parse_expression(expr)).alias("v")
+        ).collect()[0]["v"]
+
+    assert np.allclose(ev("conv(a, b)"),
+                       np.convolve([1, 2, 3], [0, 1, 0.5]))
+    d = ev("describe(x)")
+    xa = np.array([4.0, 1.0, 7.0, 2.0])
+    assert d["N"] == 4 and d["min"] == 1.0 and d["max"] == 7.0
+    assert abs(d["mean"] - xa.mean()) < 1e-12
+    assert abs(d["var"] - xa.var(ddof=1)) < 1e-12
+    # EMD: sum of |cumsum difference|
+    pa, qa = np.array([0.1, 0.2, 0.3, 0.4]), np.array([0.4, 0.3, 0.2, 0.1])
+    emd = np.abs(np.cumsum(pa - qa)).sum()
+    assert abs(ev("earthMovers(p, q)") - emd) < 1e-12
