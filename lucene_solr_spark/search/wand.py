@@ -255,8 +255,12 @@ class _SegGroups:
         self.nbufs = pdf["norms"].tolist()
         self.pbufs = (pdf["positions"].tolist()
                       if "positions" in pdf.columns else None)
-        self.imp_tfs = pdf["imp_tfs"].tolist()
-        self.imp_norms = pdf["imp_norms"].tolist()
+        # impact columns ride only when the scan carried them (the
+        # pruning WAND path); the batched exhaustive leaf prunes them
+        # from the scan entirely — block-max bounds are never needed
+        has_imp = "imp_tfs" in pdf.columns
+        self.imp_tfs = pdf["imp_tfs"].tolist() if has_imp else None
+        self.imp_norms = pdf["imp_norms"].tolist() if has_imp else None
         nrows = len(terms)
         if nrows:
             starts = np.flatnonzero(
@@ -276,7 +280,9 @@ class _SegGroups:
             self.first[st:en], self.last[st:en], self.n[st:en],
             self.dbufs[st:en], self.tbufs[st:en], self.nbufs[st:en],
             self.pbufs[st:en] if self.pbufs is not None else None,
-            self.imp_tfs[st:en], self.imp_norms[st:en], cache)
+            self.imp_tfs[st:en] if self.imp_tfs is not None else None,
+            self.imp_norms[st:en] if self.imp_norms is not None else None,
+            cache)
 
 
 def _phrase_freqs(pos_lists: list[list[np.ndarray]], offs, slop: int) -> np.ndarray:
@@ -1032,8 +1038,7 @@ class SegmentSearcher:
         filtered = self.blocks.where(
             _str_in("term", sorted(term_set))
         ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", *pos_cols,
-                 "imp_tfs", "imp_norms")
+                 "last_docid", "docids", "tfs", "norms", *pos_cols)
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "docid long, score float")
         return per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(kk)
@@ -1188,11 +1193,12 @@ class SegmentSearcher:
                 "score": pd.Series(np.concatenate(out_s), dtype="float32")})
 
         pos_cols = ["positions"] if any_phrases else []
+        # NO impact columns: the exhaustive leaf never computes block
+        # bounds, so the scan sheds the two impact streams entirely
         filtered = self.blocks.where(
             _str_in("term", terms_present)
         ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", *pos_cols,
-                 "imp_tfs", "imp_norms")
+                 "last_docid", "docids", "tfs", "norms", *pos_cols)
         if self.blooms is not None:
             excl_batch: set[int] | None = None
             for tree in trees:
