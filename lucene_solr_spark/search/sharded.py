@@ -77,6 +77,47 @@ class ShardedSearcher:
                 out[t] = out.get(t, 0) + df
         return out
 
+    def search_many(self, queries: dict[str, Query], k: int = 10,
+                    use_wand: bool = True) -> dict[str, list[TopDoc]]:
+        """Batched scatter-gather: ONE batched job per shard (the
+        shard-side tree-batch leaf amortizes decodes across the whole
+        batch), exact-stats mode resolves the batch's full term set in
+        one global round, merge per query with the TopDocs.merge
+        comparator."""
+        stats = None
+        if self.stats_mode == "exact":
+            term_set: set[str] = set()
+            for q in queries.values():
+                term_set |= _query_terms(q)
+            stats = {}
+            for s in self.shards:
+                for t, df in s._stats(term_set).items():
+                    stats[t] = stats.get(t, 0) + df
+        qid_list = list(queries)
+        per_shard: list[dict[str, list[TopDoc]]] = []
+        for s in self.shards:
+            if stats is not None:
+                # inject global stats through the per-shard cache hook
+                saved = s._df_map
+                s._df_map = dict(stats)
+                try:
+                    res = s.search_many(queries, k, use_wand=use_wand)
+                finally:
+                    s._df_map = saved
+            else:
+                res = s.search_many(queries, k, use_wand=use_wand)
+            per_shard.append(res)
+        out: dict[str, list[TopDoc]] = {}
+        for qid in qid_list:
+            merged = sorted(
+                ((d.score, si, d.docid)
+                 for si, res in enumerate(per_shard)
+                 for d in res.get(qid, ())),
+                key=lambda t: (-t[0], t[1], t[2]))[:k]
+            out[qid] = [TopDoc(self.offsets[si] + docid, score)
+                        for score, si, docid in merged]
+        return out
+
     def search(self, q: Query, k: int = 10,
                use_wand: bool = True) -> list[TopDoc]:
         stats = self._global_dfs(q) if self.stats_mode == "exact" else None

@@ -74,3 +74,25 @@ def test_unknown_stats_mode(sharded):
     roots, _oracle, spark = sharded
     with pytest.raises(ValueError):
         ShardedSearcher(roots, spark, stats="fuzzy")
+
+
+def test_batched_scatter_gather_exact(sharded):
+    """search_many over shards: one batched job per shard (the
+    tree-batch leaf for >=16 queries), global stats round, TopDocs
+    merge — bit-identical to the monolithic oracle per query."""
+    from lucene_solr_spark.search.sharded import ShardedSearcher
+
+    roots, oracle, spark = sharded
+    s = ShardedSearcher(roots, spark, stats="exact", cache=True)
+    by_df = _probes(oracle)
+    qs = {}
+    for i in range(20):
+        a = by_df[(7 * i) % len(by_df)]
+        b = by_df[-(1 + i % 9)]
+        qs[f"q{i}"] = (TermQuery(b) if i % 3 == 0 else
+                       BooleanQuery.of(should=[TermQuery(a), TermQuery(b)]))
+    got = s.search_many(qs, 12)
+    for qid, q in qs.items():
+        exp = oracle.search(q, 12)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
