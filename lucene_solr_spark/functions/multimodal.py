@@ -47,8 +47,8 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
     bytes→pixels decoder runs end-to-end with no imaging library.
     Stands in for reading an Iceberg media table; deterministic ⇒
     test- and bench-stable."""
-    if fmt not in ("fake", "ppm", "jpeg"):
-        raise ValueError("fmt must be 'fake', 'ppm' or 'jpeg'")
+    if fmt not in ("fake", "ppm", "jpeg", "png", "wav"):
+        raise ValueError("fmt must be 'fake', 'ppm', 'jpeg', 'png' or 'wav'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,6 +74,29 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
                     metas.append({"width": w, "height": h,
                                   "sample_rate": 16000, "n_frames": reps,
                                   "format": "jpeg"})
+                elif fmt == "png":
+                    from .png import encode_png
+
+                    w, h = 20 + len(t) % 16, 20 + (len(t) // 7) % 16
+                    n_pix = w * h * 3
+                    pix = np.frombuffer(
+                        (seed * (n_pix // len(seed) + 1))[:n_pix],
+                        dtype=np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_png(pix))
+                    metas.append({"width": w, "height": h,
+                                  "sample_rate": 16000, "n_frames": reps,
+                                  "format": "png"})
+                elif fmt == "wav":
+                    from .wav import encode_wav
+
+                    freq = 100.0 + (seed[0] % 40) * 20.0
+                    tt = np.arange(4000) / 16000.0
+                    sig = (np.sin(2 * np.pi * freq * tt)
+                           * (0.2 + (seed[1] % 5) / 10.0))
+                    payloads.append(encode_wav(sig.astype(np.float32)))
+                    metas.append({"width": 0, "height": 0,
+                                  "sample_rate": 16000, "n_frames": reps,
+                                  "format": "wav"})
                 elif fmt == "ppm":
                     w, h = 16 + len(t) % 16, 16 + (len(t) // 7) % 16
                     n = w * h * 3
@@ -163,15 +186,36 @@ def _decode_real(payload: bytes, fmt: str) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return _features_from_pixels(decode_jpeg(payload))
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            f"decoding {fmt!r} needs Pillow; this environment ships "
-            "none — netpbm and baseline JPEG decode natively, others "
-            "use the deterministic fake decoder"
-        ) from e
-    raise NotImplementedError("wire PIL decode here in a full environment")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        img = decode_png(payload)
+        if img.ndim == 3 and img.shape[2] == 4:
+            img = img[:, :, :3]  # drop alpha for luminance features
+        if img.ndim == 3 and img.shape[2] == 2:
+            img = img[:, :, 0]   # grey+alpha -> grey
+        return _features_from_pixels(img)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .wav import decode_wav
+
+        x, _rate = decode_wav(payload)
+        if x.ndim == 2:
+            x = x.mean(axis=1)  # downmix
+        # FEATURE_DIM frame RMS energies, L1-normalized — the audio
+        # analogue of the 8x8 grayscale thumbnail
+        n = len(x)
+        if n == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        edges = np.linspace(0, n, FEATURE_DIM + 1).astype(np.int64)
+        rms = np.array([
+            np.sqrt(np.mean(np.square(x[a:b]))) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])])
+        total = rms.sum()
+        return (rms / total if total else rms).astype(np.float32)
+    raise NotImplementedError(
+        f"decoding {fmt!r}: netpbm, baseline JPEG, PNG and PCM WAV "
+        "decode natively (functions/jpeg.py, png.py, wav.py); other "
+        "formats need an external codec library")
 
 
 def _decode_fake(payload: bytes) -> np.ndarray:

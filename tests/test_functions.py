@@ -225,3 +225,91 @@ def test_media_jpeg_end_to_end(spark, docs):
     for r in feats:
         s = np.array(r["features"], dtype=np.float64).sum()
         assert abs(s - 1.0) < 1e-3
+
+
+# ---- PNG + WAV codecs (functions/png.py, functions/wav.py) -----------------
+
+def test_png_round_trip_and_filters():
+    import zlib
+    import struct
+
+    import numpy as np
+
+    from lucene_solr_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    gray = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+    rgba = rng.integers(0, 256, size=(6, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    # hand-filter scanlines with Sub/Up/Average/Paeth and check the
+    # decoder inverts each (the encoder only emits filter 0, so this
+    # exercises the general unfilter paths)
+    h, w, ch = 4, 5, 3
+    src = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, ft in enumerate([1, 2, 3, 4]):
+        cur = src[y].astype(np.int32)
+        f = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ft]
+            f[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    payload = (sig
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), src.reshape(h, w, ch))
+
+
+def test_wav_round_trip():
+    import numpy as np
+
+    from lucene_solr_spark.functions.wav import decode_wav, encode_wav
+
+    t = np.sin(np.linspace(0, 60, 8000)).astype(np.float32) * 0.7
+    x, rate = decode_wav(encode_wav(t, 22050))
+    assert rate == 22050 and np.abs(x - t).max() < 1e-4
+    stereo = np.stack([t, -0.5 * t], axis=1)
+    x2, _ = decode_wav(encode_wav(stereo))
+    assert x2.shape == (8000, 2) and np.abs(x2 - stereo).max() < 1e-4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+
+
+def test_media_png_and_wav_end_to_end(spark, docs):
+    import numpy as np
+
+    for fmt, magic in (("png", b"\x89PNG"), ("wav", b"RIFF")):
+        media = attach_fake_media(
+            docs, kind="image" if fmt == "png" else "audio",
+            fmt=fmt).limit(6)
+        rows = media.collect()
+        assert all(bytes(r["payload"])[:4] == magic for r in rows), fmt
+        feats = decode_image_features(media, use_real=True).collect()
+        assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+        for r in feats:
+            s = np.array(r["features"], dtype=np.float64).sum()
+            assert abs(s - 1.0) < 1e-3
