@@ -666,27 +666,52 @@ _PACK_SEQ_LEN = 512
 
 
 def pack_sequences(docs, seq_len: int, order_col: str = "doc_id",
-                   tokens_expr: str = None):
+                   tokens_expr: str = None, partitions: int | None = None):
     """Assign every doc its span in the packed token stream:
     (doc_id, n_tokens, start_tok, seq_first, seq_last, n_seqs) with
     seq boundaries every ``seq_len`` tokens over the concatenation in
     ``order_col`` order.
 
-    ONE window cumsum — no UDF, no per-sequence loop. At 100 TB the
-    single global window is the textbook skew risk: shard the stream
-    first (e.g. hash-bucket docs into independent streams, one cumsum
-    per bucket — padding loss at bucket tails only), which is exactly
-    how packing runs in production; the global variant here is the
-    semantics oracle."""
+    SCALABLE EXACT global cumsum (round-3 flagged the single global
+    window as the textbook 100-TB skew risk; this removes it without
+    changing one output value): range-partition by ``order_col``, a
+    per-partition window cumsum (each partition a parallel task), one
+    tiny per-partition total aggregate, and the partition base offsets
+    broadcast back as a prefix-summed map — the classic two-pass
+    distributed scan. Identical results to the single-window plan
+    (same oracle, same hash)."""
     from pyspark.sql import Window
 
     toks = (F.expr(tokens_expr) if tokens_expr
             else F.size(F.expr(_SPARK_TOKS)))
-    w = Window.orderBy(order_col).rowsBetween(
+    cols = [F.col("doc_id"), toks.alias("n_tokens")]
+    if order_col != "doc_id":
+        cols.insert(1, F.col(order_col))
+    out = docs.select(*cols).where(F.col("n_tokens") > 0)
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = max(int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "32")) // 2, 2)
+    ranged = (out.repartitionByRange(partitions, F.col(order_col))
+              .withColumn("_part", F.spark_partition_id()))
+    # pass 1: per-partition local cumsum (parallel windows)
+    wloc = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
-    out = docs.select(F.col("doc_id"), toks.alias("n_tokens"))
-    out = out.where(F.col("n_tokens") > 0)
-    out = out.withColumn("end_tok", F.sum("n_tokens").over(w))
+    local = ranged.withColumn("_local_end", F.sum("n_tokens").over(wloc))
+    local = local.localCheckpoint(eager=False)
+    # pass 2: per-partition totals -> driver prefix -> broadcast map
+    totals = {r["_part"]: int(r["s"]) for r in
+              local.groupBy("_part").agg(
+                  F.sum("n_tokens").alias("s")).collect()}
+    base = 0
+    bases = {}
+    for p in sorted(totals):
+        bases[p] = base
+        base += totals[p]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(bases.items()) for x in kv])
+    out = local.withColumn(
+        "end_tok", F.col("_local_end") + base_map[F.col("_part")])
     return out.select(
         "doc_id", "n_tokens",
         (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
