@@ -48,6 +48,7 @@ from .queries import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     Query,
     SynonymQuery,
@@ -918,6 +919,8 @@ class SegmentSearcher:
             return {_qual(q.field, t) for t in q.terms}
         if isinstance(q, PhraseQuery):
             return {_qual(q.field, t) for t in q.terms}
+        if isinstance(q, MultiPhraseQuery):
+            return {_qual(q.field, t) for slot in q.termss for t in slot}
         if isinstance(q, BooleanQuery):
             out: set[str] = set()
             for c in q.clauses:
@@ -939,7 +942,7 @@ class SegmentSearcher:
 
     @staticmethod
     def _general_has_phrase(q: Query) -> bool:
-        if isinstance(q, PhraseQuery):
+        if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return True
         if isinstance(q, BooleanQuery):
             return any(SegmentSearcher._general_has_phrase(c.query)
@@ -980,6 +983,23 @@ class SegmentSearcher:
             idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
             w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
             return ("phrase", qts, tuple(q.effective_positions()),
+                    int(q.slop), w)
+        if isinstance(q, MultiPhraseQuery):
+            # MultiPhraseQuery.java: per-slot positional union; weight
+            # = idf summed over every member term with df > 0
+            slots = tuple(tuple(_qual(q.field, t) for t in slot)
+                          for slot in q.termss)
+            if not slots or any(not slot for slot in slots):
+                return ("none",)
+            if any(all(stats.get(t, 0) == 0 for t in slot)
+                   for slot in slots):
+                return ("none",)  # a slot with no postings: no matches
+            fsc = self.field_scorer(q.field)
+            idfs = [fsc.idf(stats[t]) for slot in slots for t in slot
+                    if stats.get(t, 0) > 0]
+            idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
+            return ("mphrase", slots, tuple(q.effective_positions()),
                     int(q.slop), w)
         if isinstance(q, ConstantScoreQuery):
             child = self._compile_general(q.query, 1.0, stats)
@@ -1394,6 +1414,8 @@ def _tree_terms(node) -> set:
         return {node[1]}
     if kind in ("syn", "phrase"):
         return set(node[1])
+    if kind == "mphrase":
+        return {t for slot in node[1] for t in slot}
     if kind == "bool":
         out = set()
         for _occ, c in node[1]:
@@ -1411,7 +1433,7 @@ def _tree_terms(node) -> set:
 
 def _tree_has_phrase(node) -> bool:
     kind = node[0]
-    if kind == "phrase":
+    if kind in ("phrase", "mphrase"):
         return True
     if kind == "bool":
         return any(_tree_has_phrase(c) for _occ, c in node[1])
@@ -1516,6 +1538,45 @@ def _eval_node(node, get_tb, caches):
             return empty
         sc = bm25.score_terms(freqs[hit], norms0[hit], np.float32(w),
                               _cache_for(caches, qterms[0]))
+        return cand[hit], sc.astype(np.float32)
+
+    if kind == "mphrase":
+        _, slots, offs, slop, w = node
+        slot_maps = []
+        norm_map: dict = {}
+        for slot in slots:
+            m: dict = {}
+            any_present = False
+            for t in slot:
+                tb = get_tb(t)
+                if tb is None:
+                    continue
+                any_present = True
+                d, _tfs, nb, poss = tb.decode_raw_all()
+                for j in range(d.size):
+                    did = int(d[j])
+                    prev = m.get(did)
+                    m[did] = (poss[j] if prev is None
+                              else np.concatenate([prev, poss[j]]))
+                    norm_map[did] = int(nb[j])
+            if not any_present or not m:
+                return empty  # slot has no postings in this segment
+            slot_maps.append({k: np.sort(v) for k, v in m.items()})
+        common = set(slot_maps[0])
+        for m in slot_maps[1:]:
+            common &= set(m)
+        if not common:
+            return empty
+        cand = np.array(sorted(common), dtype=np.int64)
+        pos_lists = [[sm[int(dd)] for dd in cand] for sm in slot_maps]
+        freqs = _phrase_freqs(pos_lists, offs, slop)
+        hit = freqs > 0
+        if not hit.any():
+            return empty
+        norms = np.array([norm_map[int(dd)] for dd in cand[hit]],
+                         dtype=np.int64)
+        sc = bm25.score_terms(freqs[hit], norms, np.float32(w),
+                              _cache_for(caches, slots[0][0]))
         return cand[hit], sc.astype(np.float32)
 
     if kind == "const":

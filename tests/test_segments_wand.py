@@ -390,3 +390,28 @@ def test_batch_tree_path_identical_to_wand(built):
         solo = searcher.search(q, 10)  # WAND traversal (or general path)
         assert [(d.docid, np.float32(d.score)) for d in batched[qid]] == [
             (d.docid, np.float32(d.score)) for d in solo], qid
+
+
+def test_multi_phrase_on_v2(built):
+    """MultiPhraseQuery (slot alternatives) via the compiled-tree
+    evaluator over the compressed codec: identity vs the oracle,
+    exact and sloppy."""
+    from lucene_solr_spark.search.queries import MultiPhraseQuery
+
+    idx, searcher, oracle, pdf = built
+    # find a real adjacent pair from the corpus to guarantee matches
+    toks = pdf["content"].iloc[0].lower().split()
+    pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+             if toks[i].isalpha() and toks[i + 1].isalpha()]
+    a, b = pairs[0]
+    c = pairs[1][1]
+    for q in (
+        MultiPhraseQuery(((a,), (b, c))),
+        MultiPhraseQuery(((a, "zzzznope"), (b,))),
+        MultiPhraseQuery(((a,), (b,)), slop=2),
+        MultiPhraseQuery(((a, c), (b, a)), slop=1, boost=1.5),
+    ):
+        got = searcher.search(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
