@@ -909,6 +909,99 @@ class SegmentSearcher:
             rphrases.append((terms_p, offs_p, slop_p, w, occ))
         return weights, tuple(rphrases)
 
+    # -- multi-term rewrite (dictionary expansion on the v2 dict) -------
+    #: driver-safety valve for degenerate expansions (IndexSearcher's
+    #: guard, executor.py MAX_EXPANSION_SCAN)
+    MAX_EXPANSION_SCAN = 1_000_000
+
+    def rewrite(self, q: Query) -> Query:
+        """Expand MultiTermQuery leaves (prefix/wildcard/regexp/fuzzy/
+        range/set) against the compressed index's dictionary into
+        primitive term/boolean queries (MultiTermQuery.java:94-126
+        rewrite methods), recursing through compound queries — the
+        IndexSearcher.rewrite counterpart for the v2 path. The
+        expansion refinement is the SAME expand_terms the v1 engine
+        and oracle use, so all three expand identically."""
+        from .queries import BooleanClause, MultiTermQuery
+
+        if isinstance(q, MultiTermQuery):
+            terms = self._expand_multiterm(q)
+            qfield = getattr(q, "field", "content")
+            inner = BooleanQuery(
+                tuple(BooleanClause(TermQuery(t, field=qfield), "SHOULD")
+                      for t in terms))
+            if getattr(q, "rewrite", "constant_score") == "scoring_boolean":
+                return BooleanQuery(inner.clauses, boost=q.boost)
+            return ConstantScoreQuery(inner, boost=q.boost)
+        if isinstance(q, BooleanQuery):
+            from .queries import BooleanClause
+
+            return BooleanQuery(
+                tuple(BooleanClause(self.rewrite(c.query), c.occur)
+                      for c in q.clauses),
+                minimum_should_match=q.minimum_should_match, boost=q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.rewrite(d) for d in q.disjuncts),
+                q.tie_breaker, q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self.rewrite(q.query), q.boost)
+        return q
+
+    def _expand_multiterm(self, q) -> list[str]:
+        from .multiterm import expand_terms
+
+        field = getattr(q, "field", "content")
+        pfx = "" if field == "content" else field + FIELD_SEP
+        if self._df_map is not None:
+            if pfx:
+                vocab = (t[len(pfx):] for t in self._df_map
+                         if t.startswith(pfx))
+            else:
+                vocab = (t for t in self._df_map if FIELD_SEP not in t)
+            return expand_terms(vocab, q)
+        # dict scan with a coarse JVM-side predicate on the BARE term,
+        # exact refinement in Python (shared with the oracle)
+        from .queries import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermInSetQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        bare = (F.expr(f"substring(term, {len(pfx) + 1})") if pfx
+                else F.col("term"))
+        scope = (F.col("term").startswith(pfx) if pfx
+                 else ~F.col("term").contains(FIELD_SEP))
+        if isinstance(q, PrefixQuery):
+            pred = bare.startswith(q.prefix)
+        elif isinstance(q, TermInSetQuery):
+            pred = bare.isin(list(q.terms))
+        elif isinstance(q, FuzzyQuery):
+            pred = F.levenshtein(bare, F.lit(q.term)) <= 2 * q.max_edits
+            if q.prefix_length:
+                pred = pred & bare.startswith(q.term[: q.prefix_length])
+        elif isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (bare >= q.lower if q.include_lower
+                               else bare > q.lower)
+            if q.upper is not None:
+                pred = pred & (bare <= q.upper if q.include_upper
+                               else bare < q.upper)
+        elif isinstance(q, (WildcardQuery, RegexpQuery)):
+            pred = F.lit(True)  # refined exactly in Python below
+        else:
+            raise TypeError(f"unknown multi-term query {type(q)}")
+        rows = (self.dict.where(scope & pred).select("term")
+                .limit(self.MAX_EXPANSION_SCAN + 1).collect())
+        if len(rows) > self.MAX_EXPANSION_SCAN:
+            raise ValueError(
+                "multi-term expansion exceeds MAX_EXPANSION_SCAN")
+        return expand_terms((r["term"][len(pfx):] for r in rows), q)
+
     # -- general compiled-tree path (dismax / nested boolean / ...) -----
     @staticmethod
     def _general_terms(q: Query) -> set[str]:
@@ -1075,6 +1168,7 @@ class SegmentSearcher:
         end — nested booleans, constant-score, synonyms) falls through
         to the compiled-tree per-segment evaluator (same scan pruning,
         no dynamic pruning — rank/score identity unchanged)."""
+        q = self.rewrite(q)
         try:
             plan = self._flatten(q)
         except TypeError:
@@ -1150,6 +1244,7 @@ class SegmentSearcher:
         lifts the batch path's query-algebra limit: any search_df-able
         query (dismax/nested boolean/constant-score/synonym) batches."""
         spark = self.index.spark
+        queries = {qid: self.rewrite(q) for qid, q in queries.items()}
         qid_list = list(queries)
         term_set: set[str] = set()
         for q in queries.values():
@@ -1275,7 +1370,14 @@ class SegmentSearcher:
         qid_list = list(queries)
         if len(qid_list) >= self.BATCH_TREE_MIN:
             return self._search_many_tree_df(queries, k, _raw=_raw)
-        flat = {qid: self._flatten(q) for qid, q in queries.items()}
+        queries = {qid: self.rewrite(q) for qid, q in queries.items()}
+        try:
+            flat = {qid: self._flatten(q) for qid, q in queries.items()}
+        except TypeError:
+            # a query outside the term/phrase algebra (rewritten
+            # multi-term, dismax, ...) — the compiled-tree leaf covers
+            # the full algebra at any batch size
+            return self._search_many_tree_df(queries, k, _raw=_raw)
         term_set = {t for p in flat.values() for t, _ in p.scoring}
         term_set |= {t for p in flat.values()
                      for ph in p.phrases for t in ph[0]}

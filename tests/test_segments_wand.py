@@ -415,3 +415,42 @@ def test_multi_phrase_on_v2(built):
         exp = oracle.search(q, 10)
         assert [(d.docid, np.float32(d.score)) for d in got] == [
             (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def test_multiterm_rewrite_on_v2(built):
+    """Prefix/Wildcard/Fuzzy/TermRange/TermInSet rewrite against the
+    v2 dictionary and evaluate on the compressed path — identity vs
+    the oracle in both constant-score and scoring-boolean modes."""
+    from lucene_solr_spark.search.queries import (
+        FuzzyQuery,
+        PrefixQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 6)
+    t = max(terms, key=len)
+    queries = [
+        PrefixQuery(t[:3]),
+        PrefixQuery(t[:3], rewrite="scoring_boolean"),
+        WildcardQuery(t[:2] + "*"),
+        FuzzyQuery(t, max_edits=1, rewrite="scoring_boolean"),
+        TermRangeQuery(t[:1], t[:1] + "zzzz"),
+        TermInSetQuery(tuple(terms[:4])),
+        BooleanQuery.of(must=[TermQuery(terms[-1])],
+                        should=[PrefixQuery(t[:3])]),
+    ]
+    for q in queries:
+        got = searcher.search(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+    # batched (small batch routes through the tree fallback)
+    qs = {f"q{i}": q for i, q in enumerate(queries[:4])}
+    batched = searcher.search_many(qs, 10)
+    for qid, q in qs.items():
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in batched[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
