@@ -223,6 +223,17 @@ def _mf_seg_searcher(spark: SparkSession, sf_dir: str) -> SegmentSearcher:
     return _MF_SEG_SEARCHERS[key]
 
 
+def _engine_prefix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term rewrite on the COMPRESSED path: PrefixQuery expands
+    against the v2 dictionary (same exact refinement as v1/oracle) and
+    evaluates via the compiled-tree leaf — shares engine_prefix_topk's
+    bit-exact oracle."""
+    s = _seg_searcher(spark, sf_dir)
+    return s.search_df(
+        PrefixQuery("quer", rewrite="scoring_boolean"), 10).select(
+        "docid", F.col("score").cast("double").alias("score"))
+
+
 def _engine_edismax_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME edismax query as engine_edismax, but over the
     compressed v2 segment index (per-field postings on the scale
@@ -332,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_mlt"] = _engine_mlt
     out["engine_edismax"] = _engine_edismax
     out["engine_edismax_v2"] = _engine_edismax_v2
+    out["engine_prefix_v2"] = _engine_prefix_v2
     out["engine_synonym"] = _engine_synonym
     out["engine_sorted_topk"] = _engine_sorted_topk
     out["engine_qparser"] = _engine_qparser
@@ -353,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _OVERFLOW_LAST = ("engine_prefix_topk", "engine_collapse",
                   "engine_suggest", "engine_mlt", "engine_synonym",
                   "engine_phrase_topk", "engine_dismax_topk",
-                  "engine_parsed_query",
+                  "engine_parsed_query", "engine_prefix_v2",
                   "ft_boolean", "ft_bm25_scores", "ft_span_near",
                   "multiterm_expand", "gopher_repetition",
                   "decontaminate_ngram", "source_quota_sample", "set_ops",
@@ -390,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_mlt"] = sqlgen.mlt_sql()
     out["engine_edismax"] = sqlgen.edismax_topk()
     out["engine_edismax_v2"] = sqlgen.edismax_topk()
+    out["engine_prefix_v2"] = sqlgen.prefix_topk("quer")
     out["engine_synonym"] = sqlgen.synonym_topk(("array", "matrix", "vector"))
     out["engine_sorted_topk"] = _SORTED_TOPK_SQL
     out["engine_qparser"] = sqlgen.qparser_mix_topk()
