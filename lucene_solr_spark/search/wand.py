@@ -946,7 +946,30 @@ class SegmentSearcher:
                 q.tie_breaker, q.boost)
         if isinstance(q, ConstantScoreQuery):
             return ConstantScoreQuery(self.rewrite(q.query), q.boost)
+        from .spans import SpanQuery, expand_span_multiterm
+
+        if isinstance(q, SpanQuery):
+            field = getattr(q, "field", "content")
+            return expand_span_multiterm(q, self._field_vocab(field))
         return q
+
+    def _field_vocab(self, field: str) -> list[str]:
+        """Sorted bare-term vocabulary of one field (span wrapper
+        expansion; bounded by MAX_EXPANSION_SCAN like _expand)."""
+        pfx = "" if field == "content" else field + FIELD_SEP
+        if self._df_map is not None:
+            if pfx:
+                return sorted(t[len(pfx):] for t in self._df_map
+                              if t.startswith(pfx))
+            return sorted(t for t in self._df_map
+                          if FIELD_SEP not in t)
+        scope = (F.col("term").startswith(pfx) if pfx
+                 else ~F.col("term").contains(FIELD_SEP))
+        rows = (self.dict.where(scope).select("term")
+                .limit(self.MAX_EXPANSION_SCAN + 1).collect())
+        if len(rows) > self.MAX_EXPANSION_SCAN:
+            raise ValueError("vocabulary exceeds MAX_EXPANSION_SCAN")
+        return sorted(r["term"][len(pfx):] for r in rows)
 
     def _expand_multiterm(self, q) -> list[str]:
         from .multiterm import expand_terms
@@ -1028,6 +1051,14 @@ class SegmentSearcher:
             return SegmentSearcher._general_terms(q.query)
         if isinstance(q, MatchNoDocsQuery):
             return set()
+        from .intervals import IntervalQuery, interval_terms
+        from .spans import SpanQuery, span_field_terms
+
+        if isinstance(q, SpanQuery):
+            return {_qual(f, t) for f, t in span_field_terms(q)}
+        if isinstance(q, IntervalQuery):
+            fld = getattr(q, "field", "content")
+            return {_qual(fld, t) for t in interval_terms(q)}
         raise TypeError(
             f"SegmentSearcher cannot evaluate {type(q).__name__}; "
             "rewrite it first (IndexSearcher.rewrite) or use "
@@ -1035,7 +1066,11 @@ class SegmentSearcher:
 
     @staticmethod
     def _general_has_phrase(q: Query) -> bool:
-        if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+        from .intervals import IntervalQuery
+        from .spans import SpanQuery
+
+        if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanQuery,
+                          IntervalQuery)):
             return True
         if isinstance(q, BooleanQuery):
             return any(SegmentSearcher._general_has_phrase(c.query)
@@ -1124,6 +1159,35 @@ class SegmentSearcher:
             return ("bool", tuple(kids), int(q.minimum_should_match))
         if isinstance(q, MatchNoDocsQuery):
             return ("none",)
+        from .intervals import IntervalQuery, interval_terms
+        from .spans import SpanQuery, span_field_terms
+
+        if isinstance(q, (SpanQuery, IntervalQuery)):
+            # span/interval scoring (spans/SpanScorer.java:118-141):
+            # freq = Σ 1/(1+width) over enumerated matches, weight =
+            # float32 idf sum over the tree's PRESENT terms
+            if isinstance(q, SpanQuery):
+                pairs = sorted(span_field_terms(q))
+                fields = {f for f, _t in pairs}
+                field = getattr(q, "field", "content")
+                if fields - {field}:
+                    raise TypeError(
+                        "cross-field spans (FieldMaskingSpanQuery) "
+                        "need per-doc norms of a field the scan does "
+                        "not carry — use IndexSearcher")
+                bare_keys = False
+            else:
+                field = getattr(q, "field", "content")
+                pairs = sorted((field, t) for t in interval_terms(q))
+                bare_keys = True
+            dfs = [stats.get(_qual(f, t), 0) for f, t in pairs]
+            if not any(dfs):
+                return ("none",)
+            fsc = self.field_scorer(field)
+            idfs = [fsc.idf(df) for df in dfs if df > 0]
+            idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
+            return ("span", q, tuple(pairs), w, bare_keys)
         raise TypeError(
             f"SegmentSearcher cannot evaluate {type(q).__name__}")
 
@@ -1518,6 +1582,8 @@ def _tree_terms(node) -> set:
         return set(node[1])
     if kind == "mphrase":
         return {t for slot in node[1] for t in slot}
+    if kind == "span":
+        return {_qual(f, t) for f, t in node[2]}
     if kind == "bool":
         out = set()
         for _occ, c in node[1]:
@@ -1535,7 +1601,7 @@ def _tree_terms(node) -> set:
 
 def _tree_has_phrase(node) -> bool:
     kind = node[0]
-    if kind in ("phrase", "mphrase"):
+    if kind in ("phrase", "mphrase", "span"):
         return True
     if kind == "bool":
         return any(_tree_has_phrase(c) for _occ, c in node[1])
@@ -1680,6 +1746,41 @@ def _eval_node(node, get_tb, caches):
         sc = bm25.score_terms(freqs[hit], norms, np.float32(w),
                               _cache_for(caches, slots[0][0]))
         return cand[hit], sc.astype(np.float32)
+
+    if kind == "span":
+        _, q, pairs, w, bare_keys = node
+        from .intervals import interval_freq
+        from .spans import span_freq
+
+        by_doc: dict = {}
+        norm_map: dict = {}
+        for f, t in pairs:
+            tb = get_tb(_qual(f, t))
+            if tb is None:
+                continue
+            d, _tfs, nb, poss = tb.decode_raw_all()
+            key = t if bare_keys else (f, t)
+            for j in range(d.size):
+                did = int(d[j])
+                by_doc.setdefault(did, {})[key] = poss[j]
+                norm_map[did] = int(nb[j])
+        if not by_doc:
+            return empty
+        freq_fn = interval_freq if bare_keys else span_freq
+        out_d, out_f, out_n = [], [], []
+        for did in sorted(by_doc):
+            freq = freq_fn(q, by_doc[did])
+            if freq > 0:
+                out_d.append(did)
+                out_f.append(freq)
+                out_n.append(norm_map[did])
+        if not out_d:
+            return empty
+        cache0 = _cache_for(caches, _qual(pairs[0][0], pairs[0][1]))
+        sc = bm25.score_terms(
+            np.asarray(out_f, dtype=np.float64),
+            np.asarray(out_n, dtype=np.int64), np.float32(w), cache0)
+        return np.asarray(out_d, dtype=np.int64), sc.astype(np.float32)
 
     if kind == "const":
         _, child, c = node

@@ -454,3 +454,45 @@ def test_multiterm_rewrite_on_v2(built):
         exp = oracle.search(q, 10)
         assert [(d.docid, np.float32(d.score)) for d in batched[qid]] == [
             (d.docid, np.float32(d.score)) for d in exp], qid
+
+
+def test_spans_and_intervals_on_v2(built):
+    """Span and interval queries via the compiled-tree evaluator over
+    the compressed codec — identity vs the oracle (SpanScorer freq =
+    sum 1/(1+width), idf-sum weight), incl. a multiterm span wrapper
+    expanded against the v2 dictionary."""
+    from lucene_solr_spark.search.intervals import (
+        IntervalQuery,
+        IOrdered,
+        ITerm,
+    )
+    from lucene_solr_spark.search.queries import PrefixQuery
+    from lucene_solr_spark.search.spans import (
+        SpanFirstQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    idx, searcher, oracle, pdf = built
+    toks = pdf["content"].iloc[0].lower().split()
+    pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+             if toks[i].isalpha() and toks[i + 1].isalpha()]
+    a, b = pairs[0]
+    queries = [
+        SpanNearQuery((SpanTermQuery(a), SpanTermQuery(b)),
+                      slop=0, in_order=True),
+        SpanNearQuery((SpanTermQuery(b), SpanTermQuery(a)),
+                      slop=3, in_order=False),
+        SpanOrQuery((SpanTermQuery(a), SpanTermQuery(b))),
+        SpanFirstQuery(SpanTermQuery(a), end=20),
+        SpanNearQuery((SpanMultiTermWrapper(PrefixQuery(a[:3])),
+                       SpanTermQuery(b)), slop=1, in_order=True),
+        IntervalQuery(IOrdered((ITerm(a), ITerm(b)))),
+    ]
+    for q in queries:
+        got = searcher.search(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
