@@ -727,8 +727,28 @@ def segment_topk(
 
 
 class SegmentSearcher:
-    """IndexSearcher over the compressed segment index; flagship
-    BM25 top-k path with block-max WAND."""
+    """IndexSearcher over the compressed segment index — the 100-TB
+    query path.
+
+    Execution strategies (all rank/score-identical to
+    IndexSearcher/OracleIndex):
+
+    * term/phrase boolean algebra → block-max WAND traversal
+      (``segment_topk``: windows advance block-at-a-time, impact
+      bounds skip decodes) — the latency path for single queries;
+    * everything else (DisjunctionMax/edismax, nested booleans,
+      constant-score, synonyms, multi-phrase, spans, intervals) →
+      driver-compiled plain-tuple trees evaluated exhaustively per
+      segment over the same term-pruned block scan;
+    * batches of ``BATCH_TREE_MIN``+ queries → the compiled-tree leaf
+      with memoized whole-list decodes (each (term, segment) decodes
+      once per batch) — the throughput path;
+    * multi-term queries (prefix/wildcard/regexp/fuzzy/range/set and
+      span wrappers) rewrite against the v2 dictionary first
+      (``rewrite()``), sharing the exact refinement with v1/oracle.
+
+    Per-field postings/norms/stats (manifest ``field_stats``) give
+    every strategy per-field BM25 scorers and caches."""
 
     #: driver-side term→df cache cap: a real-corpus vocabulary can be
     #: billions of terms — beyond this the searcher falls back to the
