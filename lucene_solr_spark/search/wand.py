@@ -1637,7 +1637,12 @@ def _tree_bloom_sets(node) -> tuple[set, set]:
     skipping — conservative: anything not provably required counts as
     SHOULD (false inclusions only add segments, never drop matches)."""
     kind = node[0]
-    if kind in ("term", "syn", "phrase", "dismax", "const"):
+    if kind in ("term", "syn", "phrase", "dismax", "const",
+                "mphrase", "span"):
+        # sound as SHOULD terms: every match of any of these shapes
+        # contains at least one of the node's terms (matches are
+        # built from term postings), so "every term definitely
+        # absent" implies "cannot match"
         return set(), _tree_terms(node)
     if kind == "bool":
         must_like: set = set()
