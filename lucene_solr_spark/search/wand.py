@@ -1236,6 +1236,12 @@ class SegmentSearcher:
             _str_in("term", sorted(term_set))
         ).select("segment", "term", "block_ord", "n", "first_docid",
                  "last_docid", "docids", "tfs", "norms", *pos_cols)
+        if self.blooms is not None:
+            must_like, should_set = _tree_bloom_sets(tree)
+            excl = self.blooms.excluded_segments(must_like, should_set)
+            if excl:
+                filtered = filtered.where(
+                    ~F.col("segment").isin(sorted(excl)))
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "docid long, score float")
         return per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(kk)
