@@ -1090,6 +1090,11 @@ class SegmentSearcher:
         if isinstance(q, IntervalQuery):
             fld = getattr(q, "field", "content")
             return {_qual(fld, t) for t in interval_terms(q)}
+        from .term_automaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return {_qual(q.field, t) for t in q.terms().values()
+                    if t is not None}
         raise TypeError(
             f"SegmentSearcher cannot evaluate {type(q).__name__}; "
             "rewrite it first (IndexSearcher.rewrite) or use "
@@ -1100,8 +1105,10 @@ class SegmentSearcher:
         from .intervals import IntervalQuery
         from .spans import SpanQuery
 
+        from .term_automaton import TermAutomatonQuery
+
         if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanQuery,
-                          IntervalQuery)):
+                          IntervalQuery, TermAutomatonQuery)):
             return True
         if isinstance(q, BooleanQuery):
             return any(SegmentSearcher._general_has_phrase(c.query)
@@ -1219,6 +1226,25 @@ class SegmentSearcher:
             idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
             w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
             return ("span", q, tuple(pairs), w, bare_keys)
+        from .term_automaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            # TermAutomatonScorer: freq = DFA acceptances over the
+            # position-ordered (pos, term_id) events; weight = idf sum
+            # over PRESENT terms (TermAutomatonWeight ctor :341-363)
+            det = q._check_finished()
+            id_terms = tuple(
+                (tid, _qual(q.field, t) if t is not None else None)
+                for tid, t in q.terms().items())
+            dfs = [stats.get(qt, 0) for _tid, qt in id_terms
+                   if qt is not None]
+            if not any(dfs):
+                return ("none",)
+            fsc = self.field_scorer(q.field)
+            idfs = [fsc.idf(df) for df in dfs if df > 0]
+            idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
+            return ("automaton", det, int(q.any_id), id_terms, w)
         raise TypeError(
             f"SegmentSearcher cannot evaluate {type(q).__name__}")
 
@@ -1621,6 +1647,8 @@ def _tree_terms(node) -> set:
         return {t for slot in node[1] for t in slot}
     if kind == "span":
         return {_qual(f, t) for f, t in node[2]}
+    if kind == "automaton":
+        return {qt for _tid, qt in node[3] if qt is not None}
     if kind == "bool":
         out = set()
         for _occ, c in node[1]:
@@ -1638,7 +1666,7 @@ def _tree_terms(node) -> set:
 
 def _tree_has_phrase(node) -> bool:
     kind = node[0]
-    if kind in ("phrase", "mphrase", "span"):
+    if kind in ("phrase", "mphrase", "span", "automaton"):
         return True
     if kind == "bool":
         return any(_tree_has_phrase(c) for _occ, c in node[1])
@@ -1655,7 +1683,7 @@ def _tree_bloom_sets(node) -> tuple[set, set]:
     SHOULD (false inclusions only add segments, never drop matches)."""
     kind = node[0]
     if kind in ("term", "syn", "phrase", "dismax", "const",
-                "mphrase", "span"):
+                "mphrase", "span", "automaton"):
         # sound as SHOULD terms: every match of any of these shapes
         # contains at least one of the node's terms (matches are
         # built from term postings), so "every term definitely
@@ -1819,6 +1847,44 @@ def _eval_node(node, get_tb, caches):
         if not out_d:
             return empty
         cache0 = _cache_for(caches, _qual(pairs[0][0], pairs[0][1]))
+        sc = bm25.score_terms(
+            np.asarray(out_f, dtype=np.float64),
+            np.asarray(out_n, dtype=np.int64), np.float32(w), cache0)
+        return np.asarray(out_d, dtype=np.int64), sc.astype(np.float32)
+
+    if kind == "automaton":
+        _, det, any_id, id_terms, w = node
+        from .term_automaton import count_matches
+
+        by_doc: dict = {}
+        norm_map: dict = {}
+        cache0 = None
+        for tid, qt in id_terms:
+            if qt is None:
+                continue
+            tb = get_tb(qt)
+            if tb is None:
+                continue
+            if cache0 is None:
+                cache0 = _cache_for(caches, qt)
+            d, _tfs, nb, poss = tb.decode_raw_all()
+            for j in range(d.size):
+                did = int(d[j])
+                by_doc.setdefault(did, []).extend(
+                    (int(p), tid) for p in poss[j])
+                norm_map[did] = int(nb[j])
+        if not by_doc:
+            return empty
+        out_d, out_f, out_n = [], [], []
+        for did in sorted(by_doc):
+            events = sorted(by_doc[did])
+            freq = count_matches(events, det, any_id)
+            if freq > 0:
+                out_d.append(did)
+                out_f.append(freq)
+                out_n.append(norm_map[did])
+        if not out_d:
+            return empty
         sc = bm25.score_terms(
             np.asarray(out_f, dtype=np.float64),
             np.asarray(out_n, dtype=np.int64), np.float32(w), cache0)

@@ -531,3 +531,42 @@ def test_common_terms_and_blooms_general(built):
     exp = oracle.search(sq, 10)
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp]
+
+
+def test_term_automaton_on_v2(built):
+    """TermAutomatonQuery via the compiled-tree evaluator: DFA
+    acceptance counting over per-segment position events — oracle
+    identity (phrase-shaped and ANY-gap automatons)."""
+    from lucene_solr_spark.search.term_automaton import TermAutomatonQuery
+
+    idx, searcher, oracle, pdf = built
+    toks = pdf["content"].iloc[0].lower().split()
+    pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+             if toks[i].isalpha() and toks[i + 1].isalpha()]
+    a, b = pairs[0]
+    triples = [(toks[i], toks[i + 2]) for i in range(len(toks) - 2)
+               if toks[i].isalpha() and toks[i + 2].isalpha()]
+    c, d = triples[0]
+
+    def phrase_q(*terms):
+        q = TermAutomatonQuery()
+        states = [q.create_state() for _ in range(len(terms) + 1)]
+        for i, t in enumerate(terms):
+            q.add_transition(states[i], states[i + 1], t)
+        q.set_accept(states[-1], True)
+        return q.finish()
+
+    def gap_q(x, y):
+        q = TermAutomatonQuery()
+        s = [q.create_state() for _ in range(4)]
+        q.add_transition(s[0], s[1], x)
+        q.add_any_transition(s[1], s[2])
+        q.add_transition(s[2], s[3], y)
+        q.set_accept(s[3], True)
+        return q.finish()
+
+    for q in (phrase_q(a, b), phrase_q(a), gap_q(c, d)):
+        got = searcher.search(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(dd.docid, np.float32(dd.score)) for dd in got] == [
+            (dd.docid, np.float32(dd.score)) for dd in exp], q
