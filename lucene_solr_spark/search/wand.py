@@ -128,8 +128,9 @@ class _TermBlocks:
         self.pbufs = (rows["positions"].tolist()
                       if "positions" in rows.columns else None)
         self.nblocks = len(rows)
-        self._imp_tfs = rows["imp_tfs"].tolist()
-        self._imp_norms = rows["imp_norms"].tolist()
+        has_imp = "imp_tfs" in rows.columns
+        self._imp_tfs = rows["imp_tfs"].tolist() if has_imp else None
+        self._imp_norms = rows["imp_norms"].tolist() if has_imp else None
         self._ub = None  # lazy: only the pruning traversal needs bounds
 
     @classmethod
@@ -1471,6 +1472,64 @@ class SegmentSearcher:
              "qid": qid_list}))
         return (topk.join(F.broadcast(qmap_df), "qidx")
                 .select("qid", "docid", "score", "rn"))
+
+    # -- serving mode (driver-local evaluation) -------------------------
+    def _local_tbs(self, qterms: set[str]) -> dict:
+        """Fetch (and cache) the given terms' block rows driver-side:
+        {qterm: {segment: _TermBlocks}}. One pushed-down scan per cache
+        miss batch — compressed postings are a few bytes per posting,
+        so a hot query vocabulary fits driver memory comfortably (the
+        role of a Solr serving node's block cache)."""
+        if not hasattr(self, "_local_cache"):
+            self._local_cache: dict = {}
+        missing = sorted(t for t in qterms if t not in self._local_cache)
+        if missing:
+            pdf = (self.blocks.where(_str_in("term", missing))
+                   .select("segment", "term", "block_ord", "n",
+                           "first_docid", "last_docid", "docids", "tfs",
+                           "norms", "positions").toPandas())
+            for t in missing:
+                self._local_cache[t] = {}
+            for (t, seg), sub in pdf.groupby(["term", "segment"]):
+                self._local_cache[t][int(seg)] = _TermBlocks(
+                    sub, _cache_for(self.caches, t))
+        return {t: self._local_cache.get(t, {}) for t in qterms}
+
+    def search_local(self, q: Query, k: int = 10) -> list[TopDoc]:
+        """Single-query SERVING path: evaluate entirely in the driver
+        over cached compressed blocks — no Spark job once the query's
+        terms are hot. This is the latency answer to the per-job floor
+        of the distributed paths (a Solr core serving reads from its
+        own block cache the same way); the distributed paths remain
+        the throughput/batch answer. Rank/score-identical: the same
+        compiled tree + _eval_node the executors run."""
+        q = self.rewrite(q)
+        term_set = self._general_terms(q)
+        stats = self._stats(term_set)
+        tree = self._compile_general(q, 1.0, stats)
+        if tree[0] == "none":
+            return []
+        per_term = self._local_tbs(_tree_terms(tree))
+        segs = sorted({s for m in per_term.values() for s in m})
+        deleted = self.deleted if self.deleted.size else None
+        top_d = np.zeros(0, dtype=np.int64)
+        top_s = np.zeros(0, dtype=np.float32)
+        for seg in segs:
+            tbs = {t: m.get(seg) for t, m in per_term.items()}
+
+            def get_tb(t, _tbs=tbs):
+                return _tbs.get(t)
+
+            d, sc = _eval_node(tree, get_tb, self.caches)
+            if deleted is not None and d.size:
+                live = ~np.isin(d, deleted)
+                d, sc = d[live], sc[live]
+            if d.size:
+                cd = np.concatenate([top_d, d])
+                cs = np.concatenate([top_s, sc])
+                top_d, top_s = _topk_arrays(cd, cs, k)
+        return [TopDoc(int(d), float(sv))
+                for d, sv in zip(top_d, top_s)]
 
     # -- batched execution ---------------------------------------------
     def search_many_df(self, queries: dict[str, Query], k: int = 10,

