@@ -527,8 +527,11 @@ def highlight(searcher: IndexSearcher, q: Query, k: int = 10,
     with_text = (hits.join(keyed, "docid")
                  .join(content, ["repo", "path", "commit"]))
 
-    stop = frozenset(searcher.tables.manifest().get("stop_words", ()))
-    maxlen = int(searcher.tables.manifest().get("max_token_length", 255))
+    # works over IndexSearcher (v1 tables) and SegmentSearcher (v2)
+    m = (searcher.tables.manifest() if hasattr(searcher, "tables")
+         else searcher.manifest())
+    stop = frozenset(m.get("stop_words", ()))
+    maxlen = int(m.get("max_token_length", 255))
 
     @F.pandas_udf(StringType())
     def snip(content_s: pd.Series) -> pd.Series:

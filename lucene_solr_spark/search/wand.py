@@ -814,6 +814,16 @@ class SegmentSearcher:
         self.caches = (self.scorer.cache if len(self.scorers) == 1
                        else {f: sc.cache for f, sc in self.scorers.items()})
 
+    @property
+    def docs(self) -> DataFrame:
+        """Stored-fields surface (docid, repo/path/commit, lang, dl,
+        norm, sha) — lets doc-joining components (highlight, collapse
+        keyed on metadata) run over this searcher too."""
+        return self.index.docs()
+
+    def manifest(self) -> dict:
+        return self.index.manifest()
+
     # -- planning -------------------------------------------------------
     def field_scorer(self, field: str) -> "bm25.BM25Scorer":
         sc = self.scorers.get(field)

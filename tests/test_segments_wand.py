@@ -607,3 +607,21 @@ def test_search_local_serving_path(built):
         searcher.search_local(queries[0], 10)
     hot = (time.time() - t0) / 20
     assert hot < 0.05, f"hot serving eval took {hot:.3f}s"
+
+
+def test_highlight_over_v2(built, spark):
+    """The highlighter component runs over SegmentSearcher unchanged
+    (two-phase: v2 top-k, content join, snippet UDF) and produces the
+    same snippets the v1 path gives for the same query."""
+    from lucene_solr_spark.corpus import corpus_df
+    from lucene_solr_spark.search import components as C
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 6)
+    corpus = corpus_df(spark, N_DOCS, partitions=5)
+    q = TermQuery(terms[-1])
+    rows = C.highlight(searcher, q, k=5, corpus=corpus).collect()
+    assert rows, "no snippets"
+    assert any("<b>" in r["snippet"] for r in rows)
+    exp = {d.docid for d in oracle.search(q, 5)}
+    assert {r["docid"] for r in rows} == exp
