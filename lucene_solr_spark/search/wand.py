@@ -1270,7 +1270,7 @@ class SegmentSearcher:
             return spark.createDataFrame([], "docid long, score float")
         caches = self.caches
         deleted = self.deleted if self.deleted.size else None
-        kk = int(k)
+        kk = None if k is None else int(k)
 
         def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
             d, sc = segment_eval_topk(pdf, tree, caches, kk,
@@ -1292,7 +1292,8 @@ class SegmentSearcher:
                     ~F.col("segment").isin(sorted(excl)))
         per_seg = filtered.groupBy("segment").applyInPandas(
             leaf, "docid long, score float")
-        return per_seg.orderBy(F.desc("score"), F.asc("docid")).limit(kk)
+        ordered = per_seg.orderBy(F.desc("score"), F.asc("docid"))
+        return ordered if kk is None else ordered.limit(kk)
 
     # -- execution ------------------------------------------------------
     def search_df(self, q: Query, k: int = 10, use_wand: bool = True,
@@ -1307,6 +1308,10 @@ class SegmentSearcher:
         to the compiled-tree per-segment evaluator (same scan pruning,
         no dynamic pruning — rank/score identity unchanged)."""
         q = self.rewrite(q)
+        if k is None:
+            # all-hits mode (collapse/rescore two-phase components):
+            # exhaustive compiled-tree evaluation, no truncation
+            return self._search_general_df(q, None, stats=stats)
         try:
             plan = self._flatten(q)
         except TypeError:
@@ -2038,7 +2043,7 @@ def _eval_node(node, get_tb, caches):
     raise TypeError(f"unknown compiled node {kind}")
 
 
-def segment_eval_topk(seg_blocks, tree, caches, k: int,
+def segment_eval_topk(seg_blocks, tree, caches, k: int | None,
                       deleted: np.ndarray | None = None):
     """Top-k (docids, scores) of a compiled general query tree over one
     segment's block rows."""

@@ -625,3 +625,32 @@ def test_highlight_over_v2(built, spark):
     assert any("<b>" in r["snippet"] for r in rows)
     exp = {d.docid for d in oracle.search(q, 5)}
     assert {r["docid"] for r in rows} == exp
+
+
+def test_collapse_and_rescore_over_v2(built):
+    """collapse_topk and rescore components over SegmentSearcher
+    (all-hits k=None mode on the compressed path): identical to the
+    same components over the v1 IndexSearcher fixture corpus."""
+    from lucene_solr_spark.search import components as C
+    from lucene_solr_spark.search.queries import PhraseQuery
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 6)
+    q = BooleanQuery.of(should=[TermQuery(terms[-1]),
+                                TermQuery(terms[-2])])
+    rows = C.collapse_topk(searcher, q, "repo", k_groups=4,
+                           docs_per_group=2).collect()
+    assert rows and all(r["rank_in_group"] <= 2 for r in rows)
+    # every returned docid's score matches the oracle's
+    exp = {d.docid: np.float32(d.score) for d in oracle.search(q, 200)}
+    for r in rows:
+        assert np.float32(r["score"]) == exp[r["docid"]]
+
+    rs = C.rescore(searcher, q, TermQuery(terms[0]), rescore_n=50,
+                   k=10, first_weight=1.0, second_weight=2.0).collect()
+    assert rs
+    exp2 = {d.docid: d.score for d in oracle.search(TermQuery(terms[0]), 200)}
+    for r in rs[:3]:
+        want = exp[r["docid"]] + np.float32(2.0) * np.float32(
+            exp2.get(r["docid"], 0.0))
+        assert abs(np.float32(r["score"]) - np.float32(want)) < 2e-3
