@@ -214,17 +214,24 @@ def more_like_this(searcher: IndexSearcher, docid: int,
     log((N+1)/(df+1)) + 1 there; we use the engine's BM25 idf — the
     ranking, which is all that matters, is identical in N, df), take
     the top `max_query_terms` as SHOULD clauses."""
-    rows = (searcher.postings.where((F.col("docid") == docid)
-                                    & (F.col("field") == "content"))
-            .select("term", "tf").collect())
-    if not rows:
-        return BooleanQuery.of(should=[])
-    terms = [r["term"] for r in rows]
-    stats = searcher.term_stats({("content", t) for t in terms})
+    if hasattr(searcher, "term_vector"):
+        # SegmentSearcher: term vector from the doc's own segment
+        pairs = searcher.term_vector(docid)
+        if not pairs:
+            return BooleanQuery.of(should=[])
+        dfm = searcher._stats({t for t, _tf in pairs})
+        stats = {("content", t): dfm.get(t, 0) for t, _tf in pairs}
+    else:
+        rows0 = (searcher.postings.where((F.col("docid") == docid)
+                                         & (F.col("field") == "content"))
+                 .select("term", "tf").collect())
+        pairs = [(r["term"], int(r["tf"])) for r in rows0]
+        if not pairs:
+            return BooleanQuery.of(should=[])
+        stats = searcher.term_stats({("content", t) for t, _tf in pairs})
     n = searcher.doc_count
     scored = []
-    for r in rows:
-        t, tf = r["term"], int(r["tf"])
+    for t, tf in pairs:
         df = stats.get(("content", t), 0)
         if tf < min_term_freq or df < min_doc_freq:
             continue

@@ -1488,6 +1488,39 @@ class SegmentSearcher:
         return (topk.join(F.broadcast(qmap_df), "qidx")
                 .select("qid", "docid", "score", "rn"))
 
+    def term_vector(self, docid: int,
+                    field: str = "content") -> list[tuple[str, int]]:
+        """(term, tf) pairs of ONE document — the term-vectors read
+        (TermVectorsReader role) the v2 codec serves by scanning the
+        doc's OWN segment partition only: docmap resolves the segment,
+        the block scan prunes to it, and only blocks whose docid range
+        covers the doc decode (a few per term region). Feeds
+        MoreLikeThis on the compressed path."""
+        seg_row = (self.index.docmap().where(F.col("docid") == docid)
+                   .select("segment").collect())
+        if not seg_row:
+            return []
+        seg = int(seg_row[0]["segment"])
+        pfx = "" if field == "content" else field + FIELD_SEP
+        scope = (F.col("term").startswith(pfx) if pfx
+                 else ~F.col("term").contains(FIELD_SEP))
+        pdf = (self.blocks
+               .where((F.col("segment") == seg) & scope
+                      & (F.col("first_docid") <= docid)
+                      & (F.col("last_docid") >= docid))
+               .select("term", "n", "first_docid", "docids", "tfs")
+               .toPandas())
+        out = []
+        for r in pdf.itertuples(index=False):
+            n = int(r.n)
+            d = codec.decode_docids(int(r.first_docid), r.docids, n)
+            j = int(np.searchsorted(d, docid))
+            if j < d.size and int(d[j]) == docid:
+                tfs = codec.decode_seq(r.tfs, n)
+                out.append((r.term[len(pfx):], int(tfs[j])))
+        out.sort()
+        return out
+
     # -- serving mode (driver-local evaluation) -------------------------
     def _local_tbs(self, qterms: set[str]) -> dict:
         """Fetch (and cache) the given terms' block rows driver-side:

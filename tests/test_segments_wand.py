@@ -654,3 +654,31 @@ def test_collapse_and_rescore_over_v2(built):
         want = exp[r["docid"]] + np.float32(2.0) * np.float32(
             exp2.get(r["docid"], 0.0))
         assert abs(np.float32(r["score"]) - np.float32(want)) < 2e-3
+
+
+def test_term_vector_and_mlt_over_v2(built, spark):
+    """term_vector reads one doc's (term, tf) pairs from its own
+    segment partition; MoreLikeThis over SegmentSearcher builds the
+    same query the oracle's analyzer implies."""
+    from collections import Counter
+
+    from lucene_solr_spark.analysis import StandardAnalyzer
+    from lucene_solr_spark.search import components as C
+
+    idx, searcher, oracle, pdf = built
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    docid = 7
+    terms, _pos = an.analyze(pdf["content"].iloc[docid])
+    want = sorted(Counter(terms).items())
+    got = searcher.term_vector(docid)
+    assert got == want
+
+    q = C.more_like_this(searcher, docid, max_query_terms=15)
+    assert q.clauses, "MLT built an empty query"
+    got_hits = searcher.search(q, 10)
+    exp_hits = oracle.search(q, 10)
+    assert [(d.docid, np.float32(d.score)) for d in got_hits] == [
+        (d.docid, np.float32(d.score)) for d in exp_hits]
+    # facet_on_results over v2 (all-hits semi-join + groupBy)
+    fc = C.facet_on_results(searcher, q, "lang").collect()
+    assert fc and sum(r["count"] for r in fc) == oracle.count(q)
