@@ -136,6 +136,24 @@ def edismax_query(query_string: str, qf: dict[str, float],
     return BooleanQuery((BooleanClause(main, "MUST"), *boost_clauses))
 
 
+def _field_dict(searcher, field: str = "content"):
+    """One field's dictionary rows regardless of searcher layout: the
+    v1 dict carries a field column; the v2 (compressed) dict qualifies
+    non-content terms with FIELD_SEP — strip the prefix so callers see
+    bare terms either way."""
+    d = searcher.dict
+    if "field" in d.columns:
+        return d.where(F.col("field") == field)
+    from ..index.segments import FIELD_SEP
+
+    if field == "content":
+        return d.where(~F.col("term").contains(FIELD_SEP))
+    pfx = field + FIELD_SEP
+    return (d.where(F.col("term").startswith(pfx))
+            .withColumn("term", F.expr(f"substring(term, {len(pfx) + 1})")))
+
+
+
 def collapse_topk(searcher: IndexSearcher, q: Query, group_col: str,
                   k_groups: int = 10, docs_per_group: int = 1) -> DataFrame:
     """Top groups by best-hit score; within each group the top
@@ -265,8 +283,8 @@ def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
     """Prefix completion from the dictionary, weighted by df (the FST
     suggester's weight role). Dict scan is bucket/row-group pruned by
     the startswith predicate."""
-    return (searcher.dict.where(F.col("term").startswith(prefix)
-                                & (F.col("field") == "content"))
+    return (_field_dict(searcher)
+            .where(F.col("term").startswith(prefix))
             .select("term", F.col("df").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term")).limit(n))
 
@@ -408,11 +426,10 @@ def spellcheck(searcher: IndexSearcher, word: str, n: int = 5,
         df_floor = max(df_floor,
                        int(threshold_frequency * searcher.doc_count) - 1)
 
-    cond = ((F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
-            & (F.col("field") == "content"))
+    cond = (F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
     if min_prefix > 0:
         cond = cond & F.col("term").startswith(word[:min_prefix])
-    cands = searcher.dict.where(cond).select("term", "df").collect()
+    cands = _field_dict(searcher).where(cond).select("term", "df").collect()
     out = []
     for r in cands:
         t = r["term"]
@@ -703,7 +720,7 @@ def terms_enum(searcher: IndexSearcher, field: str = "content",
     sargable range predicate (startswith → [prefix, prefix+\\uffff)),
     so parquet row-group pruning applies when the dict is sorted by
     term; sort=count is a global top-k (TakeOrderedAndProject)."""
-    d = searcher.dict.where(F.col("field") == field)
+    d = _field_dict(searcher, field)
     if prefix:
         d = d.where(F.col("term").startswith(prefix))
     if regex:

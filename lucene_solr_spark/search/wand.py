@@ -824,6 +824,13 @@ class SegmentSearcher:
     def manifest(self) -> dict:
         return self.index.manifest()
 
+    def term_stats(self, pairs) -> dict:
+        """{(field, term): df} — the IndexSearcher-compatible stats
+        surface components (spellcheck, MLT term ranking) consume."""
+        qmap = {p: _qual(p[0], p[1]) for p in pairs}
+        dfm = self._stats(set(qmap.values()))
+        return {p: dfm.get(qt, 0) for p, qt in qmap.items()}
+
     # -- planning -------------------------------------------------------
     def field_scorer(self, field: str) -> "bm25.BM25Scorer":
         sc = self.scorers.get(field)

@@ -682,3 +682,27 @@ def test_term_vector_and_mlt_over_v2(built, spark):
     # facet_on_results over v2 (all-hits semi-join + groupBy)
     fc = C.facet_on_results(searcher, q, "lang").collect()
     assert fc and sum(r["count"] for r in fc) == oracle.count(q)
+
+
+def test_suggest_spellcheck_terms_over_v2(built):
+    """Dictionary components (suggest / spellcheck / terms_enum) work
+    over the v2 dict through the _field_dict adapter, matching the
+    oracle's vocabulary."""
+    from lucene_solr_spark.search import components as C
+
+    idx, searcher, oracle, pdf = built
+    vocab = sorted({t for _f, t in oracle.postings})
+    pfx = vocab[len(vocab) // 2][:2]
+    got = C.suggest(searcher, pfx, 10).collect()
+    want = sorted(
+        ((oracle.doc_freq(t), t) for t in vocab if t.startswith(pfx)),
+        key=lambda x: (-x[0], x[1]))[:10]
+    assert [(r["term"], r["weight"]) for r in got] == [
+        (t, df) for df, t in want]
+
+    word = max(vocab, key=len)
+    sc = C.spellcheck(searcher, word[:-1] + "x", n=5)
+    assert sc, "no spellcheck candidates"
+
+    te = C.terms_enum(searcher, prefix=pfx, limit=5).collect()
+    assert te and all(r["term"].startswith(pfx) for r in te)
