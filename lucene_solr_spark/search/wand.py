@@ -1377,6 +1377,20 @@ class SegmentSearcher:
         rows = self.search_df(q, k, use_wand=use_wand).collect()
         return [TopDoc(r["docid"], r["score"]) for r in rows]
 
+    def search_after(self, q: Query, after: TopDoc,
+                     k: int = 10) -> list[TopDoc]:
+        """Keyset pagination (IndexSearcher.searchAfter semantics:
+        (score < s) OR (score == s AND docid > d)) — one all-hits
+        evaluation filtered past the totem; cursor_page's deep-paging
+        substrate on the compressed path."""
+        scored = self.search_df(q, None)
+        sv = float(np.float32(after.score))
+        pred = ((F.col("score") < sv)
+                | ((F.col("score") == sv) & (F.col("docid") > after.docid)))
+        rows = (scored.where(pred)
+                .orderBy(F.desc("score"), F.asc("docid")).limit(k).collect())
+        return [TopDoc(r["docid"], r["score"]) for r in rows]
+
     #: batch size at which search_many switches from per-query WAND
     #: traversals to the compiled-tree exhaustive leaf. Rationale: in a
     #: large batch every hot term's blocks get decoded anyway (shared

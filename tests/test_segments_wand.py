@@ -706,3 +706,40 @@ def test_suggest_spellcheck_terms_over_v2(built):
 
     te = C.terms_enum(searcher, prefix=pfx, limit=5).collect()
     assert te and all(r["term"].startswith(pfx) for r in te)
+
+
+def test_paging_elevation_expand_diversified_over_v2(built):
+    """cursor_page / elevate_topk / expand_topk / diversified_topk run
+    over SegmentSearcher unchanged (search_df + docs surface)."""
+    from lucene_solr_spark.search import components as C
+
+    idx, searcher, oracle, pdf = built
+    terms = _terms_by_df(oracle, 6)
+    q = BooleanQuery.of(should=[TermQuery(terms[-1]),
+                                TermQuery(terms[-2])])
+    exp = [d.docid for d in oracle.search(q, 40)]
+
+    # deep paging: pages concatenate to the oracle ranking
+    seen, cursor = [], "*"
+    for _ in range(6):
+        rows, nxt = C.cursor_page(searcher, q, k=5, cursor_mark=cursor)
+        if not rows or nxt == cursor:
+            break
+        seen.extend(d.docid for d in rows)
+        cursor = nxt
+    assert seen == exp[:len(seen)] and len(seen) >= 10
+
+    ele = C.elevate_topk(searcher, q, elevated=[exp[3], 99999], k=8,
+                         excluded=[exp[0]]).collect()
+    ids = [r["docid"] for r in ele]
+    assert ids[:2] == [exp[3], 99999]
+    assert exp[0] not in ids
+
+    grp = C.expand_topk(searcher, q, "repo", k_groups=3,
+                        expand_rows=2).collect()
+    assert grp and all(r["expand_rank"] <= 2 for r in grp)
+
+    div = C.diversified_topk(searcher, q, "repo", k=6,
+                             max_per_key=1).collect()
+    keys = [r["repo"] for r in div]
+    assert len(keys) == len(set(keys))
