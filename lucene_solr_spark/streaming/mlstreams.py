@@ -282,11 +282,18 @@ i{it} AS MATERIALIZED (SELECT sum(1.0/(1.0+exp(-({zi}))) - y) AS g0,
   FROM fx)""")
         neww = [f"(({w[i]}) - {_TLOGIT_ALPHA} * (SELECT g{i} FROM i{it}))"
                 for i in range(k + 1)]
+        # Double-round (9 then 6 decimals): a float64 sum's partition-
+        # order noise (~1e-13 relative) can flip round(x, 6) when x sits
+        # within noise of a 0.5e-6 boundary. Rounding at 9 decimals
+        # first collapses cross-engine noise well below the 6-decimal
+        # cut; both the Spark entry (F.round) and DuckDB round half
+        # away from zero, so the two sides share one tie rule.
         rows.append(
             f"SELECT {it} AS iteration, "
-            + ", ".join(f"round({neww[i]}, 6) AS w{i}"
+            + ", ".join(f"round(round({neww[i]}, 9), 6) AS w{i}"
                         for i in range(k + 1))
-            + f", round((SELECT total_error FROM i{it}), 6) AS error"
+            + f", round(round((SELECT total_error FROM i{it}), 9), 6)"
+            " AS error"
             + ", ".join([""] + [f"(SELECT {c} FROM i{it}) AS {c}"
                                 for c in ("tp", "fp", "tn", "fn")]))
         w = neww
@@ -305,14 +312,29 @@ def text_logit_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("outcome"))
     recs = text_logit(_tokens(spark, sf_dir), labels, _TLOGIT_TERMS,
                       iterations=_TLOGIT_ITERS, alpha=_TLOGIT_ALPHA)
-    k = len(_TLOGIT_TERMS)
+    return _emit_logit_rows(spark, recs, len(_TLOGIT_TERMS))
+
+
+def _emit_logit_rows(spark: SparkSession, recs: list[dict],
+                     k: int) -> DataFrame:
+    """Render textLogit training records as the driver-row DataFrame.
+
+    Double-rounds (9 then 6 decimals) with Spark's SQL round — half
+    away from zero, the same tie rule DuckDB uses; Python's round()
+    is banker's and must NOT be used here. See _tlogit_oracle_sql for
+    the rounding rationale.
+    """
     rows = [
         tuple([r["iteration"]]
-              + [round(wv, 6) for wv in r["weights"]]
-              + [round(r["error"], 6), r["tp"], r["fp"], r["tn"],
+              + [float(wv) for wv in r["weights"]]
+              + [float(r["error"]), r["tp"], r["fp"], r["tn"],
                  r["fn"]])
         for r in recs]
     schema = ("iteration int, "
               + ", ".join(f"w{i} double" for i in range(k + 1))
               + ", error double, tp long, fp long, tn long, fn long")
-    return spark.createDataFrame(rows, schema).orderBy("iteration")
+    dbl = [F.round(F.round(F.col(c), 9), 6).alias(c)
+           for c in ([f"w{i}" for i in range(k + 1)] + ["error"])]
+    return (spark.createDataFrame(rows, schema)
+            .select("iteration", *dbl, "tp", "fp", "tn", "fn")
+            .orderBy("iteration"))

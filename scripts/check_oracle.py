@@ -43,6 +43,29 @@ def normalize(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def exact_cell(v):
+    """Repr-exact float view (mirrors the driver's value hash, which
+    feeds raw arrow buffers to the hasher): only -0.0 and Decimal are
+    canonicalized; no rounding."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v + 0.0)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v) + 0.0)
+    except ImportError:
+        pass
+    return v
+
+
+def normalize_exact(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(exact_cell(r[i]) for i in order) for r in rows)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -120,15 +143,33 @@ def main():
             problems.append(f"cols {scols} vs {dcols}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        drift = []
         if not problems:
             a = normalize(srows, scols)
             b = normalize(drows, dcols)
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
+            else:
+                # The DRIVER's value hash is exact-repr, not 1e-9-
+                # normalized: sub-1e-9 float drift between engines is
+                # invisible to this gate but flips the driver's hash
+                # when a value sits on a rounding boundary (the round-4
+                # text_logit_train lesson). Warn on any exact mismatch
+                # the normalization swallowed so rounding-boundary rows
+                # surface here first.
+                ea = normalize_exact(srows, scols)
+                eb = normalize_exact(drows, dcols)
+                if ea != eb:
+                    dd = [(x, y) for x, y in zip(ea, eb) if x != y][:2]
+                    drift.append(f"sub-1e-9 float drift, e.g. {dd}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             bad += 1
+        elif drift:
+            print(f"ok~   {name} ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s) WARN: {'; '.join(drift)}")
+            ok += 1
         else:
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             ok += 1

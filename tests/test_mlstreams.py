@@ -151,3 +151,40 @@ def test_text_logit_error_decreases(frames):
     # participating docs perfectly by the last iteration
     last = recs[-1]
     assert last["fp"] == 0 and last["fn"] == 0
+
+
+def test_text_logit_row_parallelism_invariant(spark, sf_dir):
+    """The driver row's emitted values must be invariant across input
+    partition layouts and spark.sql.shuffle.partitions — guards the
+    double-summation rounding-boundary flake class: partition-order
+    noise in the float64 gradient sums (~1e-13 relative) must never
+    survive the double-round (9 then 6 decimals) output contract."""
+    from lucene_solr_spark.streaming.mlstreams import (
+        _TLOGIT_ALPHA,
+        _TLOGIT_ITERS,
+        _TLOGIT_TERMS,
+        _emit_logit_rows,
+    )
+    from lucene_solr_spark.relational.suite import _tokens, load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("outcome"))
+    toks = _tokens(spark, sf_dir)
+
+    outs = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_parts, shuffle in [(2, "2"), (8, "8"), (17, "37")]:
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+            recs = text_logit(
+                toks.repartition(n_parts), labels, _TLOGIT_TERMS,
+                iterations=_TLOGIT_ITERS, alpha=_TLOGIT_ALPHA)
+            rows = [tuple(r) for r in _emit_logit_rows(
+                spark, recs, len(_TLOGIT_TERMS)).collect()]
+            outs.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == outs[1] == outs[2]
