@@ -293,8 +293,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         i = j + 2  # skip stuffed 00
                         j = i
                         continue
-                    if 0xD0 <= nxt <= 0xD7:  # RSTn: keep walking
-                        j += 2
+                    if 0xD0 <= nxt <= 0xD7:
+                        # RSTn: drop the marker pair HERE, where FF Dn
+                        # is unambiguous (a data 0xFF is still stuffed
+                        # as FF 00 at this point). Stripping later from
+                        # the unstuffed stream would also delete a
+                        # legitimate data byte 0xFF followed by a data
+                        # byte in 0xD0-0xD7.
+                        chunks.append(payload[i:j])
+                        i = j + 2
+                        j = i
                         continue
                     break
                 j += 1
@@ -313,11 +321,10 @@ def _decode_scan(data, scan, qt, huff_dc, huff_ac, width, height,
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    # strip RST markers (we re-align at each interval)
-    data = data.replace(b"\xff\xd0", b"").replace(b"\xff\xd1", b"") \
-               .replace(b"\xff\xd2", b"").replace(b"\xff\xd3", b"") \
-               .replace(b"\xff\xd4", b"").replace(b"\xff\xd5", b"") \
-               .replace(b"\xff\xd6", b"").replace(b"\xff\xd7", b"")
+    # RST markers were already removed during the SOS chunk walk in
+    # decode_jpeg (the only place FF Dn is unambiguous); the stream
+    # here is pure unstuffed entropy data and we re-align at each
+    # restart interval via br.align().
     br = _BitReader(data)
     planes = []
     coefs = []  # per scan component: list of (bx, by, 64-coef array)
@@ -462,11 +469,14 @@ def _quantize_plane(plane: np.ndarray, q: np.ndarray, bh: int,
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """(H, W, 3) RGB or (H, W) gray uint8 -> baseline JPEG.
     ``subsample=True`` emits 4:2:0 (2x2 luma sampling, box-averaged
     chroma) — exercising the decoder's interleaved-MCU upsample path;
-    default is 4:4:4."""
+    default is 4:4:4. ``restart_interval=n`` emits a DRI segment and
+    RSTm markers every n MCUs (T.81 B.2.4.4 / E.1.4) — exercising the
+    decoder's restart re-alignment path."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -528,6 +538,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
     for tc, th, (bits, vals) in tables:
         seg(b"\xff\xc4", bytes([(tc << 4) | th] + bits + vals))
+    if restart_interval:
+        seg(b"\xff\xdd", int(restart_interval).to_bytes(2, "big"))
     sos = bytearray([nc])
     for c in range(nc):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -537,8 +549,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     bw = _BitWriter()
     preds = [0] * nc
     tabs = [(enc_dc_l, enc_ac_l)] + [(enc_dc_c, enc_ac_c)] * (nc - 1)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align (1-fill) before the marker
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * nc
+            mcu_count += 1
             for ci in range(nc):
                 sh, sv = samps[ci]
                 for v in range(sv):

@@ -211,6 +211,70 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(bad)
 
 
+def test_jpeg_roundtrip_fuzz_ff_rst_bytes():
+    """Regression for the RST-stripping bug: a data byte 0xFF (stuffed
+    as FF 00 on the wire) followed by a data byte in 0xD0-0xD7 must
+    survive decoding. The old code string-replaced FF D0..D7 on the
+    UNSTUFFED stream, deleting such pairs (~15% of random images →
+    Huffman desync: exceptions or >100 channel error). Random noise at
+    high quality maximizes the pair probability; 20 seeded trials make
+    at least one occurrence overwhelmingly likely."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(20260821)
+    saw_pair = 0
+    for _ in range(20):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = encode_jpeg(img, quality=97)
+        # count FF+D0..D7 pairs in the unstuffed entropy stream (the
+        # trigger condition): unstuff FF00->FF over the SOS payload
+        sos = payload[payload.rindex(b"\xff\xda"):]
+        unstuffed = sos.replace(b"\xff\x00", b"\xff")
+        if any(unstuffed[i] == 0xFF and 0xD0 <= unstuffed[i + 1] <= 0xD7
+               for i in range(len(unstuffed) - 1)):
+            saw_pair += 1
+        dec = decode_jpeg(payload)  # must not raise
+        assert dec.shape == img.shape
+        # quality-97 4:4:4 reconstruction of noise stays within
+        # quantization error; a Huffman desync blows far past this
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 60 and err.mean() <= 8.0, (err.max(),
+                                                       err.mean())
+    assert saw_pair >= 1  # the trigger condition actually occurred
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn path: encoder emits real restart markers; decoder must
+    split them out during the (stuffed) chunk walk, re-align, and
+    reset DC predictors — bit-identical reconstruction to the
+    no-restart encoding of the same image."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 41, 59
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack([
+        128 + 90 * np.sin(xx / 4.0) + 30 * np.cos(yy / 3.0),
+        255 * ((xx // 4 + yy // 4) % 2),
+        np.clip(xx * 4 + yy * 3, 0, 255)], axis=-1), 0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 2, 5):
+        payload = encode_jpeg(img, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI present
+        assert any(bytes([0xFF, 0xD0 + n]) in payload for n in range(8))
+        dec = decode_jpeg(payload)
+        assert np.array_equal(dec, base), ri
+    # subsampled + restarts together
+    p420 = encode_jpeg(img, quality=90, subsample=True, restart_interval=3)
+    b420 = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert np.array_equal(decode_jpeg(p420), b420)
+
+
 def test_media_jpeg_end_to_end(spark, docs):
     """attach_fake_media(fmt='jpeg') emits REAL JPEG payloads and the
     use_real decode path extracts features from decoded pixels —
