@@ -700,6 +700,20 @@ def split_index(src_root: str, out_roots: list[str],
         if part_dels:
             append_deletes(out_root, part_dels)
         pman = dict(man)
+        if man.get("field_stats"):
+            # per-part per-field collection stats (a standalone part
+            # owns LOCAL stats — same recompute as the flat dict/stats
+            # above; kind=2 rows are per-(doc, field))
+            fs = {"content": {"doc_count": n_docs,
+                              "sum_ttf": int(agg["s"] or 0)}}
+            k2 = (spark.read.parquet(src_idx.blocks_path)
+                  .where(pred & (F.col("kind") == 2)))
+            for r in k2.groupBy("term").agg(
+                    F.count("*").alias("dc"),
+                    F.sum("n").alias("st")).collect():
+                fs[r["term"]] = {"doc_count": int(r["dc"]),
+                                 "sum_ttf": int(r["st"] or 0)}
+            pman["field_stats"] = fs
         pman.update(doc_count=n_docs, sum_ttf=int(agg["s"] or 0),
                     n_segments=len(seg_ids),
                     split_from=os.path.basename(os.path.normpath(src_root)),

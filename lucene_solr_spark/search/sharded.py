@@ -62,15 +62,36 @@ class ShardedSearcher:
         self.sum_ttf = sum(s.sum_ttf for s in self.shards)
         if stats == "exact":
             # collection-level stats merge (ExactStatsCache.java:
-            # mergeToGlobalStats role); per-term dfs resolve per query
-            scorer = bm25.BM25Scorer(self.doc_count, self.sum_ttf)
+            # mergeToGlobalStats role), PER FIELD — every shard scores
+            # every field with global docCount/avgdl; per-term dfs
+            # resolve per query
+            fields: set[str] = set()
             for s in self.shards:
-                s.set_scorer(scorer)
+                fields |= set(s.field_stats)
+            for f in sorted(fields):
+                dc = sum(int(s.field_stats.get(f, {}).get("doc_count", 0))
+                         for s in self.shards)
+                ttf = sum(int(s.field_stats.get(f, {}).get("sum_ttf", 0))
+                          for s in self.shards)
+                scorer = bm25.BM25Scorer(max(dc, 1), max(ttf, 1))
+                for s in self.shards:
+                    s.set_scorer(scorer, field=f)
+
+    def _query_terms(self, q: Query) -> set[str]:
+        """FIELD-QUALIFIED terms of ``q`` (the _qual rendering
+        SegmentSearcher keys stats/blocks by — a bare-term key would
+        silently resolve df=0 for any non-content field), unioned over
+        each shard's rewrite so multi-term expansions contribute their
+        per-shard expansions to the stats round."""
+        out: set[str] = set()
+        for s in self.shards:
+            out |= SegmentSearcher._general_terms(s.rewrite(q))
+        return out
 
     def _global_dfs(self, q: Query) -> dict[str, int]:
         """Per-term global docFreq = Σ shard docFreq (the stats
         round-trip; ExactStatsCache.returnLocalStats → merge)."""
-        terms = _query_terms(q)
+        terms = self._query_terms(q)
         out: dict[str, int] = {}
         for s in self.shards:
             for t, df in s._stats(terms).items():
@@ -88,7 +109,7 @@ class ShardedSearcher:
         if self.stats_mode == "exact":
             term_set: set[str] = set()
             for q in queries.values():
-                term_set |= _query_terms(q)
+                term_set |= self._query_terms(q)
             stats = {}
             for s in self.shards:
                 for t, df in s._stats(term_set).items():
@@ -96,16 +117,12 @@ class ShardedSearcher:
         qid_list = list(queries)
         per_shard: list[dict[str, list[TopDoc]]] = []
         for s in self.shards:
-            if stats is not None:
-                # inject global stats through the per-shard cache hook
-                saved = s._df_map
-                s._df_map = dict(stats)
-                try:
-                    res = s.search_many(queries, k, use_wand=use_wand)
-                finally:
-                    s._df_map = saved
-            else:
-                res = s.search_many(queries, k, use_wand=use_wand)
+            # global stats thread through the searcher's stats
+            # override (like search_df's) — never by mutating the
+            # shared _df_map, which is both non-reentrant and the
+            # multi-term rewrite dictionary
+            res = s.search_many(queries, k, use_wand=use_wand,
+                                stats=stats)
             per_shard.append(res)
         out: dict[str, list[TopDoc]] = {}
         for qid in qid_list:
@@ -136,16 +153,3 @@ class ShardedSearcher:
                 for score, si, docid in merged]
 
 
-def _query_terms(q: Query) -> set[str]:
-    from .queries import BooleanQuery, PhraseQuery, TermQuery
-
-    if isinstance(q, TermQuery):
-        return {q.term}
-    if isinstance(q, PhraseQuery):
-        return set(q.terms)
-    if isinstance(q, BooleanQuery):
-        out: set[str] = set()
-        for c in q.clauses:
-            out |= _query_terms(c.query)
-        return out
-    raise TypeError(f"unsupported query {type(q)} on the sharded path")

@@ -1403,17 +1403,23 @@ class SegmentSearcher:
     BATCH_TREE_MIN = 16
 
     def _search_many_tree_df(self, queries: dict[str, Query], k: int = 10,
-                             _raw: bool = False) -> DataFrame:
+                             _raw: bool = False,
+                             stats: dict[str, int] | None = None) -> DataFrame:
         """Batched compiled-tree evaluation (see BATCH_TREE_MIN). Also
         lifts the batch path's query-algebra limit: any search_df-able
-        query (dismax/nested boolean/constant-score/synonym) batches."""
+        query (dismax/nested boolean/constant-score/synonym) batches.
+        ``stats``: optional qualified-term → global df override (the
+        distributed ExactStatsCache hook, like search_df's)."""
         spark = self.index.spark
         queries = {qid: self.rewrite(q) for qid, q in queries.items()}
         qid_list = list(queries)
         term_set: set[str] = set()
         for q in queries.values():
             term_set |= self._general_terms(q)
-        stats = self._stats(term_set)
+        if stats is None:
+            stats = self._stats(term_set)
+        else:
+            stats = {t: stats[t] for t in term_set if t in stats}
         trees = []
         scan_term_set: set[str] = set()
         any_phrases = False
@@ -1602,7 +1608,8 @@ class SegmentSearcher:
 
     # -- batched execution ---------------------------------------------
     def search_many_df(self, queries: dict[str, Query], k: int = 10,
-                       use_wand: bool = True, _raw: bool = False) -> DataFrame:
+                       use_wand: bool = True, _raw: bool = False,
+                       stats: dict[str, int] | None = None) -> DataFrame:
         """Evaluate MANY queries in ONE job over the compressed index —
         the flagship throughput path (north-star workload: block-max
         WAND BM25 top-k over compressed postings).
@@ -1624,7 +1631,8 @@ class SegmentSearcher:
         spark = self.index.spark
         qid_list = list(queries)
         if len(qid_list) >= self.BATCH_TREE_MIN:
-            return self._search_many_tree_df(queries, k, _raw=_raw)
+            return self._search_many_tree_df(queries, k, _raw=_raw,
+                                             stats=stats)
         queries = {qid: self.rewrite(q) for qid, q in queries.items()}
         try:
             flat = {qid: self._flatten(q) for qid, q in queries.items()}
@@ -1632,11 +1640,17 @@ class SegmentSearcher:
             # a query outside the term/phrase algebra (rewritten
             # multi-term, dismax, ...) — the compiled-tree leaf covers
             # the full algebra at any batch size
-            return self._search_many_tree_df(queries, k, _raw=_raw)
+            return self._search_many_tree_df(queries, k, _raw=_raw,
+                                             stats=stats)
         term_set = {t for p in flat.values() for t, _ in p.scoring}
         term_set |= {t for p in flat.values()
                      for ph in p.phrases for t in ph[0]}
-        stats = self._stats(term_set)
+        if stats is None:
+            stats = self._stats(term_set)
+        else:
+            # injected global stats (ExactStatsCache hook — see
+            # search_df): restrict to present keys, matching _stats
+            stats = {t: stats[t] for t in term_set if t in stats}
         plans: list[tuple[dict[str, float], _SegPlan, tuple] | None] = []
         scan_term_set: set[str] = set()
         any_phrases = False
@@ -1742,9 +1756,11 @@ class SegmentSearcher:
                 .select("qid", "docid", "score", "rn"))
 
     def search_many(self, queries: dict[str, Query], k: int = 10,
-                    use_wand: bool = True) -> dict[str, list[TopDoc]]:
+                    use_wand: bool = True,
+                    stats: dict[str, int] | None = None
+                    ) -> dict[str, list[TopDoc]]:
         rows = self.search_many_df(queries, k, use_wand=use_wand,
-                                   _raw=True).collect()
+                                   _raw=True, stats=stats).collect()
         qid_list = list(queries)
         out: dict[str, list[TopDoc]] = {qid: [] for qid in queries}
         for r in sorted(rows, key=lambda r: (r["qidx"], r["rn"])):

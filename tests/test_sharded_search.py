@@ -96,3 +96,87 @@ def test_batched_scatter_gather_exact(sharded):
         exp = oracle.search(q, 12)
         assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
             (d.docid, np.float32(d.score)) for d in exp], qid
+
+
+@pytest.fixture(scope="module")
+def sharded_mf(spark, tmp_path_factory):
+    """Multi-FIELD sharded fixture: per-field v2 postings split into 3
+    shards (regression: exact-stats used to key global dfs by BARE
+    term while the searcher keys by field-qualified term, so fielded
+    MUST clauses silently got df=0)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.corpus import corpus_df
+
+    src = str(tmp_path_factory.mktemp("shard_mf_src"))
+    corpus = corpus_df(spark, N_DOCS, partitions=4).withColumn(
+        "title",
+        F.concat_ws(" ", F.col("lang"), F.lit("file"), F.lit("of"),
+                    F.element_at(F.split(F.element_at(
+                        F.split(F.col("path"), "/"), -1), "\\."), 1)))
+    build_segment_index(corpus, src, stop_words=ENGLISH_STOP_WORDS,
+                        docs_per_segment=24,
+                        fields=("content", "title"))
+    roots = [str(tmp_path_factory.mktemp(f"shard_mf_{i}"))
+             for i in range(3)]
+    split_index(src, roots, spark)
+    pdf = (corpus_pandas(N_DOCS)
+           .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    oracle = OracleIndex(
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS))
+    for _, r in pdf.iterrows():
+        title = "%s file of %s" % (
+            r["lang"], r["path"].split("/")[-1].split(".")[0])
+        oracle.add({"content": r["content"], "title": title})
+    return roots, oracle, spark
+
+
+def test_exact_stats_multifield_fielded_queries(sharded_mf):
+    roots, oracle, spark = sharded_mf
+    s = ShardedSearcher(roots, spark, stats="exact", cache=True)
+    by_df = _probes(oracle)
+    queries = [
+        TermQuery("file", field="title"),
+        BooleanQuery.of(must=[TermQuery("python", field="title")],
+                        should=[TermQuery(by_df[-1])]),
+        BooleanQuery.of(should=[TermQuery("java", field="title"),
+                                TermQuery(by_df[-2])]),
+    ]
+    for q in queries:
+        exp = oracle.search(q, 15)
+        got = s.search(q, 15)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+        assert got, f"no hits for {q} — fielded stats dropped"
+
+
+def test_exact_stats_multifield_batched(sharded_mf):
+    roots, oracle, spark = sharded_mf
+    s = ShardedSearcher(roots, spark, stats="exact", cache=True)
+    by_df = _probes(oracle)
+    qs = {}
+    for i in range(18):  # >= BATCH_TREE_MIN: tree-batch leaf
+        qs[f"q{i}"] = BooleanQuery.of(
+            must=[TermQuery(["python", "java", "go"][i % 3], field="title")],
+            should=[TermQuery(by_df[-(1 + i % 7)])])
+    got = s.search_many(qs, 10)
+    for qid, q in qs.items():
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+
+
+def test_search_many_does_not_mutate_df_map(sharded):
+    """The exact-stats batch path must not clobber the shard
+    searcher's cached dictionary (_df_map) — it is shared state and
+    the multi-term rewrite vocabulary."""
+    roots, oracle, spark = sharded
+    s = ShardedSearcher(roots, spark, stats="exact", cache=True)
+    saved = [dict(sh._df_map) if sh._df_map is not None else None
+             for sh in s.shards]
+    by_df = _probes(oracle)
+    qs = {f"q{i}": TermQuery(by_df[-(1 + i % 5)]) for i in range(20)}
+    s.search_many(qs, 5)
+    for sh, before in zip(s.shards, saved):
+        after = dict(sh._df_map) if sh._df_map is not None else None
+        assert after == before
