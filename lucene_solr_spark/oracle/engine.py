@@ -584,7 +584,10 @@ class OracleIndex:
             sets = [set(m) for m in scoring[:n_must]]
             sets += [set(self._match(fq, scorer, 1.0)) for fq in filt]
             docs = set.intersection(*sets) if sets else set()
-            if should and msm > 0:
+            if msm > 0:
+                # applies even with zero SHOULD clauses: Lucene returns
+                # no hits when optional scorers < minShouldMatch
+                # (BooleanWeight.java:396)
                 docs = {
                     d for d in docs
                     if sum(1 for m in scoring[n_must:] if d in m) >= msm

@@ -1657,7 +1657,11 @@ class IndexSearcher:
                 n_must += occur == "MUST"
                 n_filter += occur == "FILTER"
                 n_should += occur == "SHOULD"
-            need = (msm if n_must or n_filter else max(msm, 1)) if n_should else 0
+            # n_should == 0 with msm > 0 must yield no hits
+            # (BooleanWeight.java:396) — keep need = msm so the
+            # SHOULD-count condition (always 0) fails every doc
+            need = (msm if n_must or n_filter else max(msm, 1)) \
+                if n_should else msm
             req_rows.append((qidx_of[qid], n_must, n_filter, need))
 
         # pure disjunction batch? (no MUST/FILTER/MUST_NOT anywhere and

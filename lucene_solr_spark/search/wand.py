@@ -908,8 +908,11 @@ class SegmentSearcher:
                 else:
                     raise TypeError(f"unknown occur {c.occur}")
             msm = q.minimum_should_match
+            # n_should == 0 with msm > 0: Lucene yields no hits
+            # (BooleanWeight.java:396, 0 optional scorers < msm) — keep
+            # need = msm so the per-doc SHOULD count (always 0) fails
             need = (msm if (must or filters or req_other)
-                    else max(msm, 1)) if n_should else 0
+                    else max(msm, 1)) if n_should else msm
             return _SegPlan(scoring, frozenset(must), frozenset(filters),
                             frozenset(excludes), need, tuple(phrases))
         raise TypeError(f"unsupported query {type(q)}")
@@ -1201,6 +1204,7 @@ class SegmentSearcher:
             return ("dismax", tuple(kids), float(q.tie_breaker))
         if isinstance(q, BooleanQuery):
             kids = []
+            n_should_kept = 0
             for c in q.clauses:
                 cb = 1.0 if c.occur in ("FILTER", "MUST_NOT") \
                     else boost * q.boost
@@ -1209,10 +1213,20 @@ class SegmentSearcher:
                     if c.occur in ("MUST", "FILTER"):
                         return ("none",)  # required clause can't match
                     continue  # SHOULD scores nothing; MUST_NOT excludes nothing
+                if c.occur == "SHOULD":
+                    n_should_kept += 1
                 kids.append((c.occur, node))
+            msm = int(q.minimum_should_match)
+            if msm > n_should_kept:
+                # BooleanWeight.java:396 — dropped (null-scorer) SHOULD
+                # clauses don't count toward minShouldMatch; when fewer
+                # survive than msm no document can match. Without this
+                # the bool node's msm became vacuous once every absent
+                # SHOULD clause was pruned above.
+                return ("none",)
             if not kids:
                 return ("none",)
-            return ("bool", tuple(kids), int(q.minimum_should_match))
+            return ("bool", tuple(kids), msm)
         if isinstance(q, MatchNoDocsQuery):
             return ("none",)
         from .intervals import IntervalQuery, interval_terms
@@ -1549,26 +1563,55 @@ class SegmentSearcher:
         return out
 
     # -- serving mode (driver-local evaluation) -------------------------
+
+    #: serving-mode block cache budget, in bytes of ENCODED posting
+    #: buffers (a Solr serving core's block cache is bounded/LRU the
+    #: same way — an unbounded cache would accumulate the postings of
+    #: every term ever queried for the searcher's lifetime). Decode
+    #: memos (_TermBlocks._all/_raw_all) are dropped with their term
+    #: on eviction; evict-and-refetch is one pushed-down scan.
+    LOCAL_CACHE_BYTES = 256 << 20
+
     def _local_tbs(self, qterms: set[str]) -> dict:
         """Fetch (and cache) the given terms' block rows driver-side:
         {qterm: {segment: _TermBlocks}}. One pushed-down scan per cache
-        miss batch — compressed postings are a few bytes per posting,
-        so a hot query vocabulary fits driver memory comfortably (the
-        role of a Solr serving node's block cache)."""
+        miss batch; bytes-capped LRU over terms (LOCAL_CACHE_BYTES) —
+        the live query's own terms are never evicted."""
         if not hasattr(self, "_local_cache"):
-            self._local_cache: dict = {}
-        missing = sorted(t for t in qterms if t not in self._local_cache)
+            import collections
+
+            self._local_cache: dict = collections.OrderedDict()
+            self._local_cache_bytes = 0
+        cache = self._local_cache
+        missing = sorted(t for t in qterms if t not in cache)
         if missing:
             pdf = (self.blocks.where(_str_in("term", missing))
                    .select("segment", "term", "block_ord", "n",
                            "first_docid", "last_docid", "docids", "tfs",
                            "norms", "positions").toPandas())
-            for t in missing:
-                self._local_cache[t] = {}
+            maps: dict[str, dict] = {t: {} for t in missing}
+            sizes: dict[str, int] = {t: 0 for t in missing}
             for (t, seg), sub in pdf.groupby(["term", "segment"]):
-                self._local_cache[t][int(seg)] = _TermBlocks(
+                maps[t][int(seg)] = _TermBlocks(
                     sub, _cache_for(self.caches, t))
-        return {t: self._local_cache.get(t, {}) for t in qterms}
+                sizes[t] += int(sum(
+                    len(b) for col in ("docids", "tfs", "norms",
+                                       "positions")
+                    for b in sub[col] if b is not None))
+            for t in missing:
+                cache[t] = (sizes[t], maps[t])
+                self._local_cache_bytes += sizes[t]
+        # LRU touch, then evict cold terms beyond the budget
+        for t in qterms:
+            if t in cache:
+                cache.move_to_end(t)
+        while self._local_cache_bytes > self.LOCAL_CACHE_BYTES and cache:
+            coldest = next(iter(cache))
+            if coldest in qterms:
+                break  # a single over-budget query still runs
+            _t, (sz, _m) = cache.popitem(last=False)
+            self._local_cache_bytes -= sz
+        return {t: cache[t][1] if t in cache else {} for t in qterms}
 
     def search_local(self, q: Query, k: int = 10) -> list[TopDoc]:
         """Single-query SERVING path: evaluate entirely in the driver

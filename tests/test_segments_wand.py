@@ -609,6 +609,42 @@ def test_search_local_serving_path(built):
     assert hot < 0.05, f"hot serving eval took {hot:.3f}s"
 
 
+def test_search_local_cache_bounded_lru(built):
+    """Serving-mode block cache is a bytes-capped LRU: a stream of
+    distinct-term queries must keep resident bytes under the cap,
+    evict cold terms, and return identical results under eviction
+    (evict-and-refetch, decode memos dropped with the term)."""
+    from lucene_solr_spark.index.segments import SegmentIndex
+    from lucene_solr_spark.search.wand import SegmentSearcher
+
+    idx, _shared, oracle, pdf = built
+    searcher = SegmentSearcher(SegmentIndex(idx.root, idx.spark),
+                               cache=True)
+    vocab = sorted({t for _f, t in oracle.postings})
+    probe = vocab[:40]
+    # size the cap to a handful of terms so the stream must evict
+    searcher._local_tbs({probe[0]})
+    one_sz = searcher._local_cache_bytes
+    assert one_sz > 0
+    searcher.LOCAL_CACHE_BYTES = max(one_sz * 5, 1)
+    cold = [(t, [(d.docid, np.float32(d.score))
+                 for d in searcher.search_local(TermQuery(t), 10)])
+            for t in probe]
+    assert searcher._local_cache_bytes <= searcher.LOCAL_CACHE_BYTES
+    assert len(searcher._local_cache) < len(probe), "nothing evicted"
+    # the earliest terms are evicted; re-query gives identical results
+    for t, want in (cold[:5] + cold[-5:]):
+        got = [(d.docid, np.float32(d.score))
+               for d in searcher.search_local(TermQuery(t), 10)]
+        assert got == want, t
+        exp = [(d.docid, np.float32(d.score))
+               for d in oracle.search(TermQuery(t), 10)]
+        assert got == exp, t
+    # accounting stays consistent after the churn
+    assert searcher._local_cache_bytes == sum(
+        sz for sz, _m in searcher._local_cache.values())
+
+
 def test_highlight_over_v2(built, spark):
     """The highlighter component runs over SegmentSearcher unchanged
     (two-phase: v2 top-k, content join, snippet UDF) and produces the

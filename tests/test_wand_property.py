@@ -95,3 +95,41 @@ def test_random_trees_identical(built, data):
     got = searcher.search_local(q, 10)
     assert [(d.docid, np.float32(d.score)) for d in got] == [
         (d.docid, np.float32(d.score)) for d in exp], q
+
+
+def test_msm_unreachable_matches_nothing(built):
+    """BooleanWeight.java:396: SHOULD clauses whose term is absent from
+    the index are dropped like null scorers; when fewer survive than
+    minimumNumberShouldMatch the query matches nothing — even if MUST
+    clauses alone would match. All engines must agree (regression: the
+    compiled-tree paths treated msm as vacuous once every absent
+    SHOULD clause was pruned)."""
+    searcher, oracle, terms = built
+    t_exist = next(t for t in terms if t != "zzzznotaterm"
+                   and oracle.doc_freq(t) > 0)
+    cases = [
+        BooleanQuery.of(must=[TermQuery(t_exist)],
+                        should=[TermQuery("zzzznotaterm")],
+                        minimum_should_match=1),
+        # degenerate: msm > 0 with zero SHOULD clauses at build time
+        BooleanQuery.of(must=[TermQuery(t_exist)],
+                        minimum_should_match=1),
+        # two absent SHOULD, msm=2, FILTER present
+        BooleanQuery(
+            (BooleanClause(TermQuery("zzzznotaterm"), "SHOULD"),
+             BooleanClause(TermQuery("zzzzalsonotaterm"), "SHOULD"),
+             BooleanClause(TermQuery(t_exist), "FILTER")),
+            minimum_should_match=2),
+    ]
+    for q in cases:
+        assert oracle.search(q, 10) == [], q
+        assert searcher.search_local(q, 10) == [], q
+        assert searcher.search_df(q, 10).count() == 0, q
+        batch = searcher.search_many({f"q{i}": q for i in range(17)}, 10)
+        assert all(v == [] for v in batch.values()), q
+    # sanity: one surviving SHOULD satisfying msm=1 still matches
+    ok = BooleanQuery.of(must=[TermQuery(t_exist)],
+                         should=[TermQuery("zzzznotaterm"),
+                                 TermQuery(t_exist)],
+                         minimum_should_match=1)
+    assert len(oracle.search(ok, 10)) > 0
