@@ -208,6 +208,78 @@ def decode_seq(buf: bytes, n: int) -> np.ndarray:
     return unpack_fixed(payload, int(h), n)
 
 
+def _concat_ranges(ns: np.ndarray) -> np.ndarray:
+    """[arange(n) for n in ns] concatenated, vectorized."""
+    total = int(ns.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    csum = np.cumsum(ns)
+    return np.arange(total, dtype=np.int64) - np.repeat(csum - ns, ns)
+
+
+def bulk_decode_seqs(bufs: list, ns: np.ndarray) -> np.ndarray:
+    """Decode MANY encoded sequences in ONE vectorized pass per
+    encoding class; returns the concatenation of their values in input
+    order — value-identical to
+    ``np.concatenate([decode_seq(b, n) for b, n in zip(bufs, ns)])``.
+
+    This is the batched counterpart of Lucene's bulk block decode
+    (``codecs/lucene50/ForUtil.java:41`` decodes whole 128-int blocks
+    at once): instead of a handful of numpy calls per (term, segment)
+    buffer — whose fixed per-call overhead dominates leaf tasks with
+    hundreds of terms — all same-width FOR payloads unpack in one
+    reshape, all varbyte payloads decode in one pass (the stream is
+    self-delimiting), and all ALL_EQUAL payloads expand in one repeat.
+    """
+    nbuf = len(bufs)
+    ns = np.asarray(ns, dtype=np.int64)
+    if nbuf == 0:
+        return np.zeros(0, dtype=np.uint64)
+    headers = np.fromiter((b[0] for b in bufs), dtype=np.uint8,
+                          count=nbuf)
+    total = int(ns.sum())
+    tstarts = np.cumsum(ns) - ns
+    out = np.empty(total, dtype=np.uint64)
+
+    def place(sel: np.ndarray, values: np.ndarray) -> None:
+        if sel.size == nbuf:  # single-class fast path: already in order
+            out[:] = values
+            return
+        idx = np.repeat(tstarts[sel], ns[sel]) + _concat_ranges(ns[sel])
+        out[idx] = values
+
+    mv = [memoryview(b)[1:] for b in bufs]
+
+    vb = np.flatnonzero(headers == _H_VARBYTE)
+    if vb.size:
+        vals = varbyte_decode(b"".join(mv[i] for i in vb),
+                              int(ns[vb].sum()))
+        place(vb, vals)
+
+    eq = np.flatnonzero(headers == _H_ALL_EQUAL)
+    if eq.size:
+        pairs = varbyte_decode(b"".join(mv[i] for i in eq),
+                               2 * eq.size)
+        vals = np.repeat(pairs[0::2], pairs[1::2].astype(np.int64))
+        place(eq, vals)
+
+    packed = np.flatnonzero((headers != _H_VARBYTE)
+                            & (headers != _H_ALL_EQUAL))
+    if packed.size:
+        # FOR payloads exist only for full blocks (encode_seq packs at
+        # v.size == BLOCK_SIZE), so each payload is exactly
+        # BLOCK_SIZE*w bits — concatenations reshape cleanly
+        for w in np.unique(headers[packed]):
+            sel = packed[headers[packed] == w]
+            joined = b"".join(mv[i] for i in sel)
+            bits = np.unpackbits(np.frombuffer(joined, dtype=np.uint8))
+            bits = bits.reshape(-1, int(w)).astype(np.uint64)
+            shifts = np.arange(int(w) - 1, -1, -1, dtype=np.uint64)
+            vals = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            place(sel, vals)
+    return out
+
+
 # --------------------------------------------------------------------------
 # posting-block encode/decode
 # --------------------------------------------------------------------------

@@ -237,6 +237,73 @@ class _TermBlocks:
         return docids, norms, poss
 
 
+def _bulk_fill_all(tbs: list["_TermBlocks"]) -> None:
+    """Populate ``_all`` (and, when no positions column rides,
+    ``_raw_all``) for MANY _TermBlocks in one vectorized pass — the
+    leaf-level counterpart of Lucene's bulk block decode
+    (ForUtil.java:41). One codec.bulk_decode_seqs call decodes every
+    term's docid-delta planes, one decodes every tf plane, one
+    frombuffer covers all norm bytes, and one score_terms call per
+    field cache scores everything; docids come from a single segmented
+    cumsum (block starts corrected by first - previous-last, which the
+    block metadata carries). Value-identical to per-term decode_all:
+    same decode functions, same float32 elementwise scoring."""
+    work = [tb for tb in tbs
+            if tb is not None and tb._all is None and tb.nblocks]
+    if not work:
+        return
+    dbufs: list = []
+    tbufs: list = []
+    nbufs: list = []
+    ns_parts, first_parts, last_parts = [], [], []
+    counts = np.empty(len(work), dtype=np.int64)
+    for i, tb in enumerate(work):
+        dbufs += tb.dbufs
+        tbufs += tb.tbufs
+        nbufs += tb.nbufs
+        ns_parts.append(tb.n)
+        first_parts.append(tb.first)
+        last_parts.append(tb.last)
+        counts[i] = int(tb.n.sum())
+    ns = np.concatenate(ns_parts)
+    firsts = np.concatenate(first_parts)
+    lasts = np.concatenate(last_parts)
+    deltas = codec.bulk_decode_seqs(dbufs, ns).astype(np.int64)
+    # segmented cumsum: each block's encoded delta[0] is 0; replacing
+    # it with (first - previous block's last) makes ONE global cumsum
+    # yield every block's absolute docids
+    starts = np.cumsum(ns) - ns
+    deltas[starts] = firsts - np.concatenate(([0], lasts[:-1]))
+    docids_flat = np.cumsum(deltas)
+    tfs_flat = codec.bulk_decode_seqs(tbufs, ns).astype(np.int64)
+    norms_flat = np.frombuffer(b"".join(nbufs), dtype=np.uint8) \
+        .astype(np.int64)
+    # one scoring call per distinct field cache (usually one)
+    scores_flat = np.empty(docids_flat.size, dtype=np.float32)
+    offs = np.cumsum(counts) - counts
+    by_cache: dict[int, list[int]] = {}
+    caches_seen: dict[int, np.ndarray] = {}
+    for i, tb in enumerate(work):
+        by_cache.setdefault(id(tb.cache), []).append(i)
+        caches_seen[id(tb.cache)] = tb.cache
+    one = np.float32(1.0)
+    for cid, idxs in by_cache.items():
+        if len(idxs) == len(work):
+            scores_flat[:] = bm25.score_terms(
+                tfs_flat, norms_flat, one, caches_seen[cid])
+            break
+        sl = np.concatenate([
+            np.arange(offs[i], offs[i] + counts[i]) for i in idxs])
+        scores_flat[sl] = bm25.score_terms(
+            tfs_flat[sl], norms_flat[sl], one, caches_seen[cid])
+    for i, tb in enumerate(work):
+        sl = slice(int(offs[i]), int(offs[i] + counts[i]))
+        d = docids_flat[sl]
+        tb._all = (d, scores_flat[sl])
+        if tb.pbufs is None:
+            tb._raw_all = (d, tfs_flat[sl], norms_flat[sl], [])
+
+
 class _SegGroups:
     """One segment's scanned block rows, sorted ONCE by (term,
     block_ord) and sliced per term with numpy — replaces the
@@ -1457,16 +1524,16 @@ class SegmentSearcher:
 
             retain_malloc()
             groups = _SegGroups(pdf)
-            tb_cache: dict = {}
+            # materialize every scanned term's blocks up front and
+            # decode them ALL in one vectorized pass (ForUtil.java:41
+            # bulk-decode role) — the per-(term, segment) decode loop's
+            # fixed numpy-call overhead dominated 500-query leaves
+            tb_cache: dict = {t: groups.get(t, _cache_for(caches, t))
+                              for t in groups.slices}
+            _bulk_fill_all(list(tb_cache.values()))
 
             def get_tb(term: str) -> _TermBlocks | None:
-                tb = tb_cache.get(term)
-                if tb is None:
-                    tb = groups.get(term, _cache_for(caches, term))
-                    if tb is None:
-                        return None
-                    tb_cache[term] = tb
-                return tb
+                return tb_cache.get(term)
 
             out_q, out_d, out_s = [], [], []
             for qi, tree in enumerate(trees):

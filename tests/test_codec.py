@@ -94,3 +94,43 @@ def test_block_max_score_is_exact_max():
     imp = codec.competitive_impacts(tfs, norms)
     ub = codec.block_max_score(imp, w, scorer.cache)
     assert ub == np.float32(actual.max())
+
+
+def test_bulk_decode_seqs_identity():
+    """bulk_decode_seqs == concatenated per-buffer decode_seq across
+    all three encoding classes (FOR widths, varbyte tails, ALL_EQUAL),
+    including the single-class fast path."""
+    import numpy as np
+
+    from lucene_solr_spark.index import codec
+
+    rng = np.random.default_rng(7)
+    bufs, ns, expect = [], [], []
+    for trial in range(200):
+        kind = trial % 4
+        if kind == 0:  # FOR, random width
+            v = rng.integers(0, 1 << int(rng.integers(1, 40)),
+                             codec.BLOCK_SIZE).astype(np.uint64)
+        elif kind == 1:  # varbyte tail
+            v = rng.integers(0, 1 << 20,
+                             int(rng.integers(0, 127))).astype(np.uint64)
+        elif kind == 2:  # ALL_EQUAL
+            v = np.full(int(rng.integers(1, 200)),
+                        int(rng.integers(0, 1000)), dtype=np.uint64)
+        else:  # ALL_EQUAL at full block size
+            v = np.full(codec.BLOCK_SIZE, int(rng.integers(0, 5)),
+                        dtype=np.uint64)
+        buf = codec.encode_seq(v)
+        bufs.append(buf)
+        ns.append(v.size)
+        expect.append(codec.decode_seq(buf, v.size))
+    got = codec.bulk_decode_seqs(bufs, np.array(ns))
+    assert np.array_equal(got, np.concatenate(expect))
+    # single-class fast path (all varbyte)
+    sel = [(b, n) for b, n in zip(bufs, ns) if b[0] == 0xFF]
+    got2 = codec.bulk_decode_seqs([b for b, _ in sel],
+                                  np.array([n for _, n in sel]))
+    assert np.array_equal(
+        got2, np.concatenate([codec.decode_seq(b, n) for b, n in sel]))
+    # empty input
+    assert codec.bulk_decode_seqs([], np.array([], dtype=np.int64)).size == 0
