@@ -466,6 +466,41 @@ def token_counts(spark, sf_dir):
 
 # --- dedup group resolution: connected components over LSH pairs ---------
 
+#: edge-count threshold below which connected components resolve
+#: driver-side (two int64 columns -> ~3 MB at the cap)
+_CC_DRIVER_MAX = 200_000
+
+
+def _driver_cc(cur, spark):
+    """Union-find with path compression over a collected edge list;
+    roots are the component-minimum doc_id (union by id: smaller id
+    wins the root), matching the distributed fixpoint's labels
+    exactly. Returns DataFrame(doc_id, group_id) over every node that
+    appears in an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for row in cur.collect():
+        a, b = int(row["u"]), int(row["v"])
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = sorted((n, find(n)) for n in nodes)
+    return spark.createDataFrame(labels, "doc_id long, group_id long")
+
+
 def _alternating_cc(edges):
     """Connected components by the alternating large-star / small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -532,6 +567,14 @@ def _alternating_cc(edges):
     # checkpoint dir; local mode has no executor loss to worry about.
     cur = edges.select("u", "v").localCheckpoint(eager=True)
     sig = checksum(cur)
+    if sig[0] <= _CC_DRIVER_MAX:
+        # scale-adaptive fast path (the AQE broadcast-fallback
+        # pattern): a near-dup graph that fits the driver resolves in
+        # one union-find pass — each alternating-star round costs
+        # several fixed-overhead stages, which dominates small graphs.
+        # The distributed rounds engage only beyond the threshold,
+        # the regime they exist for.
+        return _driver_cc(cur, spark)
     for _ in range(64):  # O(log n) expected; hard stop is a backstop
         # per-round checkpoint keeps the logical plan depth CONSTANT
         # across rounds (persist alone nests InMemoryRelations, so

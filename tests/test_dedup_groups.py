@@ -75,3 +75,33 @@ def test_suite_entry_shape(spark):
         for r in rows:
             if r["group_id"] == gid:
                 assert r["group_size"] == len(members)
+
+
+def test_distributed_path_matches_driver_unionfind(spark, monkeypatch):
+    """The alternating-star distributed rounds (used above the
+    _CC_DRIVER_MAX threshold) must produce exactly the labels the
+    driver union-find fast path gives on the same graph — random
+    graphs across shapes (chains force multi-round convergence)."""
+    import random
+
+    from lucene_solr_spark.relational import pipeline as P
+
+    rng = random.Random(99)
+    cases = []
+    # long chain (diameter stress), random sparse, two cliques + bridge
+    cases.append([(i, i + 1) for i in range(0, 60, 1)])
+    cases.append([(rng.randrange(0, 80), rng.randrange(0, 80))
+                  for _ in range(70)])
+    cases.append([(i, j) for i in range(5) for j in range(i + 1, 5)]
+                 + [(i, j) for i in range(20, 25) for j in range(i + 1, 25)]
+                 + [(4, 20)])
+    for pairs in cases:
+        pairs = [(u, v) for u, v in pairs if u != v]
+        df = spark.createDataFrame(pairs, "u long, v long")
+        monkeypatch.setattr(P, "_CC_DRIVER_MAX", -1)  # force distributed
+        dist = {r["doc_id"]: r["group_id"]
+                for r in P._alternating_cc(df).collect()}
+        monkeypatch.setattr(P, "_CC_DRIVER_MAX", 10**9)  # force driver
+        drv = {r["doc_id"]: r["group_id"]
+               for r in P._alternating_cc(df).collect()}
+        assert dist == drv, pairs
