@@ -216,40 +216,18 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
         qsec = time.time() - t0
         timings["bm25_closed_loop"] = round(qsec, 3)
         extras["bm25_closed_loop_qps"] = round(n_loop / qsec, 2)
-        # batched: the whole query set in ONE plan (throughput path)
+        # ---- drift-controlled interleaved QPS protocol (round 5) ----
+        # Every throughput regime below is measured LSS_BENCH_QPS_REPS
+        # times in ROUND-ROBIN order inside one session window and
+        # reported as the MEDIAN (raw reps ride along): a host-load
+        # window now hits every regime alike instead of whichever row
+        # it landed on — the same drift-cancellation idea as the
+        # simultaneous scaling protocol, applied to the headline rows
+        # (round-4 VERDICT wrong #3: 974->638 phantom regressions).
         batch = {f"q{i}": q for i, q in enumerate(qs)}
-        searcher.search_many(dict(list(batch.items())[:4]), 10)  # warm
-        t0 = time.time()
-        searcher.search_many(batch, 10)
-        bsec = time.time() - t0
-        timings["bm25_batch"] = round(bsec, 3)
-        extras["bm25_batch_qps"] = round(N_QUERIES / bsec, 2)
-        # batched WAND over the compressed index (north-star path):
-        # the full mix — term-level MUST/SHOULD boolean algebra runs
-        # on the compressed path since round 3
-        wand.search_many(dict(list(batch.items())[:4]), 10)  # warm
-        t0 = time.time()
-        wand.search_many(batch, 10)
-        wsec = time.time() - t0
-        timings["wand_batch"] = round(wsec, 3)
-        extras["wand_batch_qps"] = round(N_QUERIES / wsec, 2)
-        # SERVING mode: driver-local evaluation over the hot block
-        # cache (search_local) — the latency path; first pass warms
-        # the cache (one pushed-down scan), the measured pass is pure
-        # in-driver numpy
-        for q in qs:
-            wand.search_local(q, 10)
-        t0 = time.time()
-        for q in qs:
-            wand.search_local(q, 10)
-        lsec = time.time() - t0
-        timings["wand_local_loop"] = round(lsec, 3)
-        extras["wand_local_qps"] = round(N_QUERIES / lsec, 2)
-
         # crossover regime (VERDICT r2 perf #4): at small batches the
-        # per-job overhead dominates the compressed path; measure BOTH
-        # engines on one LARGE batch to show where decode-once-per-term
-        # block-max WAND pays off
+        # per-job overhead dominates the compressed path; the LARGE
+        # batch shows where decode-once-per-term block-max WAND pays
         big = {}
         for i in range(512):
             a = mid[(37 * i) % len(mid)]
@@ -257,14 +235,46 @@ def bench_engine(spark) -> tuple[dict[str, float], dict[str, float]]:
             big[f"b{i}"] = (TermQuery(b) if i % 3 == 0 else
                             BooleanQuery.of(should=[TermQuery(a),
                                                     TermQuery(b)]))
-        searcher.search_many(dict(list(big.items())[:4]), 10)  # warm
-        t0 = time.time()
-        searcher.search_many(big, 10)
-        extras["bm25_batch512_qps"] = round(512 / (time.time() - t0), 2)
-        wand.search_many(dict(list(big.items())[:4]), 10)  # warm
-        t0 = time.time()
-        wand.search_many(big, 10)
-        extras["wand_batch512_qps"] = round(512 / (time.time() - t0), 2)
+
+        def serving_loop():
+            # SERVING mode: driver-local evaluation over the hot block
+            # cache (search_local) — pure in-driver numpy once warm
+            for q in qs:
+                wand.search_local(q, 10)
+
+        regimes = [
+            # (timing key, extras qps key, workload, queries/run)
+            ("bm25_batch", "bm25_batch_qps",
+             lambda: searcher.search_many(batch, 10), N_QUERIES),
+            ("wand_batch", "wand_batch_qps",
+             lambda: wand.search_many(batch, 10), N_QUERIES),
+            ("bm25_batch512", "bm25_batch512_qps",
+             lambda: searcher.search_many(big, 10), 512),
+            ("wand_batch512", "wand_batch512_qps",
+             lambda: wand.search_many(big, 10), 512),
+            ("wand_local_loop", "wand_local_qps", serving_loop,
+             N_QUERIES),
+        ]
+        for _tk, _ek, fn, _n in regimes:  # warm: plans, caches, blocks
+            fn()
+        n_reps = int(os.environ.get("LSS_BENCH_QPS_REPS", "3"))
+        rep_secs: dict[str, list[float]] = {tk: [] for tk, *_ in regimes}
+        for _ in range(n_reps):
+            for tk, _ek, fn, _n in regimes:
+                t0 = time.time()
+                fn()
+                rep_secs[tk].append(time.time() - t0)
+        import statistics as _st
+
+        for tk, ek, _fn, n in regimes:
+            med = _st.median(rep_secs[tk])
+            timings[tk] = round(med, 3)
+            extras[ek] = round(n / med, 2)
+            extras[ek + "_reps"] = [round(n / s, 1)
+                                    for s in rep_secs[tk]]
+        extras["qps_protocol"] = (
+            f"median of {n_reps} interleaved round-robin reps per "
+            "regime in one session window")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)

@@ -1307,16 +1307,19 @@ class SegmentSearcher:
                 pairs = sorted(span_field_terms(q))
                 fields = {f for f, _t in pairs}
                 field = getattr(q, "field", "content")
-                if fields - {field}:
-                    raise TypeError(
-                        "cross-field spans (FieldMaskingSpanQuery) "
-                        "need per-doc norms of a field the scan does "
-                        "not carry — use IndexSearcher")
+                # cross-field trees (FieldMaskingSpanQuery): positions
+                # enumerate from each term's OWN field; scoring norms
+                # come from the TOP field (SpanWeight.buildSimWeight
+                # uses the span's field for getNormValues), which the
+                # term postings may not carry — the leaf then reads
+                # that field's per-doc norm rows (norm_field marker)
+                norm_field = field if (fields - {field}) else None
                 bare_keys = False
             else:
                 field = getattr(q, "field", "content")
                 pairs = sorted((field, t) for t in interval_terms(q))
                 bare_keys = True
+                norm_field = None
             dfs = [stats.get(_qual(f, t), 0) for f, t in pairs]
             if not any(dfs):
                 return ("none",)
@@ -1324,7 +1327,7 @@ class SegmentSearcher:
             idfs = [fsc.idf(df) for df in dfs if df > 0]
             idf_sum = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
             w = float(fsc.weight_from_idf_sum(idf_sum, boost * q.boost))
-            return ("span", q, tuple(pairs), w, bare_keys)
+            return ("span", q, tuple(pairs), w, bare_keys, norm_field)
         from .term_automaton import TermAutomatonQuery
 
         if isinstance(q, TermAutomatonQuery):
@@ -1359,19 +1362,37 @@ class SegmentSearcher:
         caches = self.caches
         deleted = self.deleted if self.deleted.size else None
         kk = None if k is None else int(k)
+        norm_fields = sorted(_tree_norm_fields(tree))
 
         def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+            nm = None
+            if norm_fields:
+                nm = _norm_maps_from_rows(pdf, norm_fields)
+                pdf = pdf[pdf["kind"] == 0]
             d, sc = segment_eval_topk(pdf, tree, caches, kk,
-                                      deleted=deleted)
+                                      deleted=deleted, norm_maps=nm)
             return pd.DataFrame({"docid": d.astype(np.int64),
                                  "score": sc.astype(np.float32)})
 
         pos_cols = (["positions"]
                     if self._general_has_phrase(q) else [])
-        filtered = self.blocks.where(
-            _str_in("term", sorted(term_set))
-        ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", *pos_cols)
+        cols = ["segment", "term", "block_ord", "n", "first_docid",
+                "last_docid", "docids", "tfs", "norms", *pos_cols]
+        if norm_fields:
+            # cross-field span: the scan additionally carries the
+            # masked-to fields' per-doc norm rows (kind=1 for content,
+            # kind=2 keyed by field name) — a byte per (doc, field)
+            raw = self.index.spark.read.parquet(self.index.blocks_path)
+            pred = ((F.col("kind") == 0)
+                    & _str_in("term", sorted(term_set)))
+            for f in norm_fields:
+                pred = pred | (
+                    (F.col("kind") == 1) if f == "content"
+                    else ((F.col("kind") == 2) & (F.col("term") == f)))
+            filtered = raw.where(pred).select("kind", *cols)
+        else:
+            filtered = self.blocks.where(
+                _str_in("term", sorted(term_set))).select(*cols)
         if self.blooms is not None:
             must_like, should_set = _tree_bloom_sets(tree)
             excl = self.blooms.excluded_segments(must_like, should_set)
@@ -1504,12 +1525,15 @@ class SegmentSearcher:
         trees = []
         scan_term_set: set[str] = set()
         any_phrases = False
+        norm_fields: set[str] = set()
         for qid in qid_list:
             t = self._compile_general(queries[qid], 1.0, stats)
             trees.append(t)
             if t[0] != "none":
                 scan_term_set |= _tree_terms(t)
                 any_phrases = any_phrases or _tree_has_phrase(t)
+                norm_fields |= _tree_norm_fields(t)
+        norm_fields = sorted(norm_fields)
         terms_present = sorted(scan_term_set)
         if not terms_present:
             return spark.createDataFrame(
@@ -1523,6 +1547,10 @@ class SegmentSearcher:
             from lucene_solr_spark.util.env import retain_malloc
 
             retain_malloc()
+            nm = None
+            if norm_fields:
+                nm = _norm_maps_from_rows(pdf, norm_fields)
+                pdf = pdf[pdf["kind"] == 0]
             groups = _SegGroups(pdf)
             # materialize every scanned term's blocks up front and
             # decode them ALL in one vectorized pass (ForUtil.java:41
@@ -1539,7 +1567,8 @@ class SegmentSearcher:
             for qi, tree in enumerate(trees):
                 if tree[0] == "none":
                     continue
-                d, sc = _eval_node(tree, get_tb, caches)
+                d, sc = _eval_node(tree, get_tb, caches,
+                                   nm.get if nm is not None else None)
                 if deleted is not None and d.size:
                     live = ~np.isin(d, deleted)
                     d, sc = d[live], sc[live]
@@ -1561,10 +1590,22 @@ class SegmentSearcher:
         pos_cols = ["positions"] if any_phrases else []
         # NO impact columns: the exhaustive leaf never computes block
         # bounds, so the scan sheds the two impact streams entirely
-        filtered = self.blocks.where(
-            _str_in("term", terms_present)
-        ).select("segment", "term", "block_ord", "n", "first_docid",
-                 "last_docid", "docids", "tfs", "norms", *pos_cols)
+        cols = ["segment", "term", "block_ord", "n", "first_docid",
+                "last_docid", "docids", "tfs", "norms", *pos_cols]
+        if norm_fields:
+            # cross-field span in the batch: carry the masked-to
+            # fields' per-doc norm rows (see _search_general_df)
+            raw = spark.read.parquet(self.index.blocks_path)
+            pred = ((F.col("kind") == 0)
+                    & _str_in("term", terms_present))
+            for f in norm_fields:
+                pred = pred | (
+                    (F.col("kind") == 1) if f == "content"
+                    else ((F.col("kind") == 2) & (F.col("term") == f)))
+            filtered = raw.where(pred).select("kind", *cols)
+        else:
+            filtered = self.blocks.where(
+                _str_in("term", terms_present)).select(*cols)
         if self.blooms is not None:
             excl_batch: set[int] | None = None
             for tree in trees:
@@ -1680,6 +1721,26 @@ class SegmentSearcher:
             self._local_cache_bytes -= sz
         return {t: cache[t][1] if t in cache else {} for t in qterms}
 
+    def _local_norms(self, field: str) -> dict:
+        """Driver-cached {docid: norm_byte} of one field's per-doc
+        norm rows (cross-field span serving path). One byte per
+        (doc, field) — the .nvd-file role; cached for the searcher's
+        lifetime like a Solr core's norms reader."""
+        if not hasattr(self, "_local_norm_cache"):
+            self._local_norm_cache: dict = {}
+        nm = self._local_norm_cache.get(field)
+        if nm is None:
+            raw = self.index.spark.read.parquet(self.index.blocks_path)
+            pred = ((F.col("kind") == 1) if field == "content"
+                    else ((F.col("kind") == 2)
+                          & (F.col("term") == field)))
+            pdf = raw.where(pred).select("first_docid", "norms") \
+                .toPandas()
+            nm = {int(d): nb[0] for d, nb in
+                  zip(pdf["first_docid"].to_numpy(), pdf["norms"])}
+            self._local_norm_cache[field] = nm
+        return nm
+
     def search_local(self, q: Query, k: int = 10) -> list[TopDoc]:
         """Single-query SERVING path: evaluate entirely in the driver
         over cached compressed blocks — no Spark job once the query's
@@ -1695,6 +1756,8 @@ class SegmentSearcher:
         if tree[0] == "none":
             return []
         per_term = self._local_tbs(_tree_terms(tree))
+        norm_maps = {f: self._local_norms(f)
+                     for f in _tree_norm_fields(tree)}
         segs = sorted({s for m in per_term.values() for s in m})
         deleted = self.deleted if self.deleted.size else None
         top_d = np.zeros(0, dtype=np.int64)
@@ -1705,7 +1768,8 @@ class SegmentSearcher:
             def get_tb(t, _tbs=tbs):
                 return _tbs.get(t)
 
-            d, sc = _eval_node(tree, get_tb, self.caches)
+            d, sc = _eval_node(tree, get_tb, self.caches,
+                               norm_maps.get if norm_maps else None)
             if deleted is not None and d.size:
                 live = ~np.isin(d, deleted)
                 d, sc = d[live], sc[live]
@@ -1918,6 +1982,44 @@ def _tree_terms(node) -> set:
     return set()
 
 
+def _norm_maps_from_rows(pdf: pd.DataFrame, fields) -> dict:
+    """{field: {docid: norm_byte}} from per-doc norm rows riding in a
+    leaf's frame — kind=1 rows carry content norms (one per doc),
+    kind=2 rows carry an extra field's norms (term = field name)."""
+    out: dict = {}
+    for f in fields:
+        if f == "content":
+            sub = pdf[pdf["kind"] == 1]
+        else:
+            sub = pdf[(pdf["kind"] == 2) & (pdf["term"] == f)]
+        out[f] = {int(d): nb[0] for d, nb in
+                  zip(sub["first_docid"].to_numpy(), sub["norms"])}
+    return out
+
+
+def _tree_norm_fields(node) -> set:
+    """Fields whose PER-DOC norm rows the leaves must carry — set only
+    by cross-field span nodes (FieldMaskingSpanQuery), whose scoring
+    norms come from the masked-to field rather than the term
+    postings."""
+    kind = node[0]
+    if kind == "span":
+        return {node[5]} if node[5] is not None else set()
+    if kind == "bool":
+        out: set = set()
+        for _occ, c in node[1]:
+            out |= _tree_norm_fields(c)
+        return out
+    if kind == "dismax":
+        out = set()
+        for c in node[1]:
+            out |= _tree_norm_fields(c)
+        return out
+    if kind == "const":
+        return _tree_norm_fields(node[1])
+    return set()
+
+
 def _tree_has_phrase(node) -> bool:
     kind = node[0]
     if kind in ("phrase", "mphrase", "span", "automaton"):
@@ -1963,9 +2065,11 @@ def _topk_arrays(d: np.ndarray, s: np.ndarray, k: int):
     return d[order], s[order]
 
 
-def _eval_node(node, get_tb, caches):
+def _eval_node(node, get_tb, caches, get_norms=None):
     """Evaluate one compiled node over a segment: (docids unique asc,
-    float32 scores). ``get_tb(qterm) -> _TermBlocks | None``."""
+    float32 scores). ``get_tb(qterm) -> _TermBlocks | None``;
+    ``get_norms(field) -> {docid: norm_byte}`` serves cross-field span
+    nodes (None when the plan carries no such node)."""
     empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
     kind = node[0]
     if kind in ("none", "matchno"):
@@ -2072,7 +2176,7 @@ def _eval_node(node, get_tb, caches):
         return cand[hit], sc.astype(np.float32)
 
     if kind == "span":
-        _, q, pairs, w, bare_keys = node
+        _, q, pairs, w, bare_keys, norm_field = node
         from .intervals import interval_freq
         from .spans import span_freq
 
@@ -2090,17 +2194,32 @@ def _eval_node(node, get_tb, caches):
                 norm_map[did] = int(nb[j])
         if not by_doc:
             return empty
+        if norm_field is not None:
+            # cross-field tree: scoring norms come from the masked-to
+            # field's per-doc rows (SpanWeight.buildSimWeight scores
+            # with the span FIELD's norms); docs without that field
+            # are dropped, matching the v1 engine's inner norms join
+            if get_norms is None:
+                raise RuntimeError(
+                    "cross-field span node needs per-doc norm rows "
+                    "the leaf scan did not carry")
+            norm_map = get_norms(norm_field)
         freq_fn = interval_freq if bare_keys else span_freq
         out_d, out_f, out_n = [], [], []
         for did in sorted(by_doc):
+            nb_doc = norm_map.get(did)
+            if nb_doc is None:
+                continue
             freq = freq_fn(q, by_doc[did])
             if freq > 0:
                 out_d.append(did)
                 out_f.append(freq)
-                out_n.append(norm_map[did])
+                out_n.append(nb_doc)
         if not out_d:
             return empty
-        cache0 = _cache_for(caches, _qual(pairs[0][0], pairs[0][1]))
+        score_field = (norm_field if norm_field is not None
+                       else pairs[0][0])
+        cache0 = _cache_for(caches, _qual(score_field, ""))
         sc = bm25.score_terms(
             np.asarray(out_f, dtype=np.float64),
             np.asarray(out_n, dtype=np.int64), np.float32(w), cache0)
@@ -2146,14 +2265,15 @@ def _eval_node(node, get_tb, caches):
 
     if kind == "const":
         _, child, c = node
-        d, _s = _eval_node(child, get_tb, caches)
+        d, _s = _eval_node(child, get_tb, caches, get_norms)
         return d, np.full(d.size, np.float32(c), dtype=np.float32)
 
     if kind == "dismax":
         # (float)(max + (sum - max) * tieBreaker), sum in double
         # (DisjunctionMaxScorer.java:58-71)
         _, children, tb_f = node
-        subs = [_eval_node(c, get_tb, caches) for c in children]
+        subs = [_eval_node(c, get_tb, caches, get_norms)
+                for c in children]
         subs = [(d, sc) for d, sc in subs if d.size]
         if not subs:
             return empty
@@ -2172,7 +2292,7 @@ def _eval_node(node, get_tb, caches):
         _, children, msm = node
         must, should, filt, must_not = [], [], [], []
         for occ, c in children:
-            r = _eval_node(c, get_tb, caches)
+            r = _eval_node(c, get_tb, caches, get_norms)
             if occ == "MUST":
                 must.append(r)
             elif occ == "SHOULD":
@@ -2224,9 +2344,11 @@ def _eval_node(node, get_tb, caches):
 
 
 def segment_eval_topk(seg_blocks, tree, caches, k: int | None,
-                      deleted: np.ndarray | None = None):
+                      deleted: np.ndarray | None = None,
+                      norm_maps: dict | None = None):
     """Top-k (docids, scores) of a compiled general query tree over one
-    segment's block rows."""
+    segment's block rows. ``norm_maps``: {field: {docid: norm_byte}}
+    for cross-field span nodes (see _tree_norm_fields)."""
     if isinstance(seg_blocks, (dict, _SegGroups)):
         groups = seg_blocks
     else:
@@ -2247,7 +2369,8 @@ def segment_eval_topk(seg_blocks, tree, caches, k: int | None,
             tb_cache[term] = tb
         return tb
 
-    d, sc = _eval_node(tree, get_tb, caches)
+    d, sc = _eval_node(tree, get_tb, caches,
+                       norm_maps.get if norm_maps is not None else None)
     if deleted is not None and deleted.size and d.size:
         live = ~np.isin(d, deleted)
         d, sc = d[live], sc[live]

