@@ -144,18 +144,149 @@ class DictSegmenter:
         return out
 
 
-def JapaneseTokenizer(lexicon=JA_LEXICON) -> DictSegmenter:
+def _is_hiragana(ch: str) -> bool:
+    return "぀" <= ch <= "ゟ"
+
+
+def default_costs(lexicon) -> dict[str, float]:
+    """Unigram cost model from word-class heuristics (public common
+    knowledge, no licensed frequency tables): single-character kana /
+    hangul lexicon entries are function words (particles, copulas —
+    the highest-frequency class, so the cheapest edges), everything
+    else costs a base plus a per-character increment, which makes a
+    compound slightly cheaper than its parts (日本語 beats 日本+語)
+    while two frequent particles still beat one mid-frequency noun
+    (も+も beats もも — the すもも lattice)."""
+    costs: dict[str, float] = {}
+    for w in lexicon:
+        if len(w) == 1 and (_is_hiragana(w) or _is_katakana(w)
+                            or "가" <= w <= "힯"):
+            costs[w] = 1.5
+        else:
+            costs[w] = 2.0 + 0.7 * len(w)
+    return costs
+
+
+class ViterbiSegmenter:
+    """Unigram-cost Viterbi lattice segmenter — the shape of
+    kuromoji's lattice (ja/JapaneseTokenizer.java builds a Viterbi
+    lattice over dictionary + unknown-word edges and backtracks the
+    cheapest path; MeCab-IPADIC supplies its costs) with a heuristic
+    unigram cost model instead of licensed dictionary costs.
+
+    Fixes FMM's boundary-crossing failure: maximum matching commits to
+    the longest word at each position (研究生|命|起源 when 研究生
+    shadows 研究|生命|起源); the lattice instead scores every
+    tokenization globally, so a shadowing long word loses to two
+    in-lexicon words plus no unknown residue. Pluggable as a
+    ``CustomAnalyzer`` tokenizer like :class:`DictSegmenter` (the FMM
+    fallback, kept for lexicons without cost tiers)."""
+
+    __name__ = "ViterbiSegmenter"
+
+    #: cost of an unknown single character (smartcn single-char
+    #: unknown-word behavior) — far above any lexicon word
+    UNKNOWN_COST = 10.0
+    #: cost of one whole unknown KATAKANA run (kuromoji groups
+    #: katakana unknown words by character class)
+    KATAKANA_RUN_COST = 5.0
+    #: connection penalty for a function word directly following
+    #: another function word — the one bigram fact the MeCab
+    #: connection matrix encodes that a unigram model cannot live
+    #: without: particles do not chain (すもも|も|もも|も|もも beats
+    #: すもも|も|も|も|も|も|も)
+    PARTICLE_CHAIN_PENALTY = 2.0
+
+    def __init__(self, costs: dict[str, float],
+                 katakana_runs: bool = False):
+        self.costs = dict(costs)
+        self.katakana_runs = katakana_runs
+        self.max_word_len = max((len(w) for w in self.costs), default=1)
+        self._particles = {w for w, c in self.costs.items()
+                           if len(w) == 1 and c <= 1.6}
+
+    def _segment_run(self, run: str) -> list[str]:
+        n = len(run)
+        inf = float("inf")
+        # two lattice states per position: last edge was a function
+        # word (1) or not (0) — the minimal connection-cost context
+        best = [[inf, inf] for _ in range(n + 1)]
+        best[0][0] = 0.0
+        back: list[list[tuple[int, int]]] = [[(0, 0), (0, 0)]
+                                             for _ in range(n + 1)]
+        pen = self.PARTICLE_CHAIN_PENALTY
+
+        def relax(i, s, j, cost, is_particle):
+            cc = best[i][s] + cost + (pen if is_particle and s else 0.0)
+            ns = 1 if is_particle else 0
+            if cc < best[j][ns]:
+                best[j][ns] = cc
+                back[j][ns] = (i, s)
+
+        for i in range(n):
+            for s in (0, 1):
+                if best[i][s] == inf:
+                    continue
+                for ln in range(1, min(self.max_word_len, n - i) + 1):
+                    w = run[i:i + ln]
+                    c = self.costs.get(w)
+                    if c is not None:
+                        relax(i, s, i + ln, c, w in self._particles)
+                relax(i, s, i + 1, self.UNKNOWN_COST, False)
+                if self.katakana_runs and _is_katakana(run[i]):
+                    j = i + 1
+                    while j < n and _is_katakana(run[j]):
+                        j += 1
+                    if j > i + 1:
+                        relax(i, s, j, self.KATAKANA_RUN_COST, False)
+        cuts = []
+        i, s = n, (0 if best[n][0] <= best[n][1] else 1)
+        while i > 0:
+            cuts.append(i)
+            i, s = back[i][s]
+        cuts.append(0)
+        cuts.reverse()
+        return [run[a:b] for a, b in zip(cuts, cuts[1:])]
+
+    def __call__(self, text: str,
+                 max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+        text = unicodedata.normalize("NFKC", text or "")
+        out: list[str] = []
+        last = 0
+        for m in _CJK_RE.finditer(text):
+            if m.start() > last:
+                out.extend(standard_tokenize(
+                    text[last:m.start()], max_token_length))
+            out.extend(self._segment_run(m.group()))
+            last = m.end()
+        if last < len(text):
+            out.extend(standard_tokenize(text[last:], max_token_length))
+        return out
+
+
+def JapaneseTokenizer(lexicon=JA_LEXICON, costs=None,
+                      viterbi: bool = True):
     """kuromoji-role segmenter (ja/JapaneseTokenizer.java stand-in):
-    dictionary FMM + whole-run katakana unknown words."""
-    return DictSegmenter(lexicon, katakana_runs=True)
+    unigram-cost Viterbi lattice by default (FMM via
+    ``viterbi=False``), whole-run katakana unknown words."""
+    if not viterbi:
+        return DictSegmenter(lexicon, katakana_runs=True)
+    return ViterbiSegmenter(costs or default_costs(lexicon),
+                            katakana_runs=True)
 
 
-def SmartChineseTokenizer(lexicon=ZH_LEXICON) -> DictSegmenter:
+def SmartChineseTokenizer(lexicon=ZH_LEXICON, costs=None,
+                          viterbi: bool = True):
     """smartcn-role segmenter (cn/smart/HMMChineseTokenizer.java
-    stand-in): dictionary FMM, single-char unknown words."""
-    return DictSegmenter(lexicon)
+    stand-in): Viterbi lattice by default, single-char unknowns."""
+    if not viterbi:
+        return DictSegmenter(lexicon)
+    return ViterbiSegmenter(costs or default_costs(lexicon))
 
 
-def KoreanTokenizer(lexicon=KO_LEXICON) -> DictSegmenter:
+def KoreanTokenizer(lexicon=KO_LEXICON, costs=None,
+                    viterbi: bool = True):
     """nori-role segmenter (ko/KoreanTokenizer.java stand-in)."""
-    return DictSegmenter(lexicon)
+    if not viterbi:
+        return DictSegmenter(lexicon)
+    return ViterbiSegmenter(costs or default_costs(lexicon))
