@@ -353,30 +353,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Drivers may cap the number of checked registry entries at 50; rotate
 # the overflow tail each round so every registry row re-enters the
-# driver's hard-signal window at least every other round. Round-4
-# rotation: the 31 rows that were INSIDE the r03 driver window (all
-# green there) move to the tail; the 31 rows overflowed in r03 move
-# back in; the 13 engine_* rows and the six rows whose oracles gained
-# the BIGINT cast this round stay inside the window.
-# Three r03-green engine rows ride the tail this round to make room
-# for the three rows that missed BOTH the r03 window and the r03 tail
-# (bbox_overlap_topk, features_igain, text_logit_train) — every
-# registry row is then inside the driver window in r03 or r04.
-_OVERFLOW_LAST = ("engine_prefix_topk", "engine_collapse",
-                  "engine_suggest", "engine_mlt", "engine_synonym",
-                  "engine_phrase_topk", "engine_dismax_topk",
-                  "engine_parsed_query", "engine_prefix_v2",
-                  "ft_boolean", "ft_bm25_scores", "ft_span_near",
-                  "multiterm_expand", "gopher_repetition",
-                  "decontaminate_ngram", "source_quota_sample", "set_ops",
-                  "agg_sketches", "dedup_groups_cc", "pii_scrub",
-                  "lm_quality_score", "block_join", "geo_suite",
-                  "json_facet_domain", "sessionize", "interval_facets",
-                  "unique_block_facet", "term_vectors", "facet_heatmap",
-                  "graph_traversal", "suggest_freetext", "facet_options",
-                  "taxonomy_facets", "payload_score", "payload_check",
-                  "graph_score_nodes", "facet_range_options",
-                  "sampled_facets", "cluster_kmeans", "docvalues_stats")
+# driver's hard-signal window at least every other round. Round-5
+# rotation: the r04 window rows (49 green there) move to the tail and
+# the whole r04 tail comes back inside, EXCEPT the rows this round's
+# code changes touch — text_logit_train (the hardened rounding
+# contract must prove itself driver-green), dedup_minhash_lsh and
+# dedup_canonical (connected-components fast path), engine_wand_topk
+# and engine_edismax_v2 (bulk leaf decode + msm fix on the compiled
+# tree) — plus the NEW row stream_math_context, all of which stay in
+# the window.
+_OVERFLOW_LAST = ("engine_bm25_topk", "engine_edismax",
+                  "engine_sorted_topk", "engine_qparser",
+                  "ft_term_stats", "ft_sloppy", "ft_phrase",
+                  "ft_significant_terms", "dedup_exact", "text_quality",
+                  "doc_fingerprint", "facet_counts_q1", "topk_tiebreak",
+                  "join_rollup_revenue", "left_outer_counts",
+                  "semi_join_filter", "anti_join_mustnot",
+                  "grouped_topk", "stats_stream", "time_series",
+                  "facet_range", "range_query_pushdown",
+                  "cartesian_unnest", "dedup_ngram_jaccard",
+                  "dedup_simhash", "embedding_near_dup",
+                  "lang_id_heuristic", "token_counts", "pack_sequences",
+                  "ann_cosine_knn", "joinutil_score_modes",
+                  "geo_polygon_holes", "geo_prefix_tree",
+                  "geo3d_arc_distance", "facet_aggs_extended",
+                  "facet_relatedness", "stream_expr_rollup",
+                  "stream_matrix_ops", "drill_sideways", "facet_pivot",
+                  "json_facet_api", "range_field_relations",
+                  "ip_point_queries", "bbox_overlap_topk",
+                  "features_igain")
 
 
 def _reorder(out: dict) -> dict:

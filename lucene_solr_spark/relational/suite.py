@@ -1903,3 +1903,60 @@ def sessionize(spark, sf_dir):
                     F.date_format("session_end", fmt).alias("session_end"),
                     "n_events",
                     F.round("value_sum", 4).alias("value_sum")))
+
+
+@register(
+    "stream_math_context",
+    """
+    WITH v AS (
+      SELECT value, row_number() OVER (ORDER BY event_id) - 1 AS idx
+      FROM events WHERE event_type = 'click'
+    ),
+    arr AS (SELECT list(value ORDER BY value) AS a,
+                   CAST(count(*) AS DOUBLE) AS n FROM v),
+    pos AS (SELECT n, a, 50.0 * (n + 1) / 100.0 AS p FROM arr),
+    p50 AS (
+      SELECT n, CASE
+        WHEN p < 1 THEN a[1]
+        WHEN p >= n THEN a[CAST(n AS INT)]
+        ELSE a[CAST(floor(p) AS INT)]
+             + (p - floor(p)) * (a[CAST(floor(p) AS INT) + 1]
+                                 - a[CAST(floor(p) AS INT)])
+      END AS q50 FROM pos
+    ),
+    st AS (
+      SELECT avg(value) AS mean_v, stddev_samp(value) AS sd_v,
+             regr_slope(value, idx) AS slope
+      FROM v
+    )
+    SELECT p50.n AS n,
+           round(round(st.mean_v, 9), 6) AS mean_v,
+           round(round(st.sd_v, 9), 6) AS sd_v,
+           round(round(p50.q50, 9), 6) AS p50,
+           round(round(st.slope, 9), 6) AS slope
+    FROM p50, st
+    """,
+)
+def stream_math_context(spark, sf_dir):
+    """The math-expression variable context end-to-end (LetStream +
+    io/eval over let variables — streaming/mathexpr.py): a stream
+    binds to `a`, col() materializes a vector, and the terminal
+    tuple() emits driver-computed statistics (length, mean, sample
+    stddev, the commons-math R-6 percentile, OLS slope against the
+    stream ordinal). The oracle recomputes every statistic in SQL
+    (R-6 quantile spelled out; regr_slope for the OLS line). Rounding
+    contract: double-round 9->6 with Spark's SQL round on the engine
+    side so both engines share one tie rule (the text_logit lesson)."""
+    from ..streaming.expressions import StreamFactory
+
+    factory = StreamFactory({"events": load_table(spark, sf_dir, "events")})
+    raw = factory.compile(
+        'let(a=search(events, q="event_type:click", '
+        'fl="event_id,value", sort="event_id asc"), '
+        'v=col(a, value), '
+        'r=regress(sequence(length(v), 0, 1), v), '
+        'tuple(n=length(v), mean_v=mean(v), sd_v=stddev(v), '
+        'p50=percentile(v, 50), slope=getValue(r, slope)))')
+    dbl = [F.round(F.round(F.col(c), 9), 6).alias(c)
+           for c in ("mean_v", "sd_v", "p50", "slope")]
+    return raw.select("n", *dbl)

@@ -44,6 +44,7 @@ handler); richer full-text q strings belong to the engine's searchers.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Callable
 
@@ -1001,23 +1002,178 @@ class StreamFactory:
             [(str(node.args[0]),)], "echo string")
 
     def _s_let(self, node: ExprNode) -> DataFrame:
-        """let(a=<stream>, b=<stream over get(a)>, <final stream>) —
-        LetStream.java: bind streams to variables in order, each
-        visible to the next via get(name); the positional arg (or the
-        last binding) is the result. Bindings are lazy DataFrames, so
-        a variable used twice shares one plan subtree."""
+        """let(a=<stream>, b=col(a, f), c=<math over b>, <final>) —
+        LetStream.java + the math-expression variable context: stream
+        bindings stay lazy DataFrames; non-stream bindings evaluate
+        EAGERLY in the driver-side numpy math context
+        (streaming/mathexpr.py — Solr evaluates its math expressions
+        the same single-node way over materialized tuples). The
+        positional arg (or last binding) is the result; a math result
+        (tuple(...), vector, number) renders as a one-row DataFrame."""
+        from .mathexpr import MathContext, eval_math
+
         scoped = dict(self.tables)
         sub = StreamFactory(scoped)
+        ctx = MathContext(seed_text=repr(node))
+        ctx.env = scoped  # one namespace: streams AND math variables
         last = None
         for k, v in node.kwargs.items():
-            scoped[k] = last = (sub._stream(v) if isinstance(v, ExprNode)
-                                else scoped[v])
+            if isinstance(v, ExprNode) and hasattr(self, f"_s_{v.name}"):
+                val = sub._stream(v)
+            elif isinstance(v, ExprNode):
+                val = eval_math(v, ctx)
+            else:
+                val = scoped.get(v, v)
+            scoped[k] = last = val
         exprs = [a for a in node.args if isinstance(a, ExprNode)]
         if exprs:
-            return sub._stream(exprs[-1])
+            fin = exprs[-1]
+            if hasattr(self, f"_s_{fin.name}") and fin.name != "tuple":
+                return sub._stream(fin)
+            return self._math_df(eval_math(fin, ctx))
         if last is None:
             raise ValueError("let() needs at least one binding")
-        return last
+        if isinstance(last, DataFrame):
+            return last
+        return self._math_df(last)
+
+    def _math_df(self, val) -> DataFrame:
+        """Render a math-context value as a one-row DataFrame (the
+        tuple a GetValue/zplot-style terminal emits)."""
+        from pyspark.sql import SparkSession
+
+        from .mathexpr import _tolist
+
+        spark = (next(iter(self.tables.values())).sparkSession
+                 if self.tables else SparkSession.getActiveSession())
+        v = _tolist(val)
+        if not isinstance(v, dict):
+            v = {"return-value": v}
+        row = {}
+        for k, x in v.items():
+            if isinstance(x, dict):
+                import json
+
+                row[k] = json.dumps(x, sort_keys=True)
+            else:
+                row[k] = x
+        return spark.createDataFrame([tuple(row.values())],
+                                     list(row.keys()))
+
+    def _s_tuple(self, node: ExprNode) -> DataFrame:
+        """tuple(k=<math expr>, ...) — TupStream.java: one tuple of
+        evaluated expressions."""
+        from .mathexpr import MathContext, eval_math
+
+        return self._math_df(eval_math(
+            node, MathContext(dict(self.tables), repr(node))))
+
+    def _s_list(self, node: ExprNode) -> DataFrame:
+        """list(sA, sB, ...) — ListStream.java: emit each wrapped
+        stream's tuples in order."""
+        dfs = [self._stream(a) for a in node.args
+               if isinstance(a, ExprNode)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _s_cell(self, node: ExprNode) -> DataFrame:
+        """cell(name, stream) — CellStream.java: materialize the
+        stream as a named list-of-tuples variable (here: the stream
+        itself, bound under the name by the enclosing let)."""
+        return self._stream(node.args[1])
+
+    def _s_plot(self, node: ExprNode) -> DataFrame:
+        """plot(x=<vector>, y=<vector>, type=scatter) —
+        PlotStream.java: one tuple carrying the plot data + type (the
+        UI renders it; the stream just emits the tuple)."""
+        from .mathexpr import MathContext, eval_math, _tolist
+
+        ctx = MathContext(dict(self.tables), repr(node))
+        row = {}
+        for k, v in node.kwargs.items():
+            if k == "type":
+                continue
+            row[k] = _tolist(eval_math(v, ctx))
+        row["plot"] = str(node.kwargs.get("type", "scatter"))
+        return self._math_df(row)
+
+    def _s_knnSearch(self, node: ExprNode) -> DataFrame:
+        """knnSearch(collection, field=<vector col>, vector="v1,v2..",
+        k=10) — the {!knn} dense-vector top-k (KnnQParser role):
+        brute-force cosine over the collection's vector column, exact
+        top-k (the same baseline the ANN suite rows verify against)."""
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        field = node.kwargs["field"]
+        qv = [float(x) for x in
+              str(node.kwargs["vector"]).replace("[", "")
+              .replace("]", "").split(",")]
+        k = int(node.kwargs.get("k", 10))
+        q = F.array(*[F.lit(x) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col(field), q, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(
+            F.transform(F.col(field), lambda a: a * a),
+            F.lit(0.0), lambda acc, x: acc + x))
+        qn = math.sqrt(sum(x * x for x in qv))
+        return (coll.withColumn("score", dot / (nrm * F.lit(qn)))
+                .orderBy(F.desc("score")).limit(k))
+
+    def _s_reduce(self, node: ExprNode) -> DataFrame:
+        """reduce(stream, by="f", group(sort="x desc", n=5)) —
+        ReducerStream.java + GroupOperation: the top-n tuples of each
+        group in the wrapped stream. One window per group key; dup
+        groups are bounded so the window never sees skew."""
+        from pyspark.sql.window import Window
+
+        inner = self._stream(node.args[0])
+        by = [c.strip() for c in node.kwargs["by"].split(",")]
+        gops = [a for a in node.args[1:]
+                if isinstance(a, ExprNode) and a.name == "group"]
+        if not gops:
+            raise ValueError("reduce() needs a group(...) operation")
+        sort_spec = gops[0].kwargs.get("sort")
+        n = int(gops[0].kwargs.get("n", 1))
+        w = Window.partitionBy(*by).orderBy(*self._sort_cols(sort_spec))
+        return (inner.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n).drop("_rn"))
+
+    def _s_distinct(self, node: ExprNode) -> DataFrame:
+        """distinct(stream, over="f") — alias of unique
+        (UniqueStream.java registers both)."""
+        return self._s_unique(node)
+
+    def _s_shuffle(self, node: ExprNode) -> DataFrame:
+        """shuffle(collection, ...) — ShuffleStream.java: a search
+        relayed through /export for parallel partitioning; the Spark
+        plan is the same pushed-down scan."""
+        return self._s_search(node)
+
+    def _s_random(self, node: ExprNode) -> DataFrame:
+        """random(collection, q=..., rows=n, fl=...) —
+        RandomStream.java: pseudo-random docs. Deterministically
+        SEEDED here (stable hash of the expression) so reruns
+        reproduce the sample — the seeded-determinism contract of the
+        math context's samplers."""
+        from .mathexpr import _stable_seed
+
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        if "q" in node.kwargs:
+            coll = self._apply_q(coll, node.kwargs["q"])
+        if "fl" in node.kwargs:
+            coll = coll.select(*[c.strip() for c in
+                                 node.kwargs["fl"].split(",")])
+        seed = _stable_seed(repr(node)) % (2 ** 31)
+        coll = coll.orderBy(F.rand(seed))
+        if "rows" in node.kwargs:
+            coll = coll.limit(int(node.kwargs["rows"]))
+        return coll
 
     def _s_get(self, node: ExprNode) -> DataFrame:
         """get(name) — GetStream.java: read a let-bound variable."""
