@@ -735,14 +735,25 @@ def pack_sequences(docs, seq_len: int, order_col: str = "doc_id",
     if partitions is None:
         partitions = max(int(spark.conf.get(
             "spark.sql.shuffle.partitions", "32")) // 2, 2)
-    ranged = (out.repartitionByRange(partitions, F.col(order_col))
-              .withColumn("_part", F.spark_partition_id()))
-    # pass 1: per-partition local cumsum (parallel windows)
+    # DETERMINISTIC range bucketing: _part derives from order_col
+    # against driver-collected quantile boundaries, NOT from
+    # spark_partition_id over repartitionByRange — the latter's
+    # sampled boundaries can differ on recompute, so pinning them
+    # needed a localCheckpoint whose executor-local blocks have no
+    # recovery path at 100-TB executor-churn scale (round-4 ADVICE).
+    # With _part a pure function of the row, every pass (and any
+    # recompute after executor loss) assigns identical buckets and
+    # the base-offset map stays valid with NO checkpoint at all.
+    qs = [i / partitions for i in range(1, partitions)]
+    bounds = sorted(set(out.approxQuantile(order_col, qs, 0.001)))
+    barr = F.array(*[F.lit(b) for b in bounds])
+    part_expr = F.size(F.filter(barr, lambda b: b < F.col(order_col)))
+    local = out.withColumn("_part", part_expr)
+    # pass 1: per-bucket local cumsum (parallel windows)
     wloc = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
-    local = ranged.withColumn("_local_end", F.sum("n_tokens").over(wloc))
-    local = local.localCheckpoint(eager=False)
-    # pass 2: per-partition totals -> driver prefix -> broadcast map
+    local = local.withColumn("_local_end", F.sum("n_tokens").over(wloc))
+    # pass 2: per-bucket totals -> driver prefix -> broadcast map
     totals = {r["_part"]: int(r["s"]) for r in
               local.groupBy("_part").agg(
                   F.sum("n_tokens").alias("s")).collect()}
