@@ -1804,9 +1804,37 @@ class SegmentSearcher:
         of executor count."""
         spark = self.index.spark
         qid_list = list(queries)
+        # compiled-plan cache (the queryResultCache role, at plan
+        # granularity): a re-submitted identical batch skips rewrite +
+        # tree compile + Catalyst planning entirely — the driver-side
+        # serial fraction of steady-state repeated workloads. Safe
+        # because this searcher is snapshot-bound (blocks/deletes are
+        # read at construction); a new snapshot means a new searcher,
+        # exactly Solr's cache-per-searcher lifecycle.
+        cache_key = None
+        if stats is None:
+            try:
+                cache_key = (tuple(queries.items()), int(k),
+                             bool(use_wand), bool(_raw))
+            except TypeError:
+                cache_key = None  # unhashable custom query: no cache
+        if cache_key is not None:
+            if not hasattr(self, "_batch_plan_cache"):
+                import collections
+
+                self._batch_plan_cache: dict = collections.OrderedDict()
+            hit = self._batch_plan_cache.get(cache_key)
+            if hit is not None:
+                self._batch_plan_cache.move_to_end(cache_key)
+                return hit
         if len(qid_list) >= self.BATCH_TREE_MIN:
-            return self._search_many_tree_df(queries, k, _raw=_raw,
-                                             stats=stats)
+            out = self._search_many_tree_df(queries, k, _raw=_raw,
+                                            stats=stats)
+            if cache_key is not None:
+                self._batch_plan_cache[cache_key] = out
+                while len(self._batch_plan_cache) > 32:
+                    self._batch_plan_cache.popitem(last=False)
+            return out
         queries = {qid: self.rewrite(q) for qid, q in queries.items()}
         try:
             flat = {qid: self._flatten(q) for qid, q in queries.items()}
@@ -1922,12 +1950,18 @@ class SegmentSearcher:
             "qidx", "docid", "score", F.row_number().over(win).alias("rn"))
             .where(F.col("rn") <= kk))
         if _raw:
-            return topk
-        qmap_df = spark.createDataFrame(pd.DataFrame(
-            {"qidx": pd.array(range(len(qid_list)), dtype="int32"),
-             "qid": qid_list}))
-        return (topk.join(F.broadcast(qmap_df), "qidx")
-                .select("qid", "docid", "score", "rn"))
+            out = topk
+        else:
+            qmap_df = spark.createDataFrame(pd.DataFrame(
+                {"qidx": pd.array(range(len(qid_list)), dtype="int32"),
+                 "qid": qid_list}))
+            out = (topk.join(F.broadcast(qmap_df), "qidx")
+                   .select("qid", "docid", "score", "rn"))
+        if cache_key is not None:
+            self._batch_plan_cache[cache_key] = out
+            while len(self._batch_plan_cache) > 32:
+                self._batch_plan_cache.popitem(last=False)
+        return out
 
     def search_many(self, queries: dict[str, Query], k: int = 10,
                     use_wand: bool = True,

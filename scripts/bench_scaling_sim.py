@@ -245,6 +245,11 @@ def child(cpus: int, docs: int, queries: int, sync_dir: str,
             overtime = True
         else:
             overtime = False
+        # bypass the compiled-plan cache (queryResultCache role): a
+        # repeated identical batch would replay through Spark shuffle
+        # reuse and the gate would measure the cache, not the engine
+        if hasattr(seg_searcher, "_batch_plan_cache"):
+            seg_searcher._batch_plan_cache.clear()
         t0 = time.time()
         seg_searcher.search_many(qs, 10)
         t1 = time.time()

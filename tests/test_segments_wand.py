@@ -645,6 +645,41 @@ def test_search_local_cache_bounded_lru(built):
         sz for sz, _m in searcher._local_cache.values())
 
 
+def test_batch_plan_cache_identity_and_bound(built):
+    """Compiled-plan cache (queryResultCache role): a re-submitted
+    identical batch returns rank/score-identical results through the
+    cached plan; distinct batches evict LRU past the bound; the
+    sharded stats-override path never caches."""
+    idx, _shared, oracle, pdf = built
+    from lucene_solr_spark.index.segments import SegmentIndex
+    from lucene_solr_spark.search.wand import SegmentSearcher
+
+    searcher = SegmentSearcher(SegmentIndex(idx.root, idx.spark),
+                               cache=True)
+    terms = _terms_by_df(oracle, 8)
+    batch = {f"q{i}": TermQuery(terms[i % len(terms)])
+             for i in range(18)}
+    r1 = searcher.search_many(batch, 10)
+    assert len(searcher._batch_plan_cache) == 1
+    r2 = searcher.search_many(batch, 10)  # cache hit
+    for qid in batch:
+        assert [(d.docid, np.float32(d.score)) for d in r2[qid]] == [
+            (d.docid, np.float32(d.score)) for d in r1[qid]], qid
+        exp = oracle.search(batch[qid], 10)
+        assert [(d.docid, np.float32(d.score)) for d in r2[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
+    # stats override bypasses the cache
+    qt = {f"s{i}": TermQuery(terms[0]) for i in range(18)}
+    searcher.search_many(qt, 5, stats={})
+    assert len(searcher._batch_plan_cache) == 1
+    # LRU bound at 32 distinct batches
+    for i in range(40):
+        searcher.search_many(
+            {f"b{i}_{j}": TermQuery(terms[(i + j) % len(terms)])
+             for j in range(16)}, 3)
+    assert len(searcher._batch_plan_cache) <= 32
+
+
 def test_highlight_over_v2(built, spark):
     """The highlighter component runs over SegmentSearcher unchanged
     (two-phase: v2 top-k, content join, snippet UDF) and produces the
