@@ -3,11 +3,13 @@
 A 100 TB training pipeline carries media as `binary` columns with
 typed metadata structs; the Spark-side concerns — schema, partition
 sizing, Arrow batch shape, UDF signatures — are real and tested here.
-The *decoders* (JPEG/PNG/audio codecs) are STUBBED: this container has
-no imaging/audio libraries, so `decode_image_features` tries the real
-decoder import and otherwise uses a clearly-marked deterministic fake
-(byte histogram) behind the same interface. Swap `_decode_real` in a
-full environment; nothing else changes.
+Decoders are NATIVE pure-numpy implementations of the public specs
+for netpbm, baseline JPEG (T.81 — functions/jpeg.py), PNG
+(functions/png.py), PCM WAV (functions/wav.py) and FLAC (RFC 9639 —
+functions/flac.py); only lossy audio (MP3/AAC) still needs an
+external library, behind a loud NotImplementedError gate. Payload
+kinds without a native decoder use a clearly-marked deterministic
+fake (byte histogram) behind the same interface.
 
 Schema contract:
     media(media_id long, kind string, meta struct<width:int, height:int,
@@ -47,8 +49,9 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
     bytes→pixels decoder runs end-to-end with no imaging library.
     Stands in for reading an Iceberg media table; deterministic ⇒
     test- and bench-stable."""
-    if fmt not in ("fake", "ppm", "jpeg", "png", "wav"):
-        raise ValueError("fmt must be 'fake', 'ppm', 'jpeg', 'png' or 'wav'")
+    if fmt not in ("fake", "ppm", "jpeg", "png", "wav", "flac"):
+        raise ValueError(
+            "fmt must be 'fake', 'ppm', 'jpeg', 'png', 'wav' or 'flac'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,6 +100,19 @@ def attach_fake_media(docs: DataFrame, kind: str = "image",
                     metas.append({"width": 0, "height": 0,
                                   "sample_rate": 16000, "n_frames": reps,
                                   "format": "wav"})
+                elif fmt == "flac":
+                    from .flac import encode_flac
+
+                    freq = 100.0 + (seed[0] % 40) * 20.0
+                    tt = np.arange(4000) / 16000.0
+                    sig = (np.sin(2 * np.pi * freq * tt)
+                           * (0.2 + (seed[1] % 5) / 10.0))
+                    payloads.append(encode_flac(
+                        sig.astype(np.float32), rate=16000,
+                        use_lpc=bool(seed[2] % 2)))
+                    metas.append({"width": 0, "height": 0,
+                                  "sample_rate": 16000, "n_frames": reps,
+                                  "format": "flac"})
                 elif fmt == "ppm":
                     w, h = 16 + len(t) % 16, 16 + (len(t) // 7) % 16
                     n = w * h * 3
@@ -195,10 +211,16 @@ def _decode_real(payload: bytes, fmt: str) -> np.ndarray:
         if img.ndim == 3 and img.shape[2] == 2:
             img = img[:, :, 0]   # grey+alpha -> grey
         return _features_from_pixels(img)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        from .wav import decode_wav
+    if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
+            or payload[:4] == b"fLaC":
+        if payload[:4] == b"fLaC":
+            from .flac import decode_flac
 
-        x, _rate = decode_wav(payload)
+            x, _rate = decode_flac(payload)
+        else:
+            from .wav import decode_wav
+
+            x, _rate = decode_wav(payload)
         if x.ndim == 2:
             x = x.mean(axis=1)  # downmix
         # FEATURE_DIM frame RMS energies, L1-normalized — the audio
@@ -213,9 +235,10 @@ def _decode_real(payload: bytes, fmt: str) -> np.ndarray:
         total = rms.sum()
         return (rms / total if total else rms).astype(np.float32)
     raise NotImplementedError(
-        f"decoding {fmt!r}: netpbm, baseline JPEG, PNG and PCM WAV "
-        "decode natively (functions/jpeg.py, png.py, wav.py); other "
-        "formats need an external codec library")
+        f"decoding {fmt!r}: netpbm, baseline JPEG, PNG, PCM WAV and "
+        "FLAC decode natively (functions/jpeg.py, png.py, wav.py, "
+        "flac.py); lossy audio (MP3/AAC) needs an external codec "
+        "library")
 
 
 def _decode_fake(payload: bytes) -> np.ndarray:

@@ -377,3 +377,97 @@ def test_media_png_and_wav_end_to_end(spark, docs):
         for r in feats:
             s = np.array(r["features"], dtype=np.float64).sum()
             assert abs(s - 1.0) < 1e-3
+
+
+# ---- FLAC codec (functions/flac.py, RFC 9639) ------------------------------
+
+def test_flac_roundtrip_fixed_and_lpc():
+    """Lossless roundtrip: decode(encode(x)) == x exactly for mono and
+    stereo, fixed predictors and quantized Levinson-Durbin LPC, with
+    real compression (ratio < 1)."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    t = np.arange(6000)
+    x = (3000 * np.sin(t / 50)
+         + rng.integers(-200, 200, t.size)).astype(np.int64)
+    for use_lpc in (False, True):
+        payload = encode_flac(x, rate=16000, use_lpc=use_lpc)
+        assert payload[:4] == b"fLaC"
+        dec, rate = decode_flac(payload)
+        assert rate == 16000
+        assert np.array_equal(np.round(dec * 32768).astype(np.int64), x)
+        assert len(payload) < x.size * 2  # actually compresses
+    # stereo, mid/side decorrelation
+    st = np.stack([x, (x * 0.8).astype(np.int64)
+                   + rng.integers(-50, 50, x.size)], axis=1)
+    p2 = encode_flac(st, rate=8000, mid_side=True, use_lpc=True)
+    d2, r2 = decode_flac(p2)
+    assert r2 == 8000 and d2.shape == st.shape
+    assert np.array_equal(np.round(d2 * 32768).astype(np.int64), st)
+
+
+def test_flac_roundtrip_fuzz_and_block_boundaries():
+    """Seeded fuzz across signal shapes and lengths spanning multiple
+    frames and non-multiple-of-blocksize tails, incl. constant and
+    pure-noise blocks (escape / high Rice params)."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(77)
+    shapes = [
+        np.zeros(500, dtype=np.int64),                       # constant
+        np.full(4096, -12345, dtype=np.int64),               # one frame
+        rng.integers(-30000, 30000, 5000),                   # noise
+        (20000 * np.sin(np.arange(9000) / 10)).astype(np.int64),
+        rng.integers(-5, 5, 4097),                           # tiny range
+    ]
+    for x in shapes:
+        for bs in (1024, 4096):
+            payload = encode_flac(x, rate=22050, block_size=bs)
+            dec, _ = decode_flac(payload)
+            got = np.round(dec * 32768).astype(np.int64)
+            assert np.array_equal(got, x), (x.size, bs)
+
+
+def test_flac_crc_detects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from lucene_solr_spark.functions.flac import decode_flac, encode_flac
+
+    x = (1000 * np.sin(np.arange(3000) / 20)).astype(np.int64)
+    payload = bytearray(encode_flac(x))
+    payload[-1] ^= 0xFF  # flip the final frame's CRC-16 low byte
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(payload))
+    # corrupting entropy data is caught too (CRC mismatch or a
+    # malformed-stream error before the CRC line is reached)
+    payload2 = bytearray(encode_flac(x))
+    payload2[-40] ^= 0xFF
+    with _pytest.raises((ValueError, IndexError)):
+        decode_flac(bytes(payload2))
+
+
+def test_media_flac_end_to_end(spark, docs):
+    """attach_fake_media(fmt='flac') emits REAL FLAC payloads and the
+    audio-feature extraction path decodes them natively."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.multimodal import (
+        attach_fake_media,
+        decode_image_features,
+    )
+
+    media = attach_fake_media(docs, fmt="flac").limit(6)
+    rows = media.collect()
+    assert all(bytes(r["payload"])[:4] == b"fLaC" for r in rows)
+    feats = decode_image_features(media, use_real=True).collect()
+    assert len(feats) == 6
+    for r in feats:
+        v = np.array(r["features"])
+        assert v.shape == (64,)
+        assert abs(float(v.sum()) - 1.0) < 1e-3  # L1-normalized RMS
