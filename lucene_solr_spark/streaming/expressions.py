@@ -1084,6 +1084,88 @@ class StreamFactory:
         itself, bound under the name by the enclosing let)."""
         return self._stream(node.args[1])
 
+    def _s_significantTerms(self, node: ExprNode) -> DataFrame:
+        """significantTerms(collection, q=..., field=..., limit=20,
+        minDocFreq=5, maxDocFreq=.3) —
+        SignificantTermsQParserPlugin.java:206 scoring over a text
+        column: score = log(fg_tf) * (log((numDocs+1)/(docFreq+1))
+        + 1.0), with the min/max background-df gates interpreted as
+        fractions when < 1 (:167-178). Tokenization is the stream's
+        lowercase word split; the indexed-field rendering is the
+        relational ft_significant_terms row."""
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        field = node.kwargs.get("field", "text")
+        limit = int(node.kwargs.get("limit", 20))
+        min_df = float(node.kwargs.get("minDocFreq", 5))
+        max_df = float(node.kwargs.get("maxDocFreq", 0.3))
+        num_docs = coll.count()
+        toks = coll.select(
+            F.monotonically_increasing_id().alias("_rid"),
+            F.explode(F.array_distinct(F.filter(
+                F.split(F.lower(F.col(field)), "[^a-z0-9]+"),
+                lambda t: t != ""))).alias("term"),
+            *([] if "q" not in node.kwargs else []))
+        fg_src = (self._apply_q(coll, node.kwargs["q"])
+                  if "q" in node.kwargs else coll)
+        fg_toks = fg_src.select(
+            F.monotonically_increasing_id().alias("_rid"),
+            F.explode(F.array_distinct(F.filter(
+                F.split(F.lower(F.col(field)), "[^a-z0-9]+"),
+                lambda t: t != ""))).alias("term"))
+        bg = toks.groupBy("term").agg(F.count("*").alias("docFreq"))
+        fg = fg_toks.groupBy("term").agg(F.count("*").alias("foreground"))
+        lo = min_df * num_docs if min_df < 1.0 else min_df
+        hi = max_df * num_docs if max_df <= 1.0 else max_df
+        score = (F.log(F.col("foreground").cast("double"))
+                 * (F.log((F.lit(float(num_docs + 1)))
+                          / (F.col("docFreq") + 1.0)) + 1.0))
+        return (fg.join(bg, "term")
+                .where((F.col("docFreq") >= lo) & (F.col("docFreq") <= hi))
+                .select("term", "foreground", "docFreq",
+                        F.round(score, 5).alias("score"))
+                .orderBy(F.desc("score"), F.asc("term")).limit(limit))
+
+    def _s_train(self, node: ExprNode) -> DataFrame:
+        """train(collection, q=..., field=..., outcome=...,
+        positiveLabel=1, maxIterations=N) — TextLogitStream.java: one
+        tuple per iteration with weights + error (the deterministic
+        full-batch rendering documented in streaming/mlstreams.py).
+        Features default to the top-|terms| IGain selection like
+        features()/train composition."""
+        from .mlstreams import features_selection, text_logit
+
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        field = node.kwargs.get("field", "text")
+        outcome = node.kwargs.get("outcome", "outcome")
+        positive = node.kwargs.get("positiveLabel", "1")
+        iters = int(node.kwargs.get("maxIterations", 10))
+        n_feats = int(node.kwargs.get("numTerms", 4))
+        base = coll.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(field).alias("_text"),
+            (F.col(outcome).cast("string") == str(positive))
+            .cast("int").alias("outcome"))
+        toks = base.select(
+            "doc_id",
+            F.explode(F.filter(
+                F.split(F.lower(F.col("_text")), "[^a-z0-9]+"),
+                lambda t: t != "")).alias("term"))
+        labels = base.select("doc_id", "outcome")
+        feats = features_selection(toks, labels, n_feats).collect()
+        terms = tuple(r["term"] for r in feats)
+        recs = text_logit(toks, labels, terms, iterations=iters)
+        spark = coll.sparkSession
+        rows = [tuple([r["iteration"]] + [float(w) for w in r["weights"]]
+                      + [float(r["error"])]) for r in recs]
+        schema = ("iteration int, "
+                  + ", ".join(f"w{i} double" for i in range(len(terms) + 1))
+                  + ", error double")
+        return spark.createDataFrame(rows, schema).orderBy("iteration")
+
     def _s_plot(self, node: ExprNode) -> DataFrame:
         """plot(x=<vector>, y=<vector>, type=scatter) —
         PlotStream.java: one tuple carrying the plot data + type (the

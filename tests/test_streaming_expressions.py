@@ -550,3 +550,50 @@ def test_conv_delay_describe_emd(spark):
     pa, qa = np.array([0.1, 0.2, 0.3, 0.4]), np.array([0.4, 0.3, 0.2, 0.1])
     emd = np.abs(np.cumsum(pa - qa)).sum()
     assert abs(ev("earthMovers(p, q)") - emd) < 1e-12
+
+
+def test_significant_terms_stream(spark):
+    """SignificantTermsQParserPlugin.java:206 scoring: a term
+    concentrated in the foreground docset scores above a uniformly
+    common term; score = log(fg) * (log((N+1)/(df+1)) + 1)."""
+    import math
+
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    rows = []
+    for i in range(40):
+        cls = "en" if i % 2 == 0 else "de"
+        words = ["common"] * 2 + (["signal"] if cls == "en" else ["rausch"])
+        rows.append((i, cls, " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    sf = StreamFactory({"docs": df})
+    out = sf.compile('significantTerms(docs, q="lang:en", field="text", '
+                     'limit=5, minDocFreq=2, maxDocFreq=1.0)').collect()
+    by_term = {r["term"]: r for r in out}
+    assert "signal" in by_term
+    sig = by_term["signal"]
+    assert sig["foreground"] == 20 and sig["docFreq"] == 20
+    want = math.log(20) * (math.log(41 / 21) + 1.0)
+    assert abs(sig["score"] - want) < 1e-4
+    # 'common' appears everywhere: lower significance than 'signal'
+    assert by_term["common"]["score"] < sig["score"]
+
+
+def test_train_stream(spark):
+    """train() — TextLogitStream role: IGain feature pick + full-batch
+    logistic iterations, error decreasing on separable data."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    rows = []
+    for i in range(30):
+        pos = i % 2 == 0
+        text = ("spark query engine" if pos else "paint brush sill")
+        rows.append((i, 1 if pos else 0, text))
+    df = spark.createDataFrame(rows, "id long, label int, text string")
+    sf = StreamFactory({"train_set": df})
+    out = sf.compile('train(train_set, field="text", outcome="label", '
+                     'positiveLabel=1, maxIterations=6, numTerms=3)'
+                     ).collect()
+    assert len(out) == 6
+    assert [r["iteration"] for r in out] == [1, 2, 3, 4, 5, 6]
+    assert out[-1]["error"] < out[0]["error"]
