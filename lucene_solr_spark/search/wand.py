@@ -2105,6 +2105,19 @@ def _tree_bloom_sets(node) -> tuple[set, set]:
 
 
 def _topk_arrays(d: np.ndarray, s: np.ndarray, k: int):
+    """Exact top-k by (score desc, docid asc). For candidate sets well
+    beyond k, an O(n) argpartition preselect keeps only the rows that
+    can reach the top-k (everything scoring above the k-th plus the
+    full tie group AT the k-th score — ties then resolve by docid in
+    the final small sort), replacing the full O(n log n) lexsort the
+    hot leaves used to pay per query."""
+    if k is not None and d.size > 4 * k and k > 0:
+        kth = np.argpartition(-s, k - 1)[:k]
+        thr = s[kth].min()
+        cand = np.flatnonzero(s >= thr)
+        order = np.lexsort((d[cand], -s[cand].astype(np.float64)))[:k]
+        sel = cand[order]
+        return d[sel], s[sel]
     order = np.lexsort((d, -s.astype(np.float64)))[:k]
     return d[order], s[order]
 
@@ -2363,6 +2376,26 @@ def _eval_node(node, get_tb, caches, get_norms=None):
             need = max(msm, 1)
             if not should:
                 return empty
+            if need == 1 and not must_not:
+                # pure-disjunction fast path (the dominant BM25 batch
+                # shape): ONE stable sort of the concatenated sorted
+                # postings — radix for int64, so effectively O(n) —
+                # plus one reduceat yields candidates AND the float64
+                # clause-sum in a single pass. Bit-exact: the stable
+                # sort keeps equal docids in clause order, so the
+                # float64 accumulation order matches the per-clause
+                # searchsorted loop below exactly.
+                if len(should) == 1:
+                    return should[0]
+                d_cat = np.concatenate([d for d, _s in should])
+                if d_cat.size == 0:
+                    return empty
+                s_cat = np.concatenate([sc for _d, sc in should])
+                order = np.argsort(d_cat, kind="stable")
+                ds = d_cat[order]
+                ss = s_cat[order].astype(np.float64)
+                b = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+                return ds[b], np.add.reduceat(ss, b).astype(np.float32)
             d_cat = np.concatenate([d for d, _s in should])
             uds, counts = np.unique(d_cat, return_counts=True)
             cand = uds[counts >= need]
