@@ -180,3 +180,34 @@ def test_search_many_does_not_mutate_df_map(sharded):
     for sh, before in zip(s.shards, saved):
         after = dict(sh._df_map) if sh._df_map is not None else None
         assert after == before
+
+
+def test_exact_stats_multiterm_expansion(sharded):
+    """Multi-term queries on the sharded exact-stats path: the stats
+    round unions each shard's own rewrite expansion (per-shard
+    dictionaries can expand differently), so global dfs cover every
+    expanded term and results stay bit-identical to the monolithic
+    oracle."""
+    from lucene_solr_spark.search.queries import PrefixQuery
+
+    roots, oracle, spark = sharded
+    s = ShardedSearcher(roots, spark, stats="exact", cache=True)
+    by_df = _probes(oracle)
+    prefixes = sorted({t[:3] for t in by_df[-20:] if len(t) > 3})[:4]
+    for p in prefixes:
+        for rw in ("constant_score", "scoring_boolean"):
+            q = PrefixQuery(p, rewrite=rw)
+            exp = oracle.search(q, 12)
+            got = s.search(q, 12)
+            assert [(d.docid, np.float32(d.score)) for d in got] == [
+                (d.docid, np.float32(d.score)) for d in exp], (p, rw)
+    # mixed batch: prefix + fielded terms through search_many
+    qs = {f"p{i}": PrefixQuery(prefixes[i % len(prefixes)],
+                               rewrite="scoring_boolean")
+          for i in range(8)}
+    qs.update({f"t{i}": TermQuery(by_df[-(1 + i)]) for i in range(10)})
+    got_b = s.search_many(qs, 8)
+    for qid, q in qs.items():
+        exp = oracle.search(q, 8)
+        assert [(d.docid, np.float32(d.score)) for d in got_b[qid]] == [
+            (d.docid, np.float32(d.score)) for d in exp], qid
