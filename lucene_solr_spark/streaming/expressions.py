@@ -1084,6 +1084,17 @@ class StreamFactory:
         itself, bound under the name by the enclosing let)."""
         return self._stream(node.args[1])
 
+    def _s_eval(self, node: ExprNode) -> DataFrame:
+        """eval(stream) — EvalStream.java: read the FIRST tuple of the
+        wrapped stream, take its ``expr_s`` field as a streaming
+        expression, compile and run it. The meta-programming hook the
+        daemon/admin tooling uses."""
+        first = self._stream(node.args[0]).first()
+        if first is None or "expr_s" not in first.asDict():
+            raise ValueError("eval() needs a stream whose first tuple "
+                             "has an expr_s field")
+        return self.compile(first["expr_s"])
+
     def _s_significantTerms(self, node: ExprNode) -> DataFrame:
         """significantTerms(collection, q=..., field=..., limit=20,
         minDocFreq=5, maxDocFreq=.3) —

@@ -597,3 +597,18 @@ def test_train_stream(spark):
     assert len(out) == 6
     assert [r["iteration"] for r in out] == [1, 2, 3, 4, 5, 6]
     assert out[-1]["error"] < out[0]["error"]
+
+
+def test_eval_stream(spark):
+    """eval(stream) — EvalStream.java: the first tuple's expr_s field
+    is itself a streaming expression, compiled and executed."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "id long, x double")
+    exprs = spark.createDataFrame(
+        [('search(t, q="*:*", fl="id,x", sort="id desc", rows=3)',)],
+        "expr_s string")
+    sf = StreamFactory({"t": df, "saved": exprs})
+    out = sf.compile("eval(search(saved, q=\"*:*\", fl=\"expr_s\"))")
+    assert [r["id"] for r in out.collect()] == [9, 8, 7]
