@@ -1084,6 +1084,23 @@ class StreamFactory:
         itself, bound under the name by the enclosing let)."""
         return self._stream(node.args[1])
 
+    def _s_model(self, node: ExprNode) -> DataFrame:
+        """model(collection, id="name") — ModelStream.java: fetch the
+        latest stored iteration of a named model from a models
+        collection (train() output persisted via update()); ties
+        break on the highest iteration."""
+        coll = self.tables.get(node.args[0])
+        if coll is None:
+            raise ValueError(f"unknown collection {node.args[0]}")
+        mid = node.kwargs.get("id") or node.kwargs.get("name")
+        if mid is not None and "name_s" in coll.columns:
+            coll = coll.where(F.col("name_s") == mid)
+        elif mid is not None and "id" in coll.columns:
+            coll = coll.where(F.col("id") == mid)
+        it_col = ("iteration_i" if "iteration_i" in coll.columns
+                  else "iteration")
+        return coll.orderBy(F.desc(it_col)).limit(1)
+
     def _s_eval(self, node: ExprNode) -> DataFrame:
         """eval(stream) — EvalStream.java: read the FIRST tuple of the
         wrapped stream, take its ``expr_s`` field as a streaming

@@ -612,3 +612,18 @@ def test_eval_stream(spark):
     sf = StreamFactory({"t": df, "saved": exprs})
     out = sf.compile("eval(search(saved, q=\"*:*\", fl=\"expr_s\"))")
     assert [r["id"] for r in out.collect()] == [9, 8, 7]
+
+
+def test_model_stream(spark):
+    """model(collection, id=...) — ModelStream.java: latest stored
+    iteration of a named trained model."""
+    from lucene_solr_spark.streaming.expressions import StreamFactory
+
+    rows = [("m1", 1, 0.5), ("m1", 3, 0.1), ("m1", 2, 0.3),
+            ("m2", 9, 0.9)]
+    df = spark.createDataFrame(rows, "name_s string, iteration_i int, "
+                                     "error double")
+    sf = StreamFactory({"models": df})
+    out = sf.compile('model(models, id="m1")').collect()
+    assert len(out) == 1
+    assert out[0]["iteration_i"] == 3 and abs(out[0]["error"] - 0.1) < 1e-9
