@@ -1960,3 +1960,90 @@ def stream_math_context(spark, sf_dir):
     dbl = [F.round(F.round(F.col(c), 9), 6).alias(c)
            for c in ("mean_v", "sd_v", "p50", "slope")]
     return raw.select("n", *dbl)
+
+
+_IRQ_TOPICS = ("spark", "data", "query", "window")
+
+_IRQ_ORACLE = f"""
+WITH tok AS ({_TOK_SQL}),
+topics(qid) AS (VALUES {", ".join(f"('{t}')" for t in _IRQ_TOPICS)}),
+tf AS (
+  SELECT t.qid, k.doc_id, count(*) AS tf
+  FROM topics t JOIN tok k ON k.term = t.qid GROUP BY 1, 2
+),
+run AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tf QUALIFY rank <= 20
+),
+rel AS (SELECT DISTINCT qid, doc_id FROM tf),
+maxg AS (SELECT qid, count(*) AS max_good FROM rel GROUP BY qid),
+j AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN rel
+    ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+),
+g AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY qid ORDER BY rank
+                              ROWS UNBOUNDED PRECEDING) AS good,
+         max(rank) OVER (PARTITION BY qid) AS last_rank
+  FROM j
+),
+agg AS (
+  SELECT qid,
+    sum(CASE WHEN is_rel = 1 THEN good * 1.0 / rank END) AS p_sum,
+    max(CASE WHEN is_rel = 1 AND good = 1 AND rank <= 5
+             THEN 1.0 / rank END) AS rr,
+    max(good) AS found, count(*) AS nres,
+    max(CASE WHEN rank = 5 THEN good / 5.0 END) AS p5_raw,
+    max(CASE WHEN rank = 10 THEN good / 10.0 END) AS p10_raw,
+    max(CASE WHEN rank = last_rank THEN good * 1.0 / rank END) AS ptail
+  FROM g GROUP BY qid
+)
+SELECT a.qid,
+  round(round(coalesce(a.p_sum / m.max_good, 0), 9), 6) AS ap,
+  round(round(coalesce(a.rr, 0), 9), 6) AS rr,
+  round(round(a.found * 1.0 / m.max_good, 9), 6) AS recall,
+  CAST(a.found AS BIGINT) AS num_relevant_found,
+  CAST(m.max_good AS BIGINT) AS num_relevant,
+  round(round(CASE WHEN a.nres >= 5 THEN a.p5_raw
+              ELSE a.nres * a.ptail / 5.0 END, 9), 6) AS p5,
+  round(round(CASE WHEN a.nres >= 10 THEN a.p10_raw
+              ELSE a.nres * a.ptail / 10.0 END, 9), 6) AS p10
+FROM agg a JOIN maxg m ON m.qid = a.qid
+ORDER BY a.qid
+"""
+
+
+@register("ir_quality_metrics", _IRQ_ORACLE)
+def ir_quality_metrics(spark, sf_dir):
+    """IR quality evaluation end-to-end (lucene/benchmark quality
+    package — QualityBenchmark + TrecJudge + QualityStats, see
+    search/quality.py): topics are terms, judgments are docs
+    containing the topic term, the run ranks docs by term frequency
+    (SQL-reproducible so the DuckDB oracle recomputes AP/RR/recall/
+    P@5/P@10 independently, incl. the reference's top-5 MRR rule and
+    the short-run tail extrapolation). The Spark side is the pure
+    window/agg evaluate_run_df — no UDF, scales with the run."""
+    from ..search.quality import evaluate_run_df
+    from pyspark.sql.window import Window
+
+    toks = _tokens(spark, sf_dir)
+    topics = spark.createDataFrame([(t,) for t in _IRQ_TOPICS],
+                                   "qid string")
+    tf = (toks.join(F.broadcast(topics),
+                    toks["term"] == topics["qid"])
+          .groupBy("qid", "doc_id").agg(F.count("*").alias("tf")))
+    w = Window.partitionBy("qid").orderBy(F.desc("tf"), F.asc("doc_id"))
+    run = (tf.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 20)
+           .select("qid", "doc_id", "rank"))
+    judgments = tf.select("qid", "doc_id")
+    out = evaluate_run_df(run, judgments, points=(5, 10))
+    dbl = [F.round(F.round(F.col(c), 9), 6).alias(c)
+           for c in ("ap", "rr", "recall", "p5", "p10")]
+    return out.select(
+        "qid", *dbl[:3], "num_relevant_found", "num_relevant",
+        *dbl[3:]).orderBy("qid")
