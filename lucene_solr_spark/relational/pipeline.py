@@ -745,10 +745,24 @@ def pack_sequences(docs, seq_len: int, order_col: str = "doc_id",
     # recompute after executor loss) assigns identical buckets and
     # the base-offset map stays valid with NO checkpoint at all.
     qs = [i / partitions for i in range(1, partitions)]
-    bounds = sorted(set(out.approxQuantile(order_col, qs, 0.001)))
-    barr = F.array(*[F.lit(b) for b in bounds])
-    part_expr = F.size(F.filter(barr, lambda b: b < F.col(order_col)))
-    local = out.withColumn("_part", part_expr)
+    try:
+        bounds = sorted(set(out.approxQuantile(order_col, qs, 0.001)))
+    except Exception:
+        bounds = None  # non-numeric order_col: approxQuantile is
+        # numeric-only; fall back to the sampled range partitioner
+    if bounds is not None:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        part_expr = F.size(F.filter(barr,
+                                    lambda b: b < F.col(order_col)))
+        local = out.withColumn("_part", part_expr)
+    else:
+        # string/other orderable keys: repartitionByRange's sampled
+        # boundaries aren't recompute-stable, so pin them with an
+        # EAGER localCheckpoint (the pre-round-5 behavior, kept only
+        # for this fallback; numeric keys take the deterministic path)
+        local = (out.repartitionByRange(partitions, F.col(order_col))
+                 .withColumn("_part", F.spark_partition_id())
+                 .localCheckpoint(eager=True))
     # pass 1: per-bucket local cumsum (parallel windows)
     wloc = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)

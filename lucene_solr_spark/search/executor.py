@@ -1416,7 +1416,15 @@ class IndexSearcher:
             scoring.append(self._compile(sq, stats, b).withColumn("is_must", F.lit(0)))
 
         if not scoring:
-            # filter-only query: constant score 0 over the filter set
+            # filter-only query: constant score 0 over the filter set.
+            # msm > 0 with ZERO scoring clauses is unsatisfiable
+            # (BooleanWeight.java:396 — 0 optional scorers < msm), the
+            # same rule the oracle and compressed paths enforce; and
+            # scoring can only be empty with n_must_total > 0 when
+            # every MUST term was absent from the dictionary — a
+            # required null scorer, also no hits (:374-378).
+            if msm > 0 or n_must_total:
+                return self._empty_scored()
             base = None
             for fq in filt:
                 d = self._compile(fq, stats, 1.0).select("docid")

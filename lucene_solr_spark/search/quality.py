@@ -125,9 +125,11 @@ def evaluate_run_df(run: DataFrame, judgments: DataFrame,
         F.coalesce(F.col("_p_sum") / F.col("_max_good"),
                    F.lit(0.0)).alias("ap"),
         F.coalesce(F.col("_rr"), F.lit(0.0)).alias("rr"),
-        (F.col("_found") / F.col("_max_good")).alias("recall"),
+        F.coalesce(F.col("_found") / F.col("_max_good"),
+                   F.lit(0.0)).alias("recall"),
         F.col("_found").alias("num_relevant_found"),
-        F.col("_max_good").alias("num_relevant"),
+        F.coalesce(F.col("_max_good"), F.lit(0))
+        .alias("num_relevant"),
     ]
     for p in points:
         # tail extrapolation when the run returned fewer than p rows
@@ -135,5 +137,8 @@ def evaluate_run_df(run: DataFrame, judgments: DataFrame,
             F.col("num_results") >= p, F.col(f"_p{p}")).otherwise(
             F.col("num_results") * F.col("_ptail") / p)
             .alias(f"p{p}"))
-    return (per_q.join(F.broadcast(max_good), "qid")
+    # LEFT join: a query with zero judged-relevant docs still emits a
+    # row (ap/rr/recall 0) — judge_run's behavior; an inner join would
+    # silently drop it and inflate the caller's MAP
+    return (per_q.join(F.broadcast(max_good), "qid", "left")
             .select(*out_cols))

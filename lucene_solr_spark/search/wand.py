@@ -1383,12 +1383,9 @@ class SegmentSearcher:
             # masked-to fields' per-doc norm rows (kind=1 for content,
             # kind=2 keyed by field name) — a byte per (doc, field)
             raw = self.index.spark.read.parquet(self.index.blocks_path)
-            pred = ((F.col("kind") == 0)
-                    & _str_in("term", sorted(term_set)))
-            for f in norm_fields:
-                pred = pred | (
-                    (F.col("kind") == 1) if f == "content"
-                    else ((F.col("kind") == 2) & (F.col("term") == f)))
+            pred = _norm_rows_pred(
+                norm_fields,
+                (F.col("kind") == 0) & _str_in("term", sorted(term_set)))
             filtered = raw.where(pred).select("kind", *cols)
         else:
             filtered = self.blocks.where(
@@ -1596,12 +1593,9 @@ class SegmentSearcher:
             # cross-field span in the batch: carry the masked-to
             # fields' per-doc norm rows (see _search_general_df)
             raw = spark.read.parquet(self.index.blocks_path)
-            pred = ((F.col("kind") == 0)
-                    & _str_in("term", terms_present))
-            for f in norm_fields:
-                pred = pred | (
-                    (F.col("kind") == 1) if f == "content"
-                    else ((F.col("kind") == 2) & (F.col("term") == f)))
+            pred = _norm_rows_pred(
+                norm_fields,
+                (F.col("kind") == 0) & _str_in("term", terms_present))
             filtered = raw.where(pred).select("kind", *cols)
         else:
             filtered = self.blocks.where(
@@ -1790,6 +1784,14 @@ class SegmentSearcher:
         return [TopDoc(int(d), float(sv))
                 for d, sv in zip(top_d, top_s)]
 
+    def _plan_cache_put(self, cache_key, out) -> None:
+        """Store a compiled batch plan, evicting LRU beyond 32."""
+        if cache_key is None:
+            return
+        self._batch_plan_cache[cache_key] = out
+        while len(self._batch_plan_cache) > 32:
+            self._batch_plan_cache.popitem(last=False)
+
     # -- batched execution ---------------------------------------------
     def search_many_df(self, queries: dict[str, Query], k: int = 10,
                        use_wand: bool = True, _raw: bool = False,
@@ -1840,10 +1842,7 @@ class SegmentSearcher:
         if len(qid_list) >= self.BATCH_TREE_MIN:
             out = self._search_many_tree_df(queries, k, _raw=_raw,
                                             stats=stats)
-            if cache_key is not None:
-                self._batch_plan_cache[cache_key] = out
-                while len(self._batch_plan_cache) > 32:
-                    self._batch_plan_cache.popitem(last=False)
+            self._plan_cache_put(cache_key, out)
             return out
         queries = {qid: self.rewrite(q) for qid, q in queries.items()}
         try:
@@ -1967,10 +1966,7 @@ class SegmentSearcher:
                  "qid": qid_list}))
             out = (topk.join(F.broadcast(qmap_df), "qidx")
                    .select("qid", "docid", "score", "rn"))
-        if cache_key is not None:
-            self._batch_plan_cache[cache_key] = out
-            while len(self._batch_plan_cache) > 32:
-                self._batch_plan_cache.popitem(last=False)
+        self._plan_cache_put(cache_key, out)
         return out
 
     def search_many(self, queries: dict[str, Query], k: int = 10,
@@ -2024,6 +2020,18 @@ def _tree_terms(node) -> set:
     if kind == "const":
         return _tree_terms(node[1])
     return set()
+
+
+def _norm_rows_pred(norm_fields, term_pred):
+    """Widen a kind==0 term predicate with the per-doc norm rows of
+    the given fields (kind=1 for content, kind=2 keyed by field
+    name) — shared by the general and tree-batch scans."""
+    pred = term_pred
+    for f in norm_fields:
+        pred = pred | ((F.col("kind") == 1) if f == "content"
+                       else ((F.col("kind") == 2)
+                             & (F.col("term") == f)))
+    return pred
 
 
 def _norm_maps_from_rows(pdf: pd.DataFrame, fields) -> dict:

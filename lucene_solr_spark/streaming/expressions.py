@@ -1018,9 +1018,13 @@ class StreamFactory:
         ctx.env = scoped  # one namespace: streams AND math variables
         last = None
         for k, v in node.kwargs.items():
-            if isinstance(v, ExprNode) and hasattr(self, f"_s_{v.name}"):
+            if isinstance(v, ExprNode) and v.name != "tuple" \
+                    and hasattr(self, f"_s_{v.name}"):
                 val = sub._stream(v)
             elif isinstance(v, ExprNode):
+                # tuple() binds as a MATH value (dict) so getValue/
+                # setValue compose on it, matching its final-position
+                # treatment
                 val = eval_math(v, ctx)
             else:
                 val = scoped.get(v, v)
@@ -1129,23 +1133,22 @@ class StreamFactory:
         min_df = float(node.kwargs.get("minDocFreq", 5))
         max_df = float(node.kwargs.get("maxDocFreq", 0.3))
         num_docs = coll.count()
-        toks = coll.select(
-            F.monotonically_increasing_id().alias("_rid"),
-            F.explode(F.array_distinct(F.filter(
-                F.split(F.lower(F.col(field)), "[^a-z0-9]+"),
-                lambda t: t != ""))).alias("term"),
-            *([] if "q" not in node.kwargs else []))
-        fg_src = (self._apply_q(coll, node.kwargs["q"])
-                  if "q" in node.kwargs else coll)
-        fg_toks = fg_src.select(
-            F.monotonically_increasing_id().alias("_rid"),
-            F.explode(F.array_distinct(F.filter(
+
+        def doc_terms(df):
+            return df.select(F.explode(F.array_distinct(F.filter(
                 F.split(F.lower(F.col(field)), "[^a-z0-9]+"),
                 lambda t: t != ""))).alias("term"))
-        bg = toks.groupBy("term").agg(F.count("*").alias("docFreq"))
-        fg = fg_toks.groupBy("term").agg(F.count("*").alias("foreground"))
+
+        fg_src = (self._apply_q(coll, node.kwargs["q"])
+                  if "q" in node.kwargs else coll)
+        bg = doc_terms(coll).groupBy("term").agg(
+            F.count("*").alias("docFreq"))
+        fg = doc_terms(fg_src).groupBy("term").agg(
+            F.count("*").alias("foreground"))
+        # values strictly below 1.0 read as fractions of numDocs, else
+        # absolute counts — ONE rule for both gates
         lo = min_df * num_docs if min_df < 1.0 else min_df
-        hi = max_df * num_docs if max_df <= 1.0 else max_df
+        hi = max_df * num_docs if max_df < 1.0 else max_df
         score = (F.log(F.col("foreground").cast("double"))
                  * (F.log((F.lit(float(num_docs + 1)))
                           / (F.col("docFreq") + 1.0)) + 1.0))
@@ -1230,7 +1233,13 @@ class StreamFactory:
             F.transform(F.col(field), lambda a: a * a),
             F.lit(0.0), lambda acc, x: acc + x))
         qn = math.sqrt(sum(x * x for x in qv))
-        return (coll.withColumn("score", dot / (nrm * F.lit(qn)))
+        if qn == 0.0:
+            raise ValueError("knnSearch query vector has zero norm")
+        # zero-magnitude document vectors: cosine undefined (0/0=NaN,
+        # which Spark sorts ABOVE all doubles descending) — rank last
+        score = F.when(nrm > 0.0, dot / (nrm * F.lit(qn))) \
+            .otherwise(F.lit(float("-inf")))
+        return (coll.withColumn("score", score)
                 .orderBy(F.desc("score")).limit(k))
 
     def _s_reduce(self, node: ExprNode) -> DataFrame:

@@ -959,8 +959,14 @@ def eval_math(node, ctx: MathContext):
     try:
         return fn(*args, **{k_.replace("-", "_"): v_
                             for k_, v_ in kw.items()})
-    except TypeError:
-        return fn(*args)
+    except TypeError as exc:
+        # retry WITHOUT kwargs only for a genuine signature mismatch
+        # (positional-only evaluators); a TypeError raised inside the
+        # evaluator must propagate — silently dropping the user's
+        # kwargs would return a wrong default-parameter result
+        if kw and "argument" in str(exc):
+            return fn(*args)
+        raise
 
 
 def _markov_chain(trans):

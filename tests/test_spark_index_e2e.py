@@ -205,3 +205,33 @@ def test_docid_determinism(spark, built, tmp_path_factory):
     d1 = {r["docid"]: r["content_sha256"] for r in tables.docs().collect()}
     d2 = {r["docid"]: r["content_sha256"] for r in t2.docs().collect()}
     assert d1 == d2
+
+
+def test_filter_only_msm_and_absent_must_with_filter(built):
+    """BooleanWeight.java:396/:374-378 on the v1 engine's filter-only
+    branch (round-5 review finding): FILTER-only + msm>0 is
+    unsatisfiable, and an absent MUST term with a present FILTER
+    yields no hits — both must match the oracle."""
+    from lucene_solr_spark.search.queries import BooleanClause
+
+    _, searcher, oracle, _ = built
+    _lo, _mid, hi = _pick_terms(oracle)
+    q1 = BooleanQuery((BooleanClause(TermQuery(hi), "FILTER"),),
+                      minimum_should_match=1)
+    assert oracle.search(q1, 10) == []
+    assert searcher.search(q1, 10) == []
+    # absent MUST + present FILTER: required null scorer -> no hits
+    q2 = BooleanQuery.of(must=[TermQuery("zzzznotaterm")],
+                         should=[],
+                         )
+    q2 = BooleanQuery((BooleanClause(TermQuery("zzzznotaterm"), "MUST"),
+                       BooleanClause(TermQuery(hi), "FILTER")))
+    assert oracle.search(q2, 10) == []
+    assert searcher.search(q2, 10) == []
+    # sanity: FILTER-only with msm=0 still matches with score 0
+    q3 = BooleanQuery((BooleanClause(TermQuery(hi), "FILTER"),))
+    exp = oracle.search(q3, 10)
+    got = searcher.search(q3, 10)
+    assert [(d.docid, d.score) for d in got] == [
+        (d.docid, d.score) for d in exp]
+    assert got and all(d.score == 0.0 for d in got)

@@ -568,7 +568,7 @@ def test_significant_terms_stream(spark):
     df = spark.createDataFrame(rows, "id long, lang string, text string")
     sf = StreamFactory({"docs": df})
     out = sf.compile('significantTerms(docs, q="lang:en", field="text", '
-                     'limit=5, minDocFreq=2, maxDocFreq=1.0)').collect()
+                     'limit=5, minDocFreq=2, maxDocFreq=100)').collect()
     by_term = {r["term"]: r for r in out}
     assert "signal" in by_term
     sig = by_term["signal"]
@@ -577,6 +577,12 @@ def test_significant_terms_stream(spark):
     assert abs(sig["score"] - want) < 1e-4
     # 'common' appears everywhere: lower significance than 'signal'
     assert by_term["common"]["score"] < sig["score"]
+    # gate rule matches the reference (:166-180): values < 1.0 are
+    # fractions of numDocs, >= 1.0 absolute — so maxDocFreq=1 means
+    # "at most one doc" and excludes everything here
+    none = sf.compile('significantTerms(docs, q="lang:en", '
+                      'field="text", maxDocFreq=1)').collect()
+    assert none == []
 
 
 def test_train_stream(spark):
